@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Defaults are tuned for the driver's harness (local[N] single JVM) but
+every setting is the one you'd want on a real cluster too: AQE on
+(runtime shuffle-partition coalescing, broadcast-join conversion, skew
+splitting), UTC session timezone (so timestamps compare bit-exact with
+the DuckDB oracle), Arrow enabled for the Pandas-UDF slow path.
+
+At 100 TB the only knobs that change are shuffle partition count
+(sized so ~128-256 MB per post-shuffle partition) and
+maxPartitionBytes; both are overridable via env/kwargs here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "timescale_cdc_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Env overrides: SPARK_GRAFT_CPUS → local[N] parallelism,
+    SPARK_GRAFT_SHUFFLE_PARTITIONS → shuffle partition count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus or "32")
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
