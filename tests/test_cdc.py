@@ -1,0 +1,214 @@
+"""CDC golden-scenario + property tests (SURVEY.md §5 items 2-3).
+
+Mirrors the reference's manual smoke procedure (readme.md:97-126):
+seed assets (init.sql:99-103), apply insert/update/delete, then check
+envelope contents (null rules readme.md:252-267), dense monotone
+event_id, view routing, replay reconstruction, retention, and
+incremental polling.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.cdc import (
+    EventLog,
+    cdc_transform,
+    event_log_view,
+    latest_state,
+    snapshot_diff,
+    state_as_of,
+)
+from timescale_cdc_spark.cdc.incremental import IncrementalPoller
+from timescale_cdc_spark.cdc.retention import apply_retention, compact_partition
+from timescale_cdc_spark.schemas import ASSETS_SCHEMA
+
+T0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+
+def _assets(spark, rows):
+    return spark.createDataFrame(rows, schema=ASSETS_SCHEMA)
+
+
+SEED = [  # init.sql:99-103 seed values
+    (1, "Water Pump", "WP001", T0, T0),
+    (2, "Steam Trap", "STM002", T0, T0),
+    (3, "Compressor", "CMP003", T0, T0),
+]
+
+
+@pytest.fixture()
+def log(spark, tmp_path):
+    return EventLog(spark, str(tmp_path / "event_log"))
+
+
+def test_snapshot_diff_classifies_ops(spark):
+    old = _assets(spark, SEED)
+    new = _assets(
+        spark,
+        [
+            (1, "Water Pump", "WP001", T0, T0),  # unchanged → no event
+            (2, "Steam Trap MK2", "STM002", T0, T0 + dt.timedelta(hours=1)),  # UPDATE
+            # id 3 gone → DELETE
+            (4, "Valve", "VLV004", T0 + dt.timedelta(hours=1), T0 + dt.timedelta(hours=1)),  # INSERT
+        ],
+    )
+    diff = snapshot_diff(old, new, "id").collect()
+    ops = {r["operation"] for r in diff}
+    assert ops == {"INSERT", "UPDATE", "DELETE"}
+    assert len(diff) == 3  # unchanged row fires no trigger
+    by_op = {r["operation"]: r for r in diff}
+    # Null rules (readme.md:252-267)
+    assert by_op["INSERT"]["before"] is None
+    assert by_op["INSERT"]["after"]["id"] == 4
+    assert by_op["DELETE"]["after"] is None
+    assert by_op["DELETE"]["before"]["id"] == 3
+    assert by_op["UPDATE"]["before"]["name"] == "Steam Trap"
+    assert by_op["UPDATE"]["after"]["name"] == "Steam Trap MK2"
+
+
+def test_envelope_and_dense_event_ids(spark, log):
+    empty = _assets(spark, [])
+    seeded = _assets(spark, SEED)
+    env1 = cdc_transform(
+        empty, seeded, "id", "dataschema", "assets", capture_ts=F.lit(T0)
+    )
+    assert log.append(env1) == 3
+
+    # second batch: one update, one delete
+    updated = _assets(
+        spark,
+        [
+            (1, "Water Pump XL", "WP001", T0, T0 + dt.timedelta(minutes=5)),
+            (2, "Steam Trap", "STM002", T0, T0),
+        ],
+    )
+    env2 = cdc_transform(
+        seeded, updated, "id", "dataschema", "assets",
+        capture_ts=F.lit(T0 + dt.timedelta(minutes=5)),
+    )
+    assert log.append(env2) == 2
+
+    rows = log.read().orderBy("event_id").collect()
+    ids = [r["event_id"] for r in rows]
+    assert ids == [1, 2, 3, 4, 5]  # dense, gap-free, monotone (init.sql:51-59)
+    assert all(r["schema_name"] == "dataschema" for r in rows)
+    assert {r["operation"] for r in rows[:3]} == {"INSERT"}
+    assert {r["operation"] for r in rows[3:]} == {"UPDATE", "DELETE"}
+    # envelope JSON parses and matches source rows
+    first = json.loads(rows[0]["after"])
+    assert first["serialnumber"] in {"WP001", "STM002", "CMP003"}
+    # PK uniqueness (init.sql:61-62)
+    assert log.read().select("event_id", "ts").distinct().count() == 5
+
+
+def test_replay_reconstructs_final_state(spark, log):
+    """SURVEY §5 property: replaying the log == final table state."""
+    s0 = _assets(spark, [])
+    s1 = _assets(spark, SEED)
+    s2 = _assets(
+        spark,
+        [
+            (1, "Water Pump XL", "WP001", T0, T0 + dt.timedelta(minutes=5)),
+            (3, "Compressor", "CMP003", T0, T0),
+            (5, "Heat Exchanger", "HX005", T0 + dt.timedelta(minutes=5), T0 + dt.timedelta(minutes=5)),
+        ],
+    )
+    log.append(cdc_transform(s0, s1, "id", "dataschema", "assets", F.lit(T0)))
+    log.append(
+        cdc_transform(
+            s1, s2, "id", "dataschema", "assets",
+            F.lit(T0 + dt.timedelta(minutes=5)),
+        )
+    )
+    table_log = log.read_table("dataschema", "assets")
+    final = latest_state(table_log, "id", ASSETS_SCHEMA)
+    got = {
+        (r["id"], r["name"], r["serialnumber"]) for r in final.collect()
+    }
+    want = {(r[0], r[1], r[2]) for r in s2.collect()}
+    assert got == want
+
+    # as-of T0 (before the second batch) reconstructs the seed state
+    asof = state_as_of(table_log, "id", ASSETS_SCHEMA, str(T0))
+    got0 = {(r["id"], r["name"]) for r in asof.collect()}
+    assert got0 == {(1, "Water Pump"), (2, "Steam Trap"), (3, "Compressor")}
+
+
+def test_view_routing_partition(spark, log):
+    """A11 ⊕ B32 invariant: per-table views partition the log."""
+    s0 = _assets(spark, [])
+    s1 = _assets(spark, SEED)
+    log.append(cdc_transform(s0, s1, "id", "dataschema", "assets", F.lit(T0)))
+    log.append(cdc_transform(s0, s1, "id", "dataschema", "anomaly", F.lit(T0)))
+    base = log.read()
+    assets_v = event_log_view(base, "dataschema", "assets")
+    anomaly_v = event_log_view(base, "dataschema", "anomaly")
+    assert assets_v.count() == 3 and anomaly_v.count() == 3
+    assert assets_v.union(anomaly_v).count() == base.count()
+    assert assets_v.columns == [
+        "ts", "schema_name", "table_name", "operation", "before", "after", "event_id",
+    ]
+
+
+def test_retention_drops_only_expired(spark, log):
+    old_ts = T0 - dt.timedelta(days=30)
+    s0 = _assets(spark, [])
+    s1 = _assets(spark, SEED)
+    log.append(cdc_transform(s0, s1, "id", "dataschema", "assets", F.lit(old_ts)))
+    log.append(cdc_transform(s0, s1, "id", "dataschema", "anomaly", F.lit(T0)))
+    dropped = apply_retention(log, horizon_days=7, now=T0.date())
+    assert dropped == [old_ts.date()]
+    remaining = log.read()
+    assert remaining.count() == 3
+    # invariant: nothing younger than horizon was dropped
+    assert remaining.filter(F.col("ts") < str(T0 - dt.timedelta(days=7))).count() == 0
+
+
+def test_compaction_preserves_rows(spark, log):
+    s0 = _assets(spark, [])
+    s1 = _assets(spark, SEED)
+    for i in range(3):  # several small appends → small files
+        log.append(
+            cdc_transform(
+                s0, s1, "id", "dataschema", f"t{i}", F.lit(T0)
+            )
+        )
+    before = log.read().count()
+    n = compact_partition(log, T0.date(), target_files=1)
+    assert n == before
+    assert log.read().count() == before
+
+
+def test_incremental_poller_no_redelivery(spark, log, tmp_path):
+    s0 = _assets(spark, [])
+    s1 = _assets(spark, SEED)
+    log.append(cdc_transform(s0, s1, "id", "dataschema", "assets", F.lit(T0)))
+
+    poller = IncrementalPoller(str(tmp_path / "offset.json"), start_ts="2025-01-01 00:00:00")
+    b1 = poller.poll(log.read())
+    assert b1.count() == 3
+
+    # nothing new → empty poll (no re-delivery, B1 semantics)
+    assert poller.poll(log.read()).count() == 0
+
+    # new events beyond the offset are delivered exactly once
+    s2 = _assets(spark, SEED + [(4, "Valve", "VLV004", T0, T0)])
+    log.append(
+        cdc_transform(s1, s2, "id", "dataschema", "assets",
+                      F.lit(T0 + dt.timedelta(seconds=30)))
+    )
+    b2 = poller.poll(log.read())
+    assert b2.count() == 1
+    assert b2.collect()[0]["operation"] == "INSERT"
+
+    # restart from persisted offset: still nothing new
+    poller2 = IncrementalPoller(str(tmp_path / "offset.json"))
+    assert poller2.poll(log.read()).count() == 0
+
+    # late-data sweep by id catches everything regardless of ts
+    assert poller2.sweep_by_id(log.read(), last_seen_id=0).count() == 4

@@ -1,0 +1,129 @@
+"""The event log: append-only, date-partitioned parquet with a dense
+monotone ``event_id`` — the Spark-native ``cdc.event_log`` hypertable.
+
+Reference parity:
+- Table + hypertable: init.sql:41-49, 69-72 (time-range chunks ≙
+  ``event_date`` Hive partitions; readme.md:220 motivates this for
+  fast time-slicing, incremental polling, high-throughput append).
+- Sequence: ``cdc.event_log_event_id_seq`` (init.sql:51-59) assigns a
+  dense, gap-free, monotone id. Spark has no sequence and
+  ``monotonically_increasing_id()`` is neither dense nor cross-batch
+  monotone, so ids are assigned per appended batch as
+  ``row_number() OVER (ORDER BY ts, <tiebreak>) + high_watermark``
+  with the watermark persisted next to the data (SURVEY §7 hard part 1).
+- PK (event_id, ts) (init.sql:61-62): enforced at ingest via
+  dropDuplicates + monotonicity assertion in tests.
+
+Scale: the single global ORDER BY in id assignment is one narrow sort
+per micro-batch (5 s cadence, readme.md:54) over only that batch's
+rows — not the log. At extreme batch sizes the documented fallback is
+per-partition id ranges (allocate [watermark, watermark+n) per
+partition via mapPartitions over a deterministic partition order),
+which keeps (ts, event_id) a valid total order for polling without a
+global sort. Reads are partition-pruned by event_date.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.schemas import EVENT_LOG_SCHEMA
+
+_WATERMARK_FILE = "_event_id_watermark.json"
+ENVELOPE_COLS = [f.name for f in EVENT_LOG_SCHEMA.fields]
+
+
+class EventLog:
+    """Append-only CDC event log rooted at ``path``.
+
+    Layout: ``path/data/event_date=YYYY-MM-DD/*.parquet`` plus a
+    watermark sidecar. Rows within each partition are sorted by
+    (schema_name, table_name, ts, event_id) — the parquet min/max
+    stand-in for the reference's btree indexes (init.sql:64-66).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.data_path = os.path.join(path, "data")
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- event_id watermark (the "sequence" state) --------------------------
+
+    def _watermark_path(self) -> str:
+        return os.path.join(self.path, _WATERMARK_FILE)
+
+    def last_event_id(self) -> int:
+        try:
+            with open(self._watermark_path()) as f:
+                return int(json.load(f)["last_event_id"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _commit_watermark(self, last_id: int) -> None:
+        tmp = self._watermark_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_event_id": last_id}, f)
+        os.replace(tmp, self._watermark_path())
+
+    # -- write path ----------------------------------------------------------
+
+    def append(self, envelope: DataFrame, tiebreak: list[str] | None = None) -> int:
+        """Append envelope rows (ts, schema_name, table_name, operation,
+        before, after), assigning dense event_ids above the watermark.
+
+        Returns the number of events written. The watermark commits
+        after the data write succeeds — a rerun of a failed batch
+        reassigns the same id range (idempotent recovery, the analog
+        of the connector's offset commit, docker-compose.yml:74).
+        """
+        tiebreak = tiebreak or ["schema_name", "table_name", "operation"]
+        start = self.last_event_id()
+        w = Window.orderBy("ts", *tiebreak)
+        # Persist the batch so the count action and the write action
+        # see the same rows (no recompute between them), and the id
+        # window is evaluated once.
+        envelope = envelope.persist()
+        try:
+            n = envelope.count()
+            if n == 0:
+                return 0
+            with_ids = envelope.withColumn(
+                "event_id", F.row_number().over(w) + F.lit(start)
+            ).withColumn("event_date", F.to_date("ts"))
+            (
+                with_ids.select(*ENVELOPE_COLS, "event_date")
+                .sortWithinPartitions("schema_name", "table_name", "ts", "event_id")
+                .write.mode("append")
+                .partitionBy("event_date")
+                .parquet(self.data_path)
+            )
+        finally:
+            envelope.unpersist()
+        self._commit_watermark(start + n)
+        return n
+
+    # -- read path -----------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """Full log scan (readme.md:119-121's SELECT * equivalent).
+        event_date partition pruning applies to any ts/event_date
+        filter layered on top."""
+        return self.spark.read.parquet(self.data_path)
+
+    def read_table(self, schema_name: str, table_name: str) -> DataFrame:
+        """Per-table slice — the event_log_assets view shape
+        (init.sql:75-84)."""
+        return self.read().filter(
+            (F.col("schema_name") == schema_name)
+            & (F.col("table_name") == table_name)
+        )
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.data_path) and any(
+            name.startswith("event_date=") for name in os.listdir(self.data_path)
+        )

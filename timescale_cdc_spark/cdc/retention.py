@@ -1,0 +1,81 @@
+"""Retention + compaction maintenance jobs.
+
+Reference parity: ``add_retention_policy('cdc.event_log',
+INTERVAL '7 days')`` (init.sql:71) — a background job that drops whole
+time chunks past the horizon. The Spark-native equivalent is
+partition-granular directory removal: dropping ``event_date=...``
+partitions is O(partitions dropped), never a rewrite of surviving
+data — the same property that makes chunk-drop cheap in Timescale.
+
+Compaction handles the small-file problem of frequent micro-batch
+appends (SURVEY §4 'append-optimized inserts'): rewrite one date
+partition's files into few large ones, newest partitions excluded
+(they're still hot).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.cdc.log import EventLog
+
+
+def _partition_dates(log: EventLog) -> list[dt.date]:
+    if not os.path.isdir(log.data_path):
+        return []
+    out = []
+    for name in os.listdir(log.data_path):
+        if name.startswith("event_date="):
+            try:
+                out.append(dt.date.fromisoformat(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def apply_retention(
+    log: EventLog, horizon_days: int = 7, now: dt.date | None = None
+) -> list[dt.date]:
+    """Drop event_date partitions strictly older than the horizon
+    (init.sql:71's 7-day default). Returns the dropped dates.
+
+    Invariant (tested): never removes a partition younger than the
+    horizon — the SURVEY §5 property test.
+    """
+    today = now or dt.date.today()
+    cutoff = today - dt.timedelta(days=horizon_days)
+    dropped = []
+    for d in _partition_dates(log):
+        if d < cutoff:
+            shutil.rmtree(
+                os.path.join(log.data_path, f"event_date={d.isoformat()}")
+            )
+            dropped.append(d)
+    return dropped
+
+
+def compact_partition(log: EventLog, date: dt.date, target_files: int = 1) -> int:
+    """Rewrite one date partition into ``target_files`` sorted files.
+    Returns rows compacted. Uses an atomic directory swap so readers
+    never observe a half-written partition."""
+    part = os.path.join(log.data_path, f"event_date={date.isoformat()}")
+    if not os.path.isdir(part):
+        return 0
+    df = log.spark.read.parquet(part)
+    n = df.count()
+    tmp = part + "._compact_tmp"
+    (
+        df.coalesce(target_files)
+        .sortWithinPartitions("schema_name", "table_name", "ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = part + "._compact_old"
+    os.rename(part, old)
+    os.rename(tmp, part)
+    shutil.rmtree(old)
+    return n

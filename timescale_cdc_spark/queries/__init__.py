@@ -7,5 +7,6 @@ from timescale_cdc_spark.queries.base import ORACLES, QUERIES, register
 # Populate the registry (import order = registry order).
 from timescale_cdc_spark.queries import relational  # noqa: E402,F401
 from timescale_cdc_spark.queries import functions_surface  # noqa: E402,F401
+from timescale_cdc_spark.queries import cdc_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
