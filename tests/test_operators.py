@@ -1,0 +1,140 @@
+"""Tier C operator behavior tests: the probabilistic paths
+(MinHash-LSH, SimHash, hyperplane ANN) are validated by planted-
+duplicate recall and brute-force comparison — the oracle can't check
+engine-specific hashes, so these assertions are the correctness story
+(SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.catalog import load_table
+from timescale_cdc_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from timescale_cdc_spark.operators.multimodal import (
+    attach_payload,
+    decode_stub,
+    extract_features,
+)
+from timescale_cdc_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+)
+from timescale_cdc_spark.operators.text import language_scores
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir, docs):
+    """Corpus with exact copies (doc_id+100000) and near-copies with
+    one appended token (doc_id+200000)."""
+    exact = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzyzx")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_removes_planted_copies(docs, planted):
+    n_orig = docs.count()
+    kept = exact_dedup(planted, "text", "doc_id")
+    # every copy collapses to the original (min doc_id), near-copies stay
+    assert kept.count() == n_orig + planted.filter(F.col("doc_id") >= 200000).count()
+    assert kept.filter((F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)).count() == 0
+
+
+def test_minhash_finds_planted_pairs(docs, planted):
+    pairs = minhash_lsh_pairs(planted, "text", "doc_id", threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard_est for r in pairs.collect()}
+    # every exact copy pair must be found with signature match ≈ 1
+    for r in docs.filter(F.col("doc_id") % 10 == 0).collect():
+        key = (r.doc_id, r.doc_id + 100000)
+        assert key in got, f"missing planted exact pair {key}"
+        assert got[key] == 1.0
+    # near-copies (one token appended) should mostly surface too
+    near_ids = [r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 5).collect()]
+    found_near = sum((i, i + 200000) in got for i in near_ids)
+    assert found_near >= 0.8 * len(near_ids)
+
+
+def test_simhash_finds_planted_pairs(docs, planted):
+    pairs = simhash_pairs(planted, "text", "doc_id", max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for r in docs.filter(F.col("doc_id") % 10 == 0).collect():
+        key = (r.doc_id, r.doc_id + 100000)
+        assert key in got and got[key] == 0
+    near_ids = [r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 5).collect()]
+    found_near = sum((i, i + 200000) in got for i in near_ids)
+    assert found_near >= 0.6 * len(near_ids)
+
+
+def test_ngram_jaccard_near_pairs(docs, planted):
+    pairs = ngram_jaccard_pairs(planted, "text", "doc_id", threshold=0.8)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    for r in docs.filter(F.col("doc_id") % 10 == 0).collect():
+        assert got.get((r.doc_id, r.doc_id + 100000)) == 1.0
+    # near-copies differ by ~3 shingles out of ~n — jaccard just below 1
+    near_ids = [r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 5).collect()]
+    for i in near_ids:
+        j = got.get((i, i + 200000))
+        assert j is not None and 0.8 <= j < 1.0
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(em, queries, k=5)
+    approx = hyperplane_lsh_topk(em, queries, k=5)
+    exact_set = {(r.q_id, r.c_id) for r in exact.collect()}
+    approx_set = {(r.q_id, r.c_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 16-bit sketch over 4 chunks on random unit vectors: recall is
+    # imperfect by design; assert a sane floor and that re-ranked
+    # scores are exact for whatever was retrieved
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    exact_scores = {(r.q_id, r.c_id): r.cos for r in exact.collect()}
+    for r in approx.collect():
+        if (r.q_id, r.c_id) in exact_scores:
+            assert exact_scores[(r.q_id, r.c_id)] == r.cos
+
+
+def test_language_id_on_real_samples(spark):
+    samples = [
+        (1, "the cat sat on the mat and looked at the dog", "en"),
+        (2, "der Hund und die Katze sind nicht in der Küche", "de"),
+        (3, "el perro y la gata que viven en la casa", "es"),
+        (4, "le chien est dans la maison et le chat est pour toi", "fr"),
+        (5, "我 的 人 在 有 不 是 了", "zh"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string, lang string")
+    out = language_scores(df, "text").select("doc_id", "lang", "predicted_lang")
+    for r in out.collect():
+        assert r.predicted_lang == r.lang, f"doc {r.doc_id}: {r.predicted_lang} != {r.lang}"
+
+
+def test_multimodal_stub_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_payload(docs, "doc_id", "text", "source")
+    # metadata is queryable without touching payloads
+    assert mm.filter(F.col("meta.n_bytes") > 0).count() == docs.count()
+    feats = extract_features(mm, fake=True)
+    rows = feats.orderBy("media_id").limit(5).collect()
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic across runs
+    rows2 = extract_features(mm, fake=True).orderBy("media_id").limit(5).collect()
+    assert [r.feature for r in rows] == [r.feature for r in rows2]
+    # real decode is explicitly gated
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"payload", fake=False)

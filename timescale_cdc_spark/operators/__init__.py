@@ -1,0 +1,38 @@
+"""Tier C operators (SURVEY.md §2, BASELINE.json north_star): the
+LLM-training-data-pipeline extensions — deduplication, similarity
+search, text analysis, multimodal columns — each designed for 100 TB
+(LSH banding instead of all-pairs, JVM-side expressions instead of
+Python loops, Pandas UDFs only at the genuinely-custom edges).
+"""
+
+from timescale_cdc_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from timescale_cdc_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_dup_pairs,
+    hyperplane_lsh_topk,
+)
+from timescale_cdc_spark.operators.text import (
+    fingerprint,
+    language_scores,
+    quality_score,
+    token_stats,
+)
+
+__all__ = [
+    "brute_force_topk",
+    "embedding_dup_pairs",
+    "exact_dedup",
+    "fingerprint",
+    "hyperplane_lsh_topk",
+    "language_scores",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "simhash_pairs",
+    "token_stats",
+]

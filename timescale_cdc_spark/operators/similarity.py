@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (SURVEY.md §2 C3).
+
+- ``brute_force_topk``: exact cosine top-K — broadcast the (small)
+  query set against the corpus; dot products via zip_with/aggregate
+  (JVM codegen, no UDF). The baseline and the verifier for the
+  approximate path.
+- ``hyperplane_lsh_topk``: random-hyperplane LSH — sign sketch →
+  banded hamming candidates → exact re-rank. The 100 TB path: the
+  corpus is touched once to sketch (linear), candidates per query are
+  bucket-bounded instead of |corpus|.
+- ``embedding_dup_pairs``: threshold-cosine near-duplicate pairs
+  (C1's embedding-space variant) — same candidate discipline.
+
+Embeddings in the fixtures are unit-normalized (verified: ‖v‖²=1), so
+cosine == dot product; a general deployment divides by norms, kept
+here explicitly for correctness on non-normalized inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-K: for each query vector, the K nearest corpus
+    vectors by cosine (self-matches excluded). The query side is
+    broadcast — at 100 TB the corpus scan stays a single
+    embarrassingly-parallel pass. Ties break on corpus id for
+    determinism."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).round(6).tolist()
+
+
+def sketch_bits(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Sign sketch: bit j = 1 iff vec · plane_j > 0, packed as long.
+    One dot product per plane (shift amounts must be Python ints)."""
+    fp = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(v)) for v in plane])
+        fp = fp.bitwiseOR(
+            F.when(
+                _dot(F.col(vec_col), plane_lit) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return fp
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    chunks: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-K: 16-bit hyperplane sketch, banded into 4
+    4-bit chunks (pigeonhole on near-angular neighbors); candidates
+    share ≥1 chunk; exact cosine re-ranks the candidates only.
+
+    Recall is tested against brute_force_topk (tests/test_operators).
+    Scale: corpus sketching is one linear pass; per-query candidate
+    count ≈ corpus/2^chunk_width × chunks, tunable via planes/chunks.
+    """
+    planes = _hyperplanes(num_planes, dim, seed)
+    width = num_planes // chunks
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        s = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            sketch_bits(vec_col, planes).alias("_fp"),
+        )
+        return s.select(
+            f"{side}_id",
+            f"{side}_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftright(F.col("_fp"), c * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("key"),
+                        )
+                        for c in range(chunks)
+                    ]
+                )
+            ).alias("ck"),
+        ).select(f"{side}_id", f"{side}_vec", "ck.chunk", "ck.key")
+
+    qb = banded(queries, "q").withColumnsRenamed({"chunk": "q_chunk", "key": "q_key"})
+    cb = banded(corpus, "c").withColumnsRenamed({"chunk": "c_chunk", "key": "c_key"})
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (F.col("c_chunk") == F.col("q_chunk"))
+            & (F.col("c_key") == F.col("q_key"))
+            & (F.col("c_id") != F.col("q_id")),
+        )
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (C1/C2 embedding form):
+    all (a < b) pairs with cosine ≥ threshold. This exact form is the
+    oracle-checkable baseline; the LSH candidate pruning of
+    hyperplane_lsh_topk is the drop-in at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

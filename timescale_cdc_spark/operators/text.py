@@ -1,0 +1,124 @@
+"""Text analysis operators (SURVEY.md §2 C4): language-ID scoring,
+quality scoring, token counting, document fingerprinting. Everything
+is built-in Spark SQL expressions — deterministic, oracle-checkable,
+codegen'd; no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker-word profiles (top function words) for the
+#: n-gram/stopword language-ID heuristic. Deliberately small — the
+#: operator's job is the scoring machinery; profiles are swappable.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我"],
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def trunc6(col: Column) -> Column:
+    """Truncate to 6 decimals via floor — unlike round(), identical in
+    every engine (Spark rounds HALF_UP, DuckDB HALF_EVEN; rational
+    ratios DO land exactly on .5 boundaries)."""
+    return F.floor(col * 1000000.0) / 1000000.0
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def language_scores(
+    df: DataFrame, text_col: str, profiles: dict[str, list[str]] | None = None
+) -> DataFrame:
+    """C4 language-ID: score = fraction of tokens that are marker
+    words of each language; predicted = argmax with lexicographic
+    tiebreak. One pass, no shuffle — a map-side classifier.
+    """
+    profiles = profiles or LANG_PROFILES
+    toks = _tokens(text_col)
+    out = df
+    for lang, markers in sorted(profiles.items()):
+        hit = F.size(
+            F.filter(toks, lambda w: w.isin(*markers))
+        )
+        out = out.withColumn(
+            f"score_{lang}",
+            trunc6(hit / F.greatest(F.size(toks), F.lit(1))),
+        )
+    langs = sorted(profiles)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"score_{lang}") == best, F.lit(lang))
+            for lang in langs
+        ]
+    )
+    return out.withColumn("predicted_lang", pred)
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """C4 quality scoring: length / punctuation / stopword /
+    mean-word-length signals combined into one bounded score — the
+    pretraining-corpus filter shape (C4). Deterministic rational
+    arithmetic + a single round at the end."""
+    toks = _tokens(text_col)
+    n_chars = F.length(text_col)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    mean_word_len = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.1) * F.least(mean_word_len / F.lit(10.0), F.lit(1.0))
+    )
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        trunc6(punct_ratio).alias("punct_ratio"),
+        trunc6(stop_ratio).alias("stopword_ratio"),
+        trunc6(mean_word_len).alias("mean_word_len"),
+        trunc6(quality).alias("quality"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """C4 token counting: whitespace tokens + a BPE-ish regex token
+    count (letter runs / digit runs / single non-space symbols — the
+    pre-tokenizer shape of GPT-style BPE)."""
+    ws = F.size(_tokens(text_col))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+        )
+    )
+    return df.select(
+        "*",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str) -> DataFrame:
+    """C4 document fingerprinting: md5 over whitespace-normalized,
+    lowercased text — the canonical content id used for cross-shard
+    exact dedup (cheap, portable, stable)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        "*",
+        F.md5(normalized).alias("content_fingerprint"),
+        F.xxhash64(normalized).alias("content_hash64"),
+    )

@@ -8,5 +8,6 @@ from timescale_cdc_spark.queries.base import ORACLES, QUERIES, register
 from timescale_cdc_spark.queries import relational  # noqa: E402,F401
 from timescale_cdc_spark.queries import functions_surface  # noqa: E402,F401
 from timescale_cdc_spark.queries import cdc_queries  # noqa: E402,F401
+from timescale_cdc_spark.queries import llm_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
