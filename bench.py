@@ -28,10 +28,16 @@ HEADLINE = [
     "flagship_segment_revenue",  # join+agg+window
     "b25_agg_pricing_summary",  # TPC-H Q1 hash agg
     "b21_join_broadcast",  # broadcast dim joins
+    "b22_range_join",  # time-range join
     "b23_asof_join",  # as-of reconstruction
     "b28_window_rank_recent",  # ranking window
     "b30_latest_state",  # CDC replay core
     "b31_sort_limit_topk",  # top-K
+    "b36_json_fns",  # JSON payload extraction
+    "c1_dedup_exact",  # exact dedup
+    "c2_minhash_lsh",  # MinHash-LSH near-dup
+    "c3_topk_cosine",  # similarity top-K
+    "c4_quality_score",  # text quality scoring
 ]
 
 

@@ -1,0 +1,70 @@
+"""B47 stream-static join + A19 capture registration tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.cdc import EventLog, cdc_transform
+from timescale_cdc_spark.cdc.views import register_table_views
+from timescale_cdc_spark.schemas import ASSETS_SCHEMA, EVENT_LOG_SCHEMA
+
+T0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+
+def test_stream_static_join(spark, tmp_path):
+    """B47: enrich the envelope stream with a static dimension — the
+    'events joined with current entity snapshot' delivery shape."""
+    rows = [
+        (T0, "dataschema", "assets", "UPDATE", None, '{"id": 1}', 1),
+        (T0, "dataschema", "assets", "UPDATE", None, '{"id": 2}', 2),
+        (T0, "dataschema", "assets", "UPDATE", None, '{"id": 3}', 3),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema=EVENT_LOG_SCHEMA).write.parquet(src)
+
+    static_dim = spark.createDataFrame(
+        [(1, "Water Pump"), (2, "Steam Trap")], "id long, name string"
+    )
+    stream = spark.readStream.schema(EVENT_LOG_SCHEMA).parquet(src)
+    enriched = (
+        stream.withColumn("pk", F.get_json_object("after", "$.id").cast("long"))
+        .join(static_dim, F.col("pk") == static_dim.id, "left")
+        .select("event_id", "pk", "name")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.name for r in spark.sql("SELECT * FROM enriched_out").collect()}
+    assert got == {1: "Water Pump", 2: "Steam Trap", 3: None}
+
+
+def test_register_table_views(spark, tmp_path):
+    """A19 trigger binding analog: capture registration = per-table
+    view registry over the shared log (init.sql:106-113's CREATE
+    TRIGGER ... FOR EACH ROW becomes 'register this table's view')."""
+    log = EventLog(spark, str(tmp_path / "log"))
+    seed = spark.createDataFrame(
+        [(1, "Water Pump", "WP001", T0, T0)], schema=ASSETS_SCHEMA
+    )
+    empty = spark.createDataFrame([], schema=ASSETS_SCHEMA)
+    log.append(cdc_transform(empty, seed, "id", "dataschema", "assets", F.lit(T0)))
+    log.append(cdc_transform(empty, seed, "id", "dataschema", "anomaly", F.lit(T0)))
+
+    views = register_table_views(
+        log, [("dataschema", "assets"), ("dataschema", "anomaly")]
+    )
+    assert set(views) == {"event_log_assets", "event_log_anomaly"}
+    # SQL over the registered views — the reference's psql surface
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM event_log_assets WHERE operation = 'INSERT'"
+    ).collect()[0]["n"]
+    assert n == 1
+    total = spark.sql("SELECT COUNT(*) AS n FROM event_log").collect()[0]["n"]
+    assert total == 2

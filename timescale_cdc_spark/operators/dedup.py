@@ -42,18 +42,59 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
     )
 
 
-def minhash_signature(shingles: F.Column, num_hashes: int = 64) -> F.Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(seed_i || shingle). One nested transform — no UDF."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)),
-            )
-        ),
+def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic odd multipliers + offsets for the affine MinHash
+    family h_i(x) = a_i·x + b_i (mod 2^64, via Java long wraparound)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+#: Mersenne prime 2^31-1. With h, a, b < p the product stays < 2^62
+#: (no int64 overflow — ANSI-safe, Spark 4 enables ANSI by default)
+#: while (a·h+b) mod p wraps ~2^31 times — a genuinely mixing
+#: universal family. A near-2^63 modulus would wrap ≤3 times, leaving
+#: the transform mostly monotone in h: every lane then picks the same
+#: globally-min shingle and the signatures are perfectly correlated
+#: (observed: est≈0.72 for pairs with true Jaccard 0.01).
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures as 64 columns s0..s{k-1}.
+
+    Shape matters: explode shingles → ONE xxhash64 per shingle → k
+    affine transforms inside k partial-min aggregates. This is fully
+    columnar (no nested array re-evaluation — a naive per-lane
+    transform() re-evaluates the shingle expression k times, measured
+    250× slower), and at 100 TB the groupBy(id) min-aggregate combines
+    map-side, shuffling k longs per doc.
+    """
+    params = _affine_params(num_hashes)
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_shingle"),
+    ).select(
+        "_id",
+        F.xxhash64("_shingle").bitwiseAND(F.lit(_MERSENNE_31 - 1)).alias("_h"),
     )
+    aggs = [
+        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31)).alias(
+            f"s{i}"
+        )
+        for i, (a, b) in enumerate(params)
+    ]
+    return exploded.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -78,30 +119,26 @@ def minhash_lsh_pairs(
     candidate count.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(text_col, shingle_n), num_hashes).alias(
-            "_sig"
-        ),
+    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes).select(
+        "_id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("_sig")
     )
     banded = sig.select(
         "_id",
         "_sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("_sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.bucket")
@@ -153,82 +190,72 @@ def ngram_jaccard_pairs(
     the scalable skeleton; at extreme scale rare-shingle sampling
     bounds fan-out of ubiquitous shingles.
     """
-    sh = df.select(
+    exploded = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_n).alias("_sh"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )
-    exploded = sh.select("_id", F.explode("_sh").alias("shingle"))
-    cand = (
+    sizes = exploded.groupBy("_id").agg(F.count("*").alias("n"))
+    # |A∩B| falls out of the blocking join itself (shingles are
+    # distinct per doc), so Jaccard = common/(na+nb-common) needs no
+    # per-pair array materialization — the join + one pair-count
+    # aggregate is the entire cost.
+    inter = (
         exploded.alias("a")
         .join(
             exploded.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    verified = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
-        .filter(F.col("jaccard") >= threshold)
+        .agg(F.count("*").alias("n_common"))
     )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
     from timescale_cdc_spark.operators.text import trunc6
 
-    return verified.select("id_a", "id_b", trunc6(F.col("jaccard")).alias("jaccard"))
-
-
-def simhash64(text_col: str) -> F.Column:
-    """64-bit SimHash of whitespace tokens: per-token xxhash64, each
-    bit votes ±1, sign of the vote is the fingerprint bit. Built as a
-    single aggregate over a zip_with — all codegen."""
-    tokens = F.split(F.col(text_col), r"\s+")
-    hashes = F.transform(tokens, lambda w: F.xxhash64(w))
-    # Bit positions are Python ints (shiftright/shiftleft require a
-    # literal shift amount), so the 64-lane vote vector is built by
-    # comprehension — still one codegen'd expression tree.
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    ).otherwise(F.lit(-1))
-                    for j in range(64)
-                ]
-            ),
-            lambda a, v: a + v.cast("long"),
-        ),
+    jaccard = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jaccard >= threshold)
+        .select("id_a", "id_b", trunc6(jaccard).alias("jaccard"))
     )
-    # Pack sign bits with ONE zip_with against a powers-of-two array
-    # (referencing `votes` once — 64 chained ORs would duplicate the
-    # aggregate subtree 64×). Bit 63 is the sign bit: 1<<63 as signed
-    # long is Long.MIN_VALUE.
-    powers = F.array(
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, each bit votes
+    ±1, sign of the per-bit vote sum is the fingerprint bit.
+
+    Columnar shape (same as minhash_signatures): explode tokens → one
+    hash per token → 64 conditional-sum aggregates → pack. Map-side
+    partial sums make this a single cheap shuffle of 64 longs per doc.
+    Returns (_id, _fp)."""
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
+    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    votes = exploded.groupBy("_id").agg(
         *[
-            F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")
+            F.sum(
+                F.when(
+                    F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
             for j in range(64)
         ]
     )
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            powers,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, bit: acc.bitwiseOR(bit),
-    )
+    # Bit 63 is the sign bit: 1<<63 as signed long is Long.MIN_VALUE.
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"v{j}") > 0,
+                F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("_id", fp.alias("_fp"))
 
 
 def simhash_pairs(
@@ -242,9 +269,7 @@ def simhash_pairs(
     ``chunks`` 16-bit keys (pigeonhole: hamming ≤ 3 ⇒ at least one of
     4 chunks identical), equi-join per chunk, verify hamming via
     bit_count(xor). Returns (id_a, id_b, hamming)."""
-    fp = df.select(
-        F.col(id_col).alias("_id"), simhash64(text_col).alias("_fp")
-    )
+    fp = simhash_fingerprints(df, text_col, id_col)
     width = 64 // chunks
     banded = fp.select(
         "_id",
