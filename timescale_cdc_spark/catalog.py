@@ -51,7 +51,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in FIXTURE_TABLES:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = load_table(spark, sf_dir, name)  # nanos-safe for events
             df.createOrReplaceTempView(name)
             frames[name] = df
     return frames

@@ -1,0 +1,154 @@
+"""Additional query-surface coverage: cube, pivot, extended window
+frames, time_bucket, approximate quantiles (SURVEY.md §2 B27/B29/B34
+completions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.functions.time import time_bucket
+from timescale_cdc_spark.queries.base import register, t
+
+
+@register(
+    "b27_cube",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(user_id % 5 AS VARCHAR), 'ALL') AS user_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 5 AS VARCHAR))
+    """,
+)
+def b27_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (B27): all grouping-set combinations in one pass — Spark
+    expands to a single aggregate over the grouping-id expansion, no
+    multi-scan."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 5).cast("string")
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(10,2))"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("ALL")).alias("user_bucket"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "b27_pivot",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def b27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (B27 family): event-type counts as columns per user.
+    Explicit pivot values keep it a single-pass aggregate (no distinct
+    pre-scan) — required form at scale."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "b29_window_frames",
+    """
+    SELECT event_id, user_id, ts,
+           LEAD(event_type) OVER w AS next_type,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS final_type,
+           CAST(SUM(CAST(value AS DECIMAL(10,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS avg_value_3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def b29_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames (B29 completion): lead / first / last / sliding
+    3-row moving average (decimal-exact)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    last3 = w.rowsBetween(-2, 0)
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(full).alias("final_type"),
+        (
+            F.sum(F.expr("CAST(value AS DECIMAL(10,2))"))
+            .over(last3)
+            .cast("double")
+            / F.count("*").over(last3)
+        ).alias("avg_value_3"),
+    )
+
+
+@register(
+    "b34_time_bucket",
+    """
+    SELECT to_timestamp(floor(epoch(ts) / 900) * 900) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def b34_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket (B34): Timescale's signature bucketing function as
+    epoch-floor sugar (functions/time.py) — 15-minute buckets over the
+    event stream."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(time_bucket("15 minutes", "ts").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(10,2))"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register("b26_approx_quantiles")  # t-digest/GK sketches are engine-specific
+def b26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (B26 at-scale family): percentile_approx
+    over order values — single-pass mergeable sketch, the 100 TB
+    replacement for exact percentiles (rows-only check: sketch
+    boundaries are engine-specific)."""
+    od = t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count("*").alias("n"),
+    )
