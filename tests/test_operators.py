@@ -138,3 +138,20 @@ def test_multimodal_stub_and_determinism(spark, sf_dir):
     # real decode is explicitly gated
     with pytest.raises(NotImplementedError):
         decode_stub(b"payload", fake=False)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from timescale_cdc_spark.operators.similarity import ivf_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(em, queries, k=5).collect()}
+    approx_rows = ivf_topk(em, queries, k=5).collect()
+    approx = {(r.q_id, r.c_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every query returns k results (probed cells are never empty here)
+    from collections import Counter
+
+    per_q = Counter(r.q_id for r in approx_rows)
+    assert all(v == 5 for v in per_q.values())

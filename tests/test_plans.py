@@ -6,14 +6,12 @@ from __future__ import annotations
 
 import pytest
 
+from timescale_cdc_spark.plans import formatted_plan
 from timescale_cdc_spark.queries import QUERIES
 
 
 def _plan(spark, name, sf_dir) -> str:
-    df = QUERIES[name](spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return formatted_plan(QUERIES[name](spark, sf_dir))
 
 
 def test_scan_pushdown_and_pruning(spark, sf_dir):

@@ -176,3 +176,90 @@ def embedding_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """C3 approximate top-K via IVF (inverted-file index): KMeans
+    coarse quantizer partitions the corpus into cells; each query
+    probes its ``n_probe`` nearest cells and exact-reranks only those
+    candidates.
+
+    Scale: the corpus is clustered once (KMeans is itself distributed);
+    per query the scan touches ~n_probe/n_clusters of the corpus. The
+    centroid table is tiny and broadcast. This is the classic
+    IVF-Flat layout (FAISS-style) in pure DataFrame ops — cluster
+    assignment rides in a column, so the cell "inverted lists" are just
+    a partitioning of the corpus table.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"),
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("c_id", "c_vec", "_cell")
+
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+
+    def _cell_dists(vcol: str):
+        # squared L2 distance to each centroid (few, unrolled)
+        return [
+            (
+                ci,
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vcol),
+                        F.array(*[F.lit(float(x)) for x in cen]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            for ci, cen in enumerate(centroids)
+        ]
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    dist_structs = F.array(
+        *[
+            F.struct(d.alias("dist"), F.lit(ci).alias("cell"))
+            for ci, d in _cell_dists("q_vec")
+        ]
+    )
+    probes = q.select(
+        "q_id",
+        "q_vec",
+        F.explode(
+            F.slice(F.array_sort(dist_structs), 1, n_probe)
+        ).alias("_p"),
+    ).select("q_id", "q_vec", F.col("_p.cell").alias("_cell"))
+
+    cand = assigned.join(
+        F.broadcast(probes),
+        (assigned._cell == probes._cell) & (F.col("c_id") != F.col("q_id")),
+    ).select("q_id", "q_vec", "c_id", "c_vec")
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )

@@ -412,3 +412,16 @@ def c5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
+
+
+@register("c3_ann_ivf")  # KMeans cells are engine-specific → rows-only
+def c3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 approximate top-K via IVF-Flat (operators/similarity.py::
+    ivf_topk): KMeans coarse quantizer → probe 4/16 cells → exact
+    re-rank. Recall vs brute force asserted in tests/test_operators.py.
+    The inverted-list layout is the FAISS-style scale path alongside
+    hyperplane LSH."""
+    from timescale_cdc_spark.operators.similarity import ivf_topk
+
+    em = t(spark, sf_dir, "embeddings")
+    return ivf_topk(em, em.filter(F.col("vec_id") < 10), k=5)
