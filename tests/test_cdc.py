@@ -212,3 +212,21 @@ def test_incremental_poller_no_redelivery(spark, log, tmp_path):
 
     # late-data sweep by id catches everything regardless of ts
     assert poller2.sweep_by_id(log.read(), last_seen_id=0).count() == 4
+
+
+def test_maintenance_runner(spark, log, tmp_path):
+    import datetime as dt2
+
+    from timescale_cdc_spark.maintenance import run_maintenance
+
+    s0 = _assets(spark, [])
+    s1 = _assets(spark, SEED)
+    old_ts = T0 - dt2.timedelta(days=30)
+    log.append(cdc_transform(s0, s1, "id", "dataschema", "assets", F.lit(old_ts)))
+    log.append(cdc_transform(s0, s1, "id", "dataschema", "assets", F.lit(T0 - dt2.timedelta(days=3))))
+    report = run_maintenance(
+        log.path, retention_days=7, compact=True, keep_hot_days=1, now=T0.date()
+    )
+    assert report["dropped_partitions"] == [old_ts.date().isoformat()]
+    assert list(report["compacted_partitions"].values()) == [3]
+    assert log.read().count() == 3

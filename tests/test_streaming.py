@@ -166,3 +166,33 @@ def test_running_latest_state(spark, tmp_path):
     assert '"B"' in got["1"].current_row
     assert got["2"].last_operation == "DELETE"
     assert got["2"].current_row is None
+
+
+def test_five_second_trigger_cadence(spark, tmp_path):
+    """B5: the reference's 5 s poll cadence (readme.md:54) as
+    trigger(processingTime='5 seconds') — smoke: query starts, makes
+    progress, stops cleanly."""
+    rows = [
+        (T0, "dataschema", "assets", "INSERT", None, '{"id": 1}', 1),
+    ]
+    src = _envelope_stream_dir(spark, tmp_path, rows)
+    stream = spark.readStream.schema(EVENT_LOG_SCHEMA).parquet(src)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cadence_out")
+        .outputMode("append")
+        .trigger(processingTime="5 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) n FROM cadence_out").collect()[0].n == 1:
+                break
+            time.sleep(0.5)
+        assert spark.sql("SELECT COUNT(*) n FROM cadence_out").collect()[0].n == 1
+        assert q.isActive
+    finally:
+        q.stop()

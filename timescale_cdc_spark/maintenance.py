@@ -1,0 +1,73 @@
+"""Maintenance job runner — the engine's analog of Timescale's
+background jobs (`add_retention_policy`, reference init.sql:71;
+compression/retention motivation readme.md:220).
+
+Run as a scheduled job (cron / orchestrator) against an event-log
+root:
+
+    python -m timescale_cdc_spark.maintenance /path/to/log \
+        --retention-days 7 --compact
+
+Both actions are partition-granular: retention drops whole
+``event_date=`` directories; compaction rewrites one partition's small
+files (micro-batch appends accumulate them) into sorted large files
+with an atomic swap. Neither touches surviving data — O(partitions
+affected), like chunk-drop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+
+from timescale_cdc_spark.cdc.log import EventLog
+from timescale_cdc_spark.cdc.retention import (
+    _partition_dates,
+    apply_retention,
+    compact_partition,
+)
+from timescale_cdc_spark.session import get_spark
+
+
+def run_maintenance(
+    log_path: str,
+    retention_days: int = 7,
+    compact: bool = False,
+    keep_hot_days: int = 1,
+    now: dt.date | None = None,
+) -> dict:
+    """Apply retention, then (optionally) compact every cold partition
+    (older than ``keep_hot_days`` — hot partitions still receive
+    appends). Returns a JSON-able report."""
+    spark = get_spark(app_name="timescale_cdc_maintenance")
+    log = EventLog(spark, log_path)
+    today = now or dt.date.today()
+    dropped = apply_retention(log, horizon_days=retention_days, now=today)
+    compacted: dict[str, int] = {}
+    if compact:
+        hot_cutoff = today - dt.timedelta(days=keep_hot_days)
+        for d in _partition_dates(log):
+            if d < hot_cutoff:
+                compacted[d.isoformat()] = compact_partition(log, d)
+    return {
+        "dropped_partitions": [d.isoformat() for d in dropped],
+        "compacted_partitions": compacted,
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("log_path")
+    p.add_argument("--retention-days", type=int, default=7)
+    p.add_argument("--compact", action="store_true")
+    p.add_argument("--keep-hot-days", type=int, default=1)
+    args = p.parse_args()
+    report = run_maintenance(
+        args.log_path, args.retention_days, args.compact, args.keep_hot_days
+    )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -152,3 +152,35 @@ def b26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "b22_range_join_bucketed",
+    """
+    SELECT s.event_id AS signup_id, e.event_id AS error_id
+    FROM events s
+    JOIN events e
+      ON e.event_type = 'error'
+     AND abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+             - CAST(floor(epoch(s.ts)) AS BIGINT)) <= 300
+    WHERE s.event_type = 'signup'
+    """,
+)
+def b22_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 without an equi key: every error event within ±5 minutes of
+    any signup — the pure time-proximity join. Implemented with the
+    bucketed range join (operators/timejoin.py): tolerance-width
+    buckets turn the would-be nested loop into a hash join on bucket
+    id; the oracle is the naive non-equi join."""
+    from timescale_cdc_spark.operators.timejoin import range_join_bucketed
+
+    ev = t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    return range_join_bucketed(s, e, "s_ts", "e_ts", tolerance_seconds=300).select(
+        "signup_id", "error_id"
+    )
