@@ -30,6 +30,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncate to microseconds (``ts DIV 1000``) — the same conversion
     DuckDB applies, so oracle comparisons stay exact.
     """
+    # Timestamp semantics must be UTC regardless of who built the
+    # session (the DuckDB oracle is tz-naive UTC); runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))

@@ -184,3 +184,79 @@ def b22_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_bucketed(s, e, "s_ts", "e_ts", tolerance_seconds=300).select(
         "signup_id", "error_id"
     )
+
+
+@register(
+    "b44_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                    OR LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_id
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def b44_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, batch analog (B44): per-user sessions closing
+    after 30 minutes of silence, via F.session_window — the streaming-
+    native operator run in batch mode; the oracle is the classic
+    gaps-and-islands formulation (lag + cumulative flag sum), proving
+    the two formulations agree."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sess"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "a16_unique_enforcement",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+    FROM r WHERE rn = 1
+    """,
+)
+def a16_unique_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 uniqueness constraint at ingest: keep the first row per
+    natural key (the serialnumber UNIQUE analog, init.sql:93) —
+    deterministic keep-first window, the same machinery as C1 dedup."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
