@@ -155,3 +155,29 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
 
     per_q = Counter(r.q_id for r in approx_rows)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from timescale_cdc_spark.operators.skew import key_histogram, salted_join
+
+    od = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = (
+        od.join(cu, "o_custkey")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    salted = (
+        salted_join(od, cu, "o_custkey", salt=4)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain} == {
+        (r.c_mktsegment, r["count"]) for r in salted
+    }
+    hot = key_histogram(od, "o_custkey", top=3).collect()
+    assert len(hot) == 3 and hot[0]["n"] >= hot[-1]["n"]
