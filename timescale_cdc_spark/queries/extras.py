@@ -260,3 +260,87 @@ def a16_unique_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("first_event_id"),
         )
     )
+
+
+@register(
+    "b33_string_fns2",
+    """
+    SELECT doc_id,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           rpad(lang, 4, '.') AS lang_padded,
+           replace(source, 'src', 'source-') AS source_renamed,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_vowels_uc,
+           strpos(text, 'the') AS first_the_pos,
+           reverse(lang) AS lang_rev,
+           repeat(lang, 2) AS lang_x2
+    FROM documents
+    """,
+)
+def b33_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions, second family (B33): pad/replace/translate/
+    locate/reverse/repeat — Spark locate == DuckDB strpos (both
+    1-based, 0 when absent)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.rpad("lang", 4, ".").alias("lang_padded"),
+        F.regexp_replace("source", "src", "source-").alias("source_renamed"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_vowels_uc"),
+        F.locate("the", F.col("text")).alias("first_the_pos"),
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 2).alias("lang_x2"),
+    )
+
+
+@register(
+    "b35_math_fns2",
+    """
+    SELECT event_id,
+           round(exp(value / 100.0), 6) AS value_exp,
+           CAST(sign(value - 50.0) AS DOUBLE) AS sign_centered,
+           mod(CAST(round(value * 100) AS BIGINT), 7) AS cents_mod7,
+           greatest(value, 100.0 - value) AS max_side,
+           least(value, 100.0 - value) AS min_side,
+           round(power(value, 0.5), 6) AS value_pow_half,
+           round(log10(value + 1.0), 6) AS value_log10
+    FROM events
+    """,
+)
+def b35_math_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions, second family (B35): exp/sign/mod/greatest/
+    least/fractional power/log10 — transcendentals pinned at 6
+    decimals (cross-engine libm last-ulp differences)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.exp(F.col("value") / 100.0), 6).alias("value_exp"),
+        F.signum(F.col("value") - 50.0).cast("double").alias("sign_centered"),
+        # explicit round: Spark's double→bigint cast truncates while
+        # DuckDB's rounds — never cast an unrounded double to int
+        (F.round(F.col("value") * 100, 0).cast("bigint") % 7).alias("cents_mod7"),
+        F.greatest(F.col("value"), 100.0 - F.col("value")).alias("max_side"),
+        F.least(F.col("value"), 100.0 - F.col("value")).alias("min_side"),
+        F.round(F.pow(F.col("value"), 0.5), 6).alias("value_pow_half"),
+        F.round(F.log10(F.col("value") + 1.0), 6).alias("value_log10"),
+    )
+
+
+@register(
+    "b16_regex_filters",
+    """
+    SELECT event_id, event_type, props
+    FROM events
+    WHERE regexp_matches(props, '"k": [0-9]?[0-9]}$')
+      AND event_type ILIKE '%I%'
+    """,
+)
+def b16_regex_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + case-insensitive LIKE filters (B16 completion): Spark
+    rlike == DuckDB regexp_matches (unanchored search), Spark ilike ==
+    DuckDB ILIKE."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("props").rlike('"k": [0-9]?[0-9]}$')
+        & F.col("event_type").ilike("%I%")
+    ).select("event_id", "event_type", "props")
