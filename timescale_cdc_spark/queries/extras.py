@@ -344,3 +344,30 @@ def b16_regex_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").rlike('"k": [0-9]?[0-9]}$')
         & F.col("event_type").ilike("%I%")
     ).select("event_id", "event_type", "props")
+
+
+@register(
+    "b27_grouping_sets",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS event_day,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    """,
+)
+def b27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (B27): by-type, by-day, and grand total
+    in one aggregate pass — expressed through the engine's SQL entry
+    point (Spark SQL text identical in spirit to the oracle)."""
+    ev = t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(CAST(ts AS DATE) AS STRING), 'ALL') AS event_day,
+               COUNT(*) AS n
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+        """
+    )
