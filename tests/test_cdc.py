@@ -230,3 +230,44 @@ def test_maintenance_runner(spark, log, tmp_path):
     assert report["dropped_partitions"] == [old_ts.date().isoformat()]
     assert list(report["compacted_partitions"].values()) == [3]
     assert log.read().count() == 3
+
+
+def test_materialized_table_equals_full_replay(spark, log, tmp_path):
+    """Incremental materialization (apply each batch) must equal the
+    full-log replay at every step — the O(batch) vs O(log) equivalence
+    (cdc/materialize.py)."""
+    from timescale_cdc_spark.cdc.materialize import MaterializedTable
+
+    mat = MaterializedTable(spark, str(tmp_path / "mat"), ASSETS_SCHEMA, "id")
+
+    states = [
+        [],
+        SEED,
+        [  # update 1, delete 2, keep 3
+            (1, "Water Pump XL", "WP001", T0, T0),
+            (3, "Compressor", "CMP003", T0, T0),
+        ],
+        [  # insert 4, delete 3
+            (1, "Water Pump XL", "WP001", T0, T0),
+            (4, "Valve", "VLV004", T0, T0),
+        ],
+    ]
+    for i in range(1, len(states)):
+        ts = T0 + dt.timedelta(minutes=i)
+        env = cdc_transform(
+            _assets(spark, states[i - 1]), _assets(spark, states[i]),
+            "id", "dataschema", "assets", F.lit(ts),
+        )
+        log.append(env)
+        # apply ONLY this batch's events to the materialized table
+        batch = log.read().filter(F.col("ts") == ts)
+        mat.apply_changes(batch)
+
+        replayed = latest_state(
+            log.read_table("dataschema", "assets"), "id", ASSETS_SCHEMA
+        )
+        got_mat = {(r["id"], r["name"]) for r in mat.read().collect()}
+        got_replay = {(r["id"], r["name"]) for r in replayed.collect()}
+        want = {(r[0], r[1]) for r in states[i]}
+        assert got_mat == want, f"step {i}: materialized != expected"
+        assert got_mat == got_replay, f"step {i}: materialized != replay"

@@ -348,3 +348,80 @@ def b2_initial_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(
         F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp")
     ).agg(F.count("*").alias("n"), F.min("ts").alias("first_ts"))
+
+
+@register(
+    "cdc_scd2_history",
+    """
+    SELECT user_id,
+           value AS state_value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history from the change log: each event's image is valid
+    [its ts, next event's ts) per key; the open-ended row is current —
+    the slowly-changing-dimension materialization of the event log
+    (replay's history-preserving sibling; guide 'CDC/SCD2' pattern)."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
+    "cdc_replay_roundtrip",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, value, {OP_CASE} AS operation,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM ranked WHERE rn = 1 AND operation <> 'DELETE'
+    """,
+)
+def cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 through the REAL replay module: events → envelope (JSON
+    after-images via changes_to_envelope) → cdc/replay.py::latest_state
+    parses the JSON back and folds last-event-wins, dropping keys whose
+    final op is DELETE. The oracle computes the same fold directly —
+    proving the envelope serialize→parse round-trip is lossless."""
+    from pyspark.sql import types as T
+
+    from timescale_cdc_spark.cdc.replay import latest_state
+
+    ev = t(spark, sf_dir, "events").withColumn("op", _op_col())
+    env = changes_to_envelope(
+        ev, "op", "dataschema", "user_state", "ts",
+        ["user_id", "event_id", "value"],
+    ).withColumn("event_id", F.get_json_object(
+        F.coalesce("after", "before"), "$.event_id").cast("long"))
+    row_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    state = latest_state(env, "user_id", row_schema)
+    return state.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
