@@ -38,6 +38,9 @@ HEADLINE = [
     "c2_minhash_lsh",  # MinHash-LSH near-dup
     "c3_topk_cosine",  # similarity top-K
     "c4_quality_score",  # text quality scoring
+    "b22_range_join_bucketed",  # keyless time-proximity join
+    "b44_sessionize",  # session windows
+    "cdc_scd2_history",  # SCD2 history materialization
 ]
 
 
