@@ -271,3 +271,27 @@ def test_materialized_table_equals_full_replay(spark, log, tmp_path):
         want = {(r[0], r[1]) for r in states[i]}
         assert got_mat == want, f"step {i}: materialized != expected"
         assert got_mat == got_replay, f"step {i}: materialized != replay"
+
+
+def test_distributed_id_assignment_dense(spark, log):
+    """SCALE.md fallback: per-partition id ranges stay dense and
+    gap-free without a global sort."""
+    env = (
+        spark.range(0, 10000, 1, 8)  # 8 partitions
+        .select(
+            F.timestamp_seconds(F.lit(1735689600) + F.col("id")).alias("ts"),
+            F.lit("dataschema").alias("schema_name"),
+            F.lit("assets").alias("table_name"),
+            F.lit("INSERT").alias("operation"),
+            F.lit(None).cast("string").alias("before"),
+            F.to_json(F.struct(F.col("id"))).alias("after"),
+        )
+    )
+    assert log.append(env, distributed_ids=True) == 10000
+    ids = [r.event_id for r in log.read().select("event_id").collect()]
+    assert sorted(ids) == list(range(1, 10001))  # dense, gap-free, unique
+
+    # second distributed append continues above the watermark
+    assert log.append(env.limit(100), distributed_ids=True) == 100
+    ids2 = [r.event_id for r in log.read().select("event_id").collect()]
+    assert sorted(ids2) == list(range(1, 10101))

@@ -72,7 +72,12 @@ class EventLog:
 
     # -- write path ----------------------------------------------------------
 
-    def append(self, envelope: DataFrame, tiebreak: list[str] | None = None) -> int:
+    def append(
+        self,
+        envelope: DataFrame,
+        tiebreak: list[str] | None = None,
+        distributed_ids: bool = False,
+    ) -> int:
         """Append envelope rows (ts, schema_name, table_name, operation,
         before, after), assigning dense event_ids above the watermark.
 
@@ -80,10 +85,18 @@ class EventLog:
         after the data write succeeds — a rerun of a failed batch
         reassigns the same id range (idempotent recovery, the analog
         of the connector's offset commit, docker-compose.yml:74).
+
+        ``distributed_ids=False`` (default): ids follow the global
+        (ts, tiebreak) order via one narrow per-batch sort — exact
+        sequence semantics (init.sql:51-59).
+        ``distributed_ids=True``: the SCALE.md fallback for very large
+        batches — per-partition id ranges [start + offset_p, …) with a
+        per-partition (not global) sort. Ids stay dense and gap-free;
+        (ts, event_id) remains a valid total order for polling, but id
+        order no longer globally tracks ts order across partitions.
         """
         tiebreak = tiebreak or ["schema_name", "table_name", "operation"]
         start = self.last_event_id()
-        w = Window.orderBy("ts", *tiebreak)
         # Persist the batch so the count action and the write action
         # see the same rows (no recompute between them), and the id
         # window is evaluated once.
@@ -92,9 +105,14 @@ class EventLog:
             n = envelope.count()
             if n == 0:
                 return 0
-            with_ids = envelope.withColumn(
-                "event_id", F.row_number().over(w) + F.lit(start)
-            ).withColumn("event_date", F.to_date("ts"))
+            if distributed_ids:
+                with_ids = self._assign_ids_distributed(envelope, start, tiebreak)
+            else:
+                w = Window.orderBy("ts", *tiebreak)
+                with_ids = envelope.withColumn(
+                    "event_id", F.row_number().over(w) + F.lit(start)
+                )
+            with_ids = with_ids.withColumn("event_date", F.to_date("ts"))
             (
                 with_ids.select(*ENVELOPE_COLS, "event_date")
                 .sortWithinPartitions("schema_name", "table_name", "ts", "event_id")
@@ -106,6 +124,36 @@ class EventLog:
             envelope.unpersist()
         self._commit_watermark(start + n)
         return n
+
+    def _assign_ids_distributed(
+        self, envelope: DataFrame, start: int, tiebreak: list[str]
+    ) -> DataFrame:
+        """Dense ids without a global sort: count rows per Spark
+        partition (tiny collect: one long per partition), prefix-sum
+        the counts into per-partition base offsets, then id =
+        start + base[pid] + row_number within the partition. Each
+        partition sorts only itself — fully parallel."""
+        # Tag each row with its ORIGINAL partition id before any
+        # shuffle — spark_partition_id() evaluated later in the plan
+        # would report post-shuffle ids.
+        tagged = envelope.withColumn("_pid", F.spark_partition_id())
+        counts = tagged.groupBy("_pid").count().collect()
+        base: dict[int, int] = {}
+        acc = 0
+        for row in sorted(counts, key=lambda r: r["_pid"]):
+            base[row["_pid"]] = acc
+            acc += row["count"]
+        base_map = F.create_map(
+            *[F.lit(x) for pid, off in sorted(base.items()) for x in (pid, off)]
+        )
+        w = Window.partitionBy("_pid").orderBy("ts", *tiebreak)
+        return (
+            tagged.withColumn(
+                "event_id",
+                F.lit(start) + base_map[F.col("_pid")] + F.row_number().over(w),
+            )
+            .drop("_pid")
+        )
 
     # -- read path -----------------------------------------------------------
 
