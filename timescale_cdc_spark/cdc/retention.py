@@ -19,8 +19,6 @@ import datetime as dt
 import os
 import shutil
 
-from pyspark.sql import functions as F
-
 from timescale_cdc_spark.cdc.log import EventLog
 
 

@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 from timescale_cdc_spark.cdc.capture import changes_to_envelope, snapshot_diff
 from timescale_cdc_spark.cdc.incremental import IncrementalPoller, Offset
-from timescale_cdc_spark.cdc.views import event_log_view
 from timescale_cdc_spark.queries.base import register, t
 
 #: Deterministic event_type → TG_OP mapping (init.sql:16's op domain)

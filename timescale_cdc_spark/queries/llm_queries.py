@@ -11,7 +11,7 @@ exactly the planted structure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timescale_cdc_spark.operators.dedup import (
