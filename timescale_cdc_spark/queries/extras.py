@@ -371,3 +371,51 @@ def b27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
         """
     )
+
+
+@register(
+    "b37_posexplode",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           generate_subscripts(words, 1) - 1 AS pos,
+           unnest(words) AS word
+    FROM w
+    """,
+)
+def b37_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (B37 completion): tokens with ordinal positions —
+    the order-preserving flatten (Spark pos is 0-based; oracle aligns
+    with generate_subscripts - 1)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+
+
+@register(
+    "b27_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def b27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (B27 family): wide measures → (measure, value) rows via
+    stack() — single-scan, vs the oracle's 3-scan UNION ALL
+    formulation (same result, one pass)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (measure, value)",
+    )
