@@ -28,17 +28,17 @@ HEADLINE = [
     "flagship_segment_revenue",  # join+agg+window
     "b25_agg_pricing_summary",  # TPC-H Q1 hash agg
     "b21_join_broadcast",  # broadcast dim joins
-    "b22_range_join",  # time-range join
-    "b23_asof_join",  # as-of reconstruction
+    "b22_range_join_bucketed",  # keyless time-proximity join
+    "b23_asof_join",  # as-of reconstruction (bounded lookback)
     "b28_window_rank_recent",  # ranking window
-    "b30_latest_state",  # CDC replay core
+    "b30_latest_state_replay",  # CDC replay core (real envelope path)
     "b31_sort_limit_topk",  # top-K
     "b36_json_fns",  # JSON payload extraction
-    "c1_dedup_exact",  # exact dedup
-    "c2_minhash_lsh",  # MinHash-LSH near-dup
+    "c1_dedup_exact",  # exact dedup + group audit
+    "c2_minhash_simhash",  # MinHash-LSH + SimHash near-dup
     "c3_topk_cosine",  # similarity top-K
-    "c4_quality_score",  # text quality scoring
-    "b22_range_join_bucketed",  # keyless time-proximity join
+    "c3_embedding_dup_pairs",  # LSH-bucketed embedding near-dup
+    "c4_text_analysis",  # language/quality/tokens/fingerprint
     "b44_sessionize",  # session windows
     "cdc_scd2_history",  # SCD2 history materialization
 ]

@@ -157,6 +157,30 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert all(v == 5 for v in per_q.values())
 
 
+def test_embedding_dup_pairs_lsh_equals_exact(spark, sf_dir):
+    """The registered LSH-bucketed embedding near-dup operator must
+    reproduce the exact all-pairs result on the planted corpus
+    (verification is exact; identical vectors share every band)."""
+    from timescale_cdc_spark.operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_exact,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = em.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = em.unionByName(copies)
+    lsh = {
+        (r.id_a, r.id_b) for r in embedding_dup_pairs(corpus, 0.99).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs_exact(corpus, 0.99).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from timescale_cdc_spark.operators.skew import key_histogram, salted_join
 

@@ -15,13 +15,20 @@ def _plan(spark, name, sf_dir) -> str:
 
 
 def test_scan_pushdown_and_pruning(spark, sf_dir):
-    plan = _plan(spark, "b12_scan_projection", sf_dir)
+    plan = _plan(spark, "b12_b17_scan_projection_computed", sf_dir)
     assert "GreaterThanOrEqual(l_quantity,45.0)" in plan, "filter not pushed to scan"
-    # column pruning: only the 4 projected columns are read
+    # column pruning: only the 6 referenced columns are read
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
-    for col in ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]:
+    for col in [
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+        "l_returnflag",
+    ]:
         assert col in read_schema
-    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
@@ -41,16 +48,48 @@ def test_agg_is_partial(spark, sf_dir):
     assert "LessThanOrEqual(l_shipdate" in plan, "ship-date filter not pushed"
 
 
+def test_asof_join_is_bounded(spark, sf_dir):
+    """VERDICT round 1: the as-of join must carry a TWO-SIDED time
+    bound so per-key fan-out is bounded by the lookback horizon, not
+    the full history of a hot key."""
+    plan = _plan(spark, "b23_asof_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "INTERVAL" in plan, "lookback horizon missing from join condition"
+    # the join condition must compare c.ts against BOTH p.ts (upper)
+    # and p.ts - horizon (lower)
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "ts" in l]
+    assert any("INTERVAL" in l for l in join_lines), (
+        "two-sided ts bound not in the join condition"
+    )
+
+
+def test_embedding_dup_pairs_no_all_pairs(spark, sf_dir):
+    """VERDICT round 1: the REGISTERED embedding near-dup query must be
+    LSH-bucketed — a hash self-join on band keys, never an O(n²)
+    CartesianProduct."""
+    plan = _plan(spark, "c3_embedding_dup_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_bucketed_is_hash_join(spark, sf_dir):
+    """The keyless interval join must become an equi-join on tolerance
+    buckets (hash/sort-merge), not a nested loop."""
+    plan = _plan(spark, "b22_range_join_bucketed", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_no_python_udf_in_core_relational_plans(spark, sf_dir):
     """The relational + CDC surface must be 100% JVM-side (B40/C5 are
     the only sanctioned Python edges)."""
     for name in [
         "flagship_segment_revenue",
         "b25_agg_pricing_summary",
-        "b30_latest_state",
-        "c2_minhash_lsh",
+        "b30_latest_state_replay",
+        "c2_minhash_simhash",
         "c3_topk_cosine",
-        "c4_quality_score",
+        "c4_text_analysis",
     ]:
         plan = _plan(spark, name, sf_dir)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (

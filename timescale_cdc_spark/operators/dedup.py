@@ -106,7 +106,11 @@ def minhash_signatures(
         ).alias("_h64"),
     ).select(
         "_id",
-        F.col("_h64").bitwiseAND(F.lit(_MERSENNE_31 - 1)).alias("_h"),
+        # Mask with the full 2^31-1 (all 31 low bits): masking with
+        # _MERSENNE_31 - 1 (0x7FFFFFFE) would zero bit 0 of every
+        # hash, making h and h|1 always collide and halving the
+        # effective hash space.
+        F.col("_h64").bitwiseAND(F.lit(_MERSENNE_31)).alias("_h"),
     )
     aggs = [
         F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31)).alias(

@@ -69,7 +69,11 @@ def decode_stub(payload: bytes, fake: bool = False) -> np.ndarray:
 
     fake=True produces a deterministic FEATURE_DIM-float vector from
     the sha256 of the payload (stable across runs/machines), shaped
-    exactly like a real embedding head's output.
+    exactly like a real embedding head's output. Values are truncated
+    (floored) to 6 decimals, not rounded: k/2^32·10^6 is exact in
+    float64 (k·10^6 < 2^53), so floor is bit-identical in every
+    engine, while round() can tie-break differently (numpy half-even
+    vs SQL half-up) on the dyadic rationals that DO land on .5.
     """
     if not fake:
         raise NotImplementedError(
@@ -78,7 +82,7 @@ def decode_stub(payload: bytes, fake: bool = False) -> np.ndarray:
         )
     digest = hashlib.sha256(payload).digest()
     ints = np.frombuffer(digest[: FEATURE_DIM * 4], dtype="<u4").astype("float64")
-    return (ints / 2**32).round(6)
+    return np.floor(ints / 2**32 * 1e6) / 1e6
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:

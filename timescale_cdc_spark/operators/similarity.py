@@ -163,11 +163,89 @@ def embedding_dup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_planes: int = 32,
+    chunks: int = 4,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (C1/C2 embedding form):
-    all (a < b) pairs with cosine ≥ threshold. This exact form is the
-    oracle-checkable baseline; the LSH candidate pruning of
-    hyperplane_lsh_topk is the drop-in at scale."""
+    (a < b) pairs with cosine ≥ threshold, via hyperplane-LSH
+    candidates + EXACT cosine verification.
+
+    Candidate generation: every vector is sketched once (32 sign bits),
+    banded into 4 × 8-bit chunks; only pairs sharing a chunk value are
+    compared. The verify step is exact, so any surfaced pair is a true
+    positive; a qualifying pair is missed only if it disagrees on ≥1
+    bit in EVERY band — for cos ≥ 0.99 (θ ≈ 0.045π) the per-band match
+    probability is (1-θ/π)^8 ≈ 0.66, so the miss probability is
+    (1-0.66)^4 ≈ 1.3% per borderline pair and 0 for identical vectors
+    (identical sketch). Raise ``chunks`` for higher recall, raise the
+    per-band width for fewer candidates at larger corpora (candidates
+    scale as chunks · Σ_buckets n_b²; width is the knob that keeps
+    buckets small as n grows).
+
+    The plan is a hash self-join on (chunk, key) — no CartesianProduct
+    (pinned in tests/test_plans.py); the deterministic seeded
+    hyperplanes make the result reproducible run-to-run. The exact
+    all-pairs form is test-only (tests/test_operators.py compares this
+    against it on the fixture corpus)."""
+    planes = _hyperplanes(num_planes, dim, seed)
+    width = num_planes // chunks
+    sk = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        sketch_bits(vec_col, planes).alias("_fp"),
+    )
+    banded = sk.select(
+        "_id",
+        "_vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("_fp"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("_id", "_vec", "ck.chunk", "ck.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._vec").alias("va"),
+            F.col("b._vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_dup_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact form of ``embedding_dup_pairs`` — TEST-ONLY
+    reference implementation (O(n²) comparisons; banned at scale by
+    SURVEY §7 'never all-pairs'). Kept for recall verification of the
+    LSH-bucketed operator above."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -195,10 +273,13 @@ def ivf_topk(
 
     Scale: the corpus is clustered once (KMeans is itself distributed);
     per query the scan touches ~n_probe/n_clusters of the corpus. The
-    centroid table is tiny and broadcast. This is the classic
-    IVF-Flat layout (FAISS-style) in pure DataFrame ops — cluster
-    assignment rides in a column, so the cell "inverted lists" are just
-    a partitioning of the corpus table.
+    centroids live in a BROADCAST DataFrame and probe assignment is a
+    broadcast join + rank window — plan size stays O(1) in cluster
+    count (an unrolled-literal formulation grows the plan O(k·dim) and
+    falls over around k≈4096 cells). This is the classic IVF-Flat
+    layout (FAISS-style) in pure DataFrame ops — cluster assignment
+    rides in a column, so the cell "inverted lists" are just a
+    partitioning of the corpus table.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -212,43 +293,34 @@ def ivf_topk(
     model = km.fit(vecs)
     assigned = model.transform(vecs).select("c_id", "c_vec", "_cell")
 
-    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
-
-    def _cell_dists(vcol: str):
-        # squared L2 distance to each centroid (few, unrolled)
-        return [
-            (
-                ci,
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vcol),
-                        F.array(*[F.lit(float(x)) for x in cen]),
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-            )
-            for ci, cen in enumerate(centroids)
-        ]
+    # Centroids as a broadcast frame: O(n_clusters) rows, never
+    # unrolled into the expression tree.
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(ci, [float(x) for x in np.asarray(c)]) for ci, c in
+         enumerate(model.clusterCenters())],
+        schema="_cell int, _centroid array<double>",
+    )
 
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    dist_structs = F.array(
-        *[
-            F.struct(d.alias("dist"), F.lit(ci).alias("cell"))
-            for ci, d in _cell_dists("q_vec")
-        ]
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("_centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    probes = q.select(
-        "q_id",
-        "q_vec",
-        F.explode(
-            F.slice(F.array_sort(dist_structs), 1, n_probe)
-        ).alias("_p"),
-    ).select("q_id", "q_vec", F.col("_p.cell").alias("_cell"))
+    scored_cells = q.crossJoin(F.broadcast(cent)).withColumn("_dist", l2)
+    wp = Window.partitionBy("q_id").orderBy(F.asc("_dist"), F.asc("_cell"))
+    probes = (
+        scored_cells.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("q_id", "q_vec", "_cell")
+    )
 
     cand = assigned.join(
         F.broadcast(probes),

@@ -4,12 +4,17 @@ capture-path operator has a DuckDB-checkable queries() entry
 (tests/test_cdc.py) covers the same modules on reference-shaped data;
 these queries pin them to the oracle.
 
-Mapping: A1/A2 → a1/a2, A3 → a3, A6 → a6, A7 → a7, A10 → a10,
-A11-A13 → a11, A15 → a15, A17 → a17, A18 → a18, A20 → a20,
-B1/B2 → b1/b2. (A4 current_timestamp, A5/A9 physical sink layout,
-A8 ordering, A14/A16 ingest constraints are exercised in
-tests/test_cdc.py — they are side-effecting or nondeterministic, not
-oracle-hashable.)
+Consolidated mapping (one registry entry can cover several §2 rows —
+the full map lives in README.md):
+A1 → a1; A2/A3/A4 → a2 (row-level envelope incl. row→JSON + event
+timestamping); A6/A7/A14 → a6 (dedup + dense id assignment);
+A10 → a10; A11-A13 → a11; A15/A17 → a15 (multi-row literal insert
+with defaulted columns); A16 → a16; A18 → b34 (functions_surface);
+A20 → cdc_scd2_history (row-preserving full-table scan) and
+b25 (full-scan aggregate); B1/B2 → b1; B30 → b30 (via the real
+replay module). (A5/A9 physical sink layout and A8 ordering are
+exercised by b14 and b28; A19 trigger registration is structural —
+tests/test_cdc.py.)
 """
 
 from __future__ import annotations
@@ -87,90 +92,67 @@ def a1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a2_capture_envelope",
     f"""
-    SELECT {OP_CASE} AS operation,
-           COUNT(*) AS n, MIN(ts) AS min_ts, MAX(ts) AS max_ts
-    FROM events GROUP BY 1
-    """,
-)
-def a2_capture_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 parameterized capture (TG_ARGV schema/table identity,
-    init.sql:25-38): the events stream becomes envelope rows via
-    changes_to_envelope with explicit (schema, table) parameters; the
-    envelope is then aggregated per operation."""
-    ev = t(spark, sf_dir, "events").withColumn("op", _op_col())
-    env = changes_to_envelope(
-        ev, "op", "dataschema", "anomaly", "ts",
-        ["event_id", "user_id", "event_type", "value"],
-    )
-    return env.groupBy("operation").agg(
-        F.count("*").alias("n"),
-        F.min("ts").alias("min_ts"),
-        F.max("ts").alias("max_ts"),
-    )
-
-
-@register(
-    "a3_row_to_json",
-    """
-    SELECT r_regionkey,
-           to_json(struct_pack(r_regionkey := r_regionkey, r_name := r_name))::VARCHAR
-             AS row_json
-    FROM region
-    """,
-)
-def a3_row_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 row→JSON serialization: to_json(struct(*)) ≙ row_to_json
-    (init.sql:18,34). Both engines emit compact {"k":v} JSON with
-    struct-field order, so the strings compare byte-equal."""
-    re = t(spark, sf_dir, "region")
-    return re.select(
-        "r_regionkey",
-        F.to_json(F.struct("r_regionkey", "r_name")).alias("row_json"),
-    )
-
-
-@register(
-    "a6_event_id_assignment",
-    """
-    SELECT event_id,
-           ROW_NUMBER() OVER (ORDER BY ts, event_id) + 1000 AS assigned_id
+    SELECT ts,
+           'dataschema' AS schema_name,
+           'anomaly' AS table_name,
+           {OP_CASE} AS operation,
+           to_json(struct_pack(event_id := event_id, user_id := user_id,
+                               event_type := event_type))::VARCHAR AS payload_json
     FROM events
     """,
 )
-def a6_event_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 dense monotone event_id: row_number over (ts, tiebreak) +
-    high-watermark — the sequence replacement (init.sql:51-59) used by
-    EventLog.append (cdc/log.py). Dense + gap-free is what makes
-    `event_id > last_seen_id` polling valid (readme.md:266-267)."""
-    from pyspark.sql import Window
-
-    ev = t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return ev.select(
-        "event_id", (F.row_number().over(w) + F.lit(1000)).alias("assigned_id")
+def a2_capture_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/A4 in one row-level query: the events stream becomes
+    envelope rows via changes_to_envelope with explicit parameterized
+    (schema, table) identity (TG_ARGV, init.sql:25-38), each row
+    carrying its event timestamp (A4 ≙ NOW(), init.sql:18) and its
+    row→JSON payload (A3: to_json(struct(*)) ≙ row_to_json,
+    init.sql:18,34 — both engines emit compact {"k":v} JSON in
+    struct-field order, so the strings compare byte-equal; the payload
+    carries long/string fields, the cross-engine-stable JSON types)."""
+    ev = t(spark, sf_dir, "events").withColumn("op", _op_col())
+    env = changes_to_envelope(
+        ev, "op", "dataschema", "anomaly", "ts",
+        ["event_id", "user_id", "event_type"],
+    )
+    return env.select(
+        "ts",
+        "schema_name",
+        "table_name",
+        "operation",
+        F.coalesce("after", "before").alias("payload_json"),
     )
 
 
 @register(
-    "a7_pk_dedup",
+    "a6_event_ids_pk_dedup",
     """
-    SELECT COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
-    FROM (SELECT DISTINCT event_id, ts FROM
-           (SELECT event_id, ts FROM events
-            UNION ALL SELECT event_id, ts FROM events))
+    WITH deduped AS (
+      SELECT DISTINCT event_id, ts FROM
+        (SELECT event_id, ts FROM events
+         UNION ALL SELECT event_id, ts FROM events)
+    )
+    SELECT event_id,
+           ROW_NUMBER() OVER (ORDER BY ts, event_id) + 1000 AS assigned_id
+    FROM deduped
     """,
 )
-def a7_pk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 composite-PK enforcement: at-least-once re-delivery of the
-    whole stream collapses back to unique (event_id, ts) pairs via
-    ingest-time dropDuplicates (PK init.sql:61-62)."""
+def a6_event_ids_pk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7/A14 as one ingest pipeline: at-least-once re-delivery of
+    the whole stream (doubled) collapses back to unique (event_id, ts)
+    pairs via composite-PK dropDuplicates (A7, PK init.sql:61-62), then
+    dense monotone surrogate ids are assigned via row_number over
+    (ts, tiebreak) + high-watermark (A6/A14 — the sequence replacement,
+    init.sql:51-59, used by EventLog.append in cdc/log.py). Dense +
+    gap-free is what makes `event_id > last_seen_id` polling valid
+    (readme.md:266-267)."""
+    from pyspark.sql import Window
+
     ev = t(spark, sf_dir, "events").select("event_id", "ts")
-    doubled = ev.unionAll(ev)
-    deduped = doubled.dropDuplicates(["event_id", "ts"])
-    return deduped.agg(
-        F.count("*").alias("n"),
-        F.min("event_id").alias("min_id"),
-        F.max("event_id").alias("max_id"),
+    deduped = ev.unionAll(ev).dropDuplicates(["event_id", "ts"])
+    w = Window.orderBy("ts", "event_id")
+    return deduped.select(
+        "event_id", (F.row_number().over(w) + F.lit(1000)).alias("assigned_id")
     )
 
 
@@ -241,73 +223,70 @@ def a11_view_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a15_default_values",
+    "a15_seed_insert_defaults",
     """
-    SELECT o_orderkey,
-           COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'DEFAULT-PRIORITY')
-             AS priority_filled
-    FROM orders
+    SELECT id, name, serialnumber,
+           COALESCE(priority, 'DEFAULT-PRIORITY') AS priority_filled
+    FROM (VALUES
+      (1, 'Water Pump', 'WP001', '1-URGENT'),
+      (2, 'Steam Trap', 'STM002', NULL),
+      (3, 'Compressor', 'CMP003', NULL)
+    ) AS t(id, name, serialnumber, priority)
     """,
 )
-def a15_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15 default column values: coalesce-to-default at ingest
-    (DEFAULT NOW() columns, init.sql:94-95)."""
-    od = t(spark, sf_dir, "orders")
-    return od.select(
-        "o_orderkey",
-        F.coalesce(
-            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")),
-            F.lit("DEFAULT-PRIORITY"),
-        ).alias("priority_filled"),
+def a15_seed_insert_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15+A17 in one ingest: the reference's seed assets as a
+    multi-row literal insert (init.sql:99-103, createDataFrame) with
+    absent column values filled by a declared default at ingest
+    (DEFAULT ... columns, init.sql:94-95) — coalesce-to-default is the
+    engine's default-value mechanism."""
+    seeded = spark.createDataFrame(
+        [
+            (1, "Water Pump", "WP001", "1-URGENT"),
+            (2, "Steam Trap", "STM002", None),
+            (3, "Compressor", "CMP003", None),
+        ],
+        schema="id int, name string, serialnumber string, priority string",
+    )
+    return seeded.select(
+        "id",
+        "name",
+        "serialnumber",
+        F.coalesce("priority", F.lit("DEFAULT-PRIORITY")).alias("priority_filled"),
     )
 
 
 @register(
-    "a17_seed_insert",
+    "a16_unique_enforcement",
     """
-    SELECT * FROM (VALUES
-      (1, 'Water Pump', 'WP001'),
-      (2, 'Steam Trap', 'STM002'),
-      (3, 'Compressor', 'CMP003')
-    ) AS t(id, name, serialnumber)
-    """,
-)
-def a17_seed_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A17 multi-row literal insert: the reference's seed assets
-    (init.sql:99-103) as createDataFrame."""
-    return spark.createDataFrame(
-        [(1, "Water Pump", "WP001"), (2, "Steam Trap", "STM002"),
-         (3, "Compressor", "CMP003")],
-        schema="id int, name string, serialnumber string",
+    WITH r AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
     )
-
-
-@register(
-    "a18_interval_arithmetic",
-    """
-    SELECT event_id, ts,
-           ts - INTERVAL 1 HOUR AS ts_minus_1h,
-           ts + INTERVAL 20 MINUTE AS ts_plus_20m
-    FROM events
+    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+    FROM r WHERE rn = 1
     """,
 )
-def a18_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A18 timestamp interval arithmetic: NOW() - INTERVAL '1 hour' …
-    '20 minutes' (init.sql:130-136, readme.md:114)."""
+def a16_unique_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 uniqueness constraint at ingest: keep the first row per
+    natural key (the serialnumber UNIQUE analog, init.sql:93) —
+    deterministic keep-first window, the same machinery as C1 dedup."""
+    from pyspark.sql import Window as W
+
     ev = t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        "ts",
-        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts_minus_1h"),
-        (F.col("ts") + F.expr("INTERVAL 20 MINUTE")).alias("ts_plus_20m"),
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
     )
-
-
-@register("a20_full_scan", "SELECT * FROM events")
-def a20_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A20 full-table scan: SELECT * FROM cdc.event_log — the readme's
-    smoke query (readme.md:119-121)."""
-    return t(spark, sf_dir, "events")
 
 
 @register(
@@ -320,33 +299,20 @@ def a20_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b1_incremental_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1 timestamp+incrementing poll: rows strictly beyond the
-    composite (ts, event_id) offset — the connector's generated
-    incremental SELECT (cdc-timescale-connector.json:9-10,15;
-    readme.md:266-267). Uses IncrementalPoller.poll_frame with a
-    pinned offset."""
+    """B1 timestamp+incrementing poll (and B2's initial offset): rows
+    strictly beyond the composite (ts, event_id) offset — the
+    connector's generated incremental SELECT
+    (cdc-timescale-connector.json:9-10,15; readme.md:266-267). The
+    pinned offset here IS a configured initial offset (B2,
+    cdc-timescale-connector.json:13): the first poll from a configured
+    start.timestamp uses exactly this predicate; subsequent polls
+    advance it. Uses IncrementalPoller.poll_frame."""
     poller = IncrementalPoller.__new__(IncrementalPoller)
     poller.state_path = ""  # pinned offset, no persistence needed
     poller._offset = Offset(ts="2024-01-15 00:00:00", event_id=5000)
     return poller.poll_frame(t(spark, sf_dir, "events")).select(
         "event_id", "ts", "user_id", "event_type"
     )
-
-
-@register(
-    "b2_initial_offset",
-    """
-    SELECT COUNT(*) AS n, MIN(ts) AS first_ts
-    FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-    """,
-)
-def b2_initial_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B2 initial offset: ignore rows before start.timestamp
-    (cdc-timescale-connector.json:13)."""
-    ev = t(spark, sf_dir, "events")
-    return ev.filter(
-        F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp")
-    ).agg(F.count("*").alias("n"), F.min("ts").alias("first_ts"))
 
 
 @register(
@@ -367,7 +333,10 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history from the change log: each event's image is valid
     [its ts, next event's ts) per key; the open-ended row is current —
     the slowly-changing-dimension materialization of the event log
-    (replay's history-preserving sibling; guide 'CDC/SCD2' pattern)."""
+    (replay's history-preserving sibling). Also the registry's
+    row-preserving full-table scan (A20: no filter, every event row in,
+    one output row out — the readme's SELECT-the-log smoke query,
+    readme.md:119-121)."""
     from pyspark.sql import Window as W
 
     ev = t(spark, sf_dir, "events")
@@ -383,7 +352,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cdc_replay_roundtrip",
+    "b30_latest_state_replay",
     f"""
     WITH ranked AS (
       SELECT user_id, event_id, value, {OP_CASE} AS operation,
@@ -395,12 +364,14 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1 AND operation <> 'DELETE'
     """,
 )
-def cdc_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B30 through the REAL replay module: events → envelope (JSON
-    after-images via changes_to_envelope) → cdc/replay.py::latest_state
-    parses the JSON back and folds last-event-wins, dropping keys whose
-    final op is DELETE. The oracle computes the same fold directly —
-    proving the envelope serialize→parse round-trip is lossless."""
+def b30_latest_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 latest-state reconstruction through the REAL replay module:
+    events → envelope (JSON after-images via changes_to_envelope) →
+    cdc/replay.py::latest_state parses the JSON back and folds
+    last-event-wins per key, dropping keys whose final op is DELETE
+    (the core CDC replay, reference readme.md:214-220). The oracle
+    computes the same fold directly over the raw events — proving the
+    envelope serialize→parse round-trip is lossless."""
     from pyspark.sql import types as T
 
     from timescale_cdc_spark.cdc.replay import latest_state

@@ -1,7 +1,7 @@
 """Scalar/collection function surface (SURVEY.md §2 B13-B14, B33-B40,
-B43 batch analog). The reference exposes the full Postgres function
-surface over the log (readme.md:107-121); these queries pin the Spark
-equivalents against DuckDB semantics.
+B43/B44 batch analogs). The reference exposes the full Postgres
+function surface over the log (readme.md:107-121); these queries pin
+the Spark equivalents against DuckDB semantics.
 
 Engine-parity notes baked into each oracle:
 * Spark ``dayofweek`` is 1=Sunday; DuckDB ``extract(dow)`` is
@@ -11,6 +11,7 @@ Engine-parity notes baked into each oracle:
 * Spark ``ceil(double)`` returns BIGINT; DuckDB returns DOUBLE →
   both sides cast explicitly.
 * DuckDB list indexing is 1-based, same as Spark ``element_at``.
+* Spark ``locate`` == DuckDB ``strpos`` (both 1-based, 0 if absent).
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from timescale_cdc_spark.functions.time import time_bucket
 from timescale_cdc_spark.queries.base import register, t
 
 IO_SCRATCH = os.path.join(tempfile.gettempdir(), "timescale_cdc_spark_io")
@@ -39,21 +41,28 @@ def _scratch(sf_dir: str, name: str) -> str:
 
 
 @register(
-    "b13_scan_csv_roundtrip",
+    "b13_scan_roundtrips",
     """
-    SELECT event_id, user_id, event_type, props FROM events
+    SELECT event_id, user_id, event_type, props, ts, value FROM events
     """,
 )
-def b13_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV source (B13): write events to CSV, read back with an explicit
-    schema (never inferSchema on the hot path) — result must equal the
-    parquet original. Raw-feed ingest path of the engine."""
-    path = _scratch(sf_dir, "events_csv")
-    src = t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "props"
-    )
-    src.write.mode("overwrite").option("header", True).csv(path)
-    schema = T.StructType(
+def b13_scan_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON sources (B13), both round-tripped in one result:
+    events go out to CSV (header, explicit schema back — never
+    inferSchema on the hot path; the raw-feed ingest path) AND to
+    JSON-lines (envelope-style serialization, the wire format of the
+    reference's JsonConverter, docker-compose.yml:76-79); the two
+    read-backs join on the PK and must reassemble the parquet
+    original exactly — proving both text formats are lossless for
+    longs, strings, microsecond timestamps, and doubles."""
+    csv_path = _scratch(sf_dir, "events_csv")
+    json_path = _scratch(sf_dir, "events_json")
+    ev = t(spark, sf_dir, "events")
+
+    ev.select("event_id", "user_id", "event_type", "props").write.mode(
+        "overwrite"
+    ).option("header", True).csv(csv_path)
+    csv_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
             T.StructField("user_id", T.LongType()),
@@ -61,32 +70,25 @@ def b13_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    return spark.read.schema(schema).option("header", True).csv(path)
+    from_csv = spark.read.schema(csv_schema).option("header", True).csv(csv_path)
 
-
-@register(
-    "b13_scan_json_roundtrip",
-    """
-    SELECT event_id, ts, event_type, value FROM events
-    """,
-)
-def b13_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines source (B13): envelope-style serialization round-trip
-    (the wire format of the reference's JsonConverter,
-    docker-compose.yml:76-79)."""
-    path = _scratch(sf_dir, "events_json")
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # keep microseconds
-    src = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    src.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)
-    schema = T.StructType(
+    ev.select("event_id", "ts", "value").write.mode("overwrite").option(
+        "timestampFormat", ts_fmt
+    ).json(json_path)
+    json_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
-            T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
         ]
     )
-    return spark.read.schema(schema).option("timestampFormat", ts_fmt).json(path)
+    from_json = (
+        spark.read.schema(json_schema).option("timestampFormat", ts_fmt).json(json_path)
+    )
+    return from_csv.join(from_json, "event_id").select(
+        "event_id", "user_id", "event_type", "props", "ts", "value"
+    )
 
 
 @register(
@@ -125,36 +127,53 @@ def b14_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b33_string_fns",
     """
-    SELECT p_partkey,
-           upper(p_brand) AS brand_uc,
-           lower(p_type) AS type_lc,
-           substring(p_name, 1, 4) AS name_prefix,
-           length(p_name) AS name_len,
-           trim(concat(' ', p_name, ' ')) AS name_trimmed,
-           string_split(p_name, ' ')[1] AS first_word,
-           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
-    FROM part
+    SELECT doc_id,
+           upper(source) AS source_uc,
+           lower(source) AS source_lc,
+           substring(text, 1, 4) AS text_prefix,
+           length(text) AS text_len,
+           trim(concat(' ', lang, ' ')) AS lang_trimmed,
+           string_split(text, ' ')[1] AS first_word,
+           regexp_extract(source, '([0-9]+)', 1) AS source_num,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           rpad(lang, 4, '.') AS lang_padded,
+           replace(source, 'src', 'source-') AS source_renamed,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_vowels_uc,
+           strpos(text, 'the') AS first_the_pos,
+           reverse(lang) AS lang_rev,
+           repeat(lang, 2) AS lang_x2
+    FROM documents
     """,
 )
 def b33_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String functions (B33): the serialnumber-prefix parsing family
-    (reference seeds 'WP001','STM002','CMP003', init.sql:101-103)."""
-    return t(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.upper("p_brand").alias("brand_uc"),
-        F.lower("p_type").alias("type_lc"),
-        F.substring("p_name", 1, 4).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
-        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias(
-            "name_trimmed"
-        ),
-        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
-        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+    """String functions (B33, full family in one pass): case fold /
+    substring / length / trim / split / regexp_extract (the
+    serialnumber-prefix parsing family — reference seeds 'WP001',
+    'STM002', 'CMP003', init.sql:101-103) plus pad / replace /
+    translate / locate / reverse / repeat. All JVM-codegen'd,
+    map-side only."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("source_uc"),
+        F.lower("source").alias("source_lc"),
+        F.substring("text", 1, 4).alias("text_prefix"),
+        F.length("text").alias("text_len"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("lang_trimmed"),
+        F.split(F.col("text"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("source", "([0-9]+)", 1).alias("source_num"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.rpad("lang", 4, ".").alias("lang_padded"),
+        F.regexp_replace("source", "src", "source-").alias("source_renamed"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_vowels_uc"),
+        F.locate("the", F.col("text")).alias("first_the_pos"),
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 2).alias("lang_x2"),
     )
 
 
 @register(
-    "b34_datetime_fns",
+    "b34_datetime_time_bucket",
     """
     SELECT event_id,
            date_trunc('hour', ts) AS hour_ts,
@@ -162,14 +181,21 @@ def b33_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(extract(day FROM ts) AS INT) AS dd,
            CAST(extract(dow FROM ts) + 1 AS INT) AS dow,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-           CAST(ts AS DATE) + 7 AS week_later
+           CAST(ts AS DATE) + 7 AS week_later,
+           to_timestamp(floor(epoch(ts) / 900) * 900) AS bucket_15m,
+           ts - INTERVAL 1 HOUR AS ts_minus_1h,
+           ts + INTERVAL 20 MINUTE AS ts_plus_20m
     FROM events
     """,
 )
-def b34_datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time functions (B34): date_trunc is the time_bucket analog
-    (Timescale's hypertable bucketing, SURVEY B34); interval arithmetic
-    mirrors init.sql:132-136."""
+def b34_datetime_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions + time_bucket + interval arithmetic (B34 and
+    A18 in one pass): date_trunc / extract / epoch / date_add, the
+    Timescale-signature time_bucket (functions/time.py — epoch-floor
+    15-minute buckets, the hypertable bucketing init.sql:70), and
+    NOW() - INTERVAL arithmetic (init.sql:130-136, readme.md:114).
+    The aggregated-bucket form (GROUP BY time_bucket) is b43's shape;
+    here the bucket rides as a per-row column."""
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -179,6 +205,9 @@ def b34_datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").cast("int").alias("dow"),
         F.unix_timestamp("ts").alias("epoch_s"),
         F.date_add(F.col("ts").cast("date"), 7).alias("week_later"),
+        time_bucket("15 minutes", "ts").alias("bucket_15m"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts_minus_1h"),
+        (F.col("ts") + F.expr("INTERVAL 20 MINUTE")).alias("ts_plus_20m"),
     )
 
 
@@ -192,13 +221,23 @@ def b34_datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(value) AS BIGINT) AS value_floor,
            value * value AS value_sq,
            sqrt(value) AS value_sqrt,
-           round(ln(value + 1.0), 4) AS value_ln
+           round(ln(value + 1.0), 4) AS value_ln,
+           round(exp(value / 100.0), 6) AS value_exp,
+           CAST(sign(value - 50.0) AS DOUBLE) AS sign_centered,
+           mod(CAST(round(value * 100) AS BIGINT), 7) AS cents_mod7,
+           greatest(value, 100.0 - value) AS max_side,
+           least(value, 100.0 - value) AS min_side,
+           round(power(value, 0.5), 6) AS value_pow_half,
+           round(log10(value + 1.0), 6) AS value_log10
     FROM events
     """,
 )
 def b35_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math functions (B35). sqrt/abs/* are IEEE-exact cross-engine;
-    ln is transcendental so it is pinned at 4 decimals."""
+    """Math functions (B35, full family in one pass): round/abs/ceil/
+    floor/sqrt (IEEE-exact cross-engine), exp/ln/log10/fractional
+    power (transcendental → pinned at 4-6 decimals), sign/mod/
+    greatest/least. The explicit round before the bigint cast matters:
+    Spark's double→bigint cast truncates while DuckDB's rounds."""
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -209,6 +248,13 @@ def b35_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") * F.col("value")).alias("value_sq"),
         F.sqrt("value").alias("value_sqrt"),
         F.round(F.log(F.col("value") + 1.0), 4).alias("value_ln"),
+        F.round(F.exp(F.col("value") / 100.0), 6).alias("value_exp"),
+        F.signum(F.col("value") - 50.0).cast("double").alias("sign_centered"),
+        (F.round(F.col("value") * 100, 0).cast("bigint") % 7).alias("cents_mod7"),
+        F.greatest(F.col("value"), 100.0 - F.col("value")).alias("max_side"),
+        F.least(F.col("value"), 100.0 - F.col("value")).alias("min_side"),
+        F.round(F.pow(F.col("value"), 0.5), 6).alias("value_pow_half"),
+        F.round(F.log10(F.col("value") + 1.0), 6).alias("value_log10"),
     )
 
 
@@ -241,24 +287,35 @@ def b36_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b37_array_fns",
+    "b37_array_posexplode",
     """
-    SELECT vec_id,
-           len(embedding) AS dim,
-           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                         x -> x * x)), 4) AS norm2,
-           round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
-           len(list_filter(embedding, x -> x > 0)) AS n_pos
-    FROM embeddings
+    WITH e AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS emb,
+             len(embedding) AS dim,
+             round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> x * x)), 4) AS norm2,
+             round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+             len(list_filter(embedding, x -> x > 0)) AS n_pos
+      FROM embeddings
+    )
+    SELECT vec_id, dim, norm2, first_elem, n_pos,
+           generate_subscripts(emb[1:3], 1) - 1 AS pos,
+           round(unnest(emb[1:3]), 6) AS elem
+    FROM e
     """,
 )
-def b37_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array functions (B37): transform/aggregate/filter over embedding
-    vectors — the JVM-side (codegen) path for vector math; no Python
-    UDF in sight (this is the 100 TB-safe form of C3's dot products)."""
+def b37_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions + posexplode (B37, whole family): transform /
+    aggregate / filter over embedding vectors — the JVM-side (codegen)
+    path for vector math, no Python UDF (the 100 TB-safe form of C3's
+    dot products) — then posexplode of the leading slice flattens with
+    ordinal positions (Spark pos is 0-based; the oracle aligns via
+    generate_subscripts - 1)."""
     em = t(spark, sf_dir, "embeddings")
-    return em.select(
+    stats = em.select(
         "vec_id",
+        F.col("embedding").alias("emb"),
         F.size("embedding").alias("dim"),
         F.round(
             F.expr(
@@ -268,6 +325,24 @@ def b37_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm2"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
         F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_pos"),
+    )
+    return stats.select(
+        "vec_id",
+        "dim",
+        "norm2",
+        "first_elem",
+        "n_pos",
+        F.posexplode(F.slice(F.col("emb").cast("array<double>"), 1, 3)).alias(
+            "pos", "raw_elem"
+        ),
+    ).select(
+        "vec_id",
+        "dim",
+        "norm2",
+        "first_elem",
+        "n_pos",
+        "pos",
+        F.round("raw_elem", 6).alias("elem"),
     )
 
 
@@ -353,7 +428,7 @@ def b40_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# B43 batch analog — tumbling-window aggregation
+# B43/B44 batch analogs — tumbling windows + session windows
 # ---------------------------------------------------------------------------
 
 
@@ -386,5 +461,48 @@ def b43_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n",
             "total_value",
+        )
+    )
+
+
+@register(
+    "b44_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                    OR LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_id
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def b44_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, batch analog (B44): per-user sessions closing
+    after 30 minutes of silence, via F.session_window — the streaming-
+    native operator run in batch mode; the oracle is the classic
+    gaps-and-islands formulation (lag + cumulative flag sum), proving
+    the two formulations agree."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sess"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            "n_events",
         )
     )

@@ -11,11 +11,10 @@ exactly the planted structure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timescale_cdc_spark.operators.dedup import (
-    exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -25,6 +24,7 @@ from timescale_cdc_spark.operators.similarity import (
     brute_force_topk,
     embedding_dup_pairs,
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 from timescale_cdc_spark.operators.text import (
     LANG_PROFILES,
@@ -70,7 +70,7 @@ def _planted_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C1 exact dedup
+# C1 exact dedup (keep-first + dup-group audit in one result)
 # --------------------------------------------------------------------------
 
 
@@ -80,39 +80,32 @@ def _planted_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS ({PLANT_DOCS_SQL}),
     r AS (
       SELECT doc_id, text,
-             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY text) AS n_copies
       FROM corpus
     )
-    SELECT doc_id, length(text) AS n_chars FROM r WHERE rn = 1
+    SELECT doc_id, length(text) AS n_chars, n_copies FROM r WHERE rn = 1
     """,
 )
 def c1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 exact dedup: planted copies collapse back to the original
-    (lowest doc_id) via content-hash keep-first (operators/dedup.py).
-    One shuffle on sha2(text) — the 100 TB shape."""
+    """C1 exact dedup + dup-group audit in one pass: planted copies
+    collapse back to the original (lowest doc_id) via content-keyed
+    keep-first (operators/dedup.py::exact_dedup machinery — sha2
+    content hash is the production shuffle key; text partitioning here
+    is value-identical for the window), with each keeper carrying its
+    group size (n_copies > 1 ⇔ the audit view of exact dedup). One
+    shuffle on the content key — the 100 TB shape."""
     corpus = _planted_docs(spark, sf_dir)
-    return exact_dedup(corpus, "text", "doc_id").select(
-        "doc_id", F.length("text").alias("n_chars")
-    )
-
-
-@register(
-    "c1_dedup_hash_groups",
-    f"""
-    WITH corpus AS ({PLANT_DOCS_SQL})
-    SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
-           MIN(doc_id) AS keeper_id
-    FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
-    """,
-)
-def c1_dedup_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 dup-group report: content-hash groups with >1 member — the
-    audit view of exact dedup (sha2 ≙ DuckDB sha256, byte-equal hex)."""
-    corpus = _planted_docs(spark, sf_dir)
+    # Same machinery as exact_dedup(), plus the group-size audit
+    # column (count over the same partition — shares one shuffle).
+    key = F.sha2(F.col("text"), 256)
+    w_first = Window.partitionBy(key).orderBy("doc_id")
+    w_all = Window.partitionBy(key)
     return (
-        corpus.groupBy(F.sha2("text", 256).alias("content_hash"))
-        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_id"))
-        .filter(F.col("n_copies") > 1)
+        corpus.withColumn("_rn", F.row_number().over(w_first))
+        .withColumn("n_copies", F.count("*").over(w_all))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.length("text").alias("n_chars"), "n_copies")
     )
 
 
@@ -153,21 +146,33 @@ def c2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3, threshold=0.8)
 
 
-@register("c2_minhash_lsh")  # xxhash64 signatures are Spark-specific → rows-only
-def c2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 MinHash-LSH near-dup pairs (rows-only check; planted-pair
-    recall is asserted in tests/test_operators.py). 64 hashes,
-    16 bands × 4 — S-curve threshold ≈ 0.5."""
-    corpus = _planted_docs(spark, sf_dir)
-    return minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5)
+@register("c2_minhash_simhash")  # xxhash64 sketches are Spark-specific → rows-only
+def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 sketch-based near-dup pairs, both families tagged in one
+    result (rows-only check; planted-pair recall for each is asserted
+    in tests/test_operators.py):
 
+    - method='minhash': MinHash-LSH — 64 hashes, 16 bands × 4,
+      S-curve threshold ≈ 0.5; score = estimated Jaccard.
+    - method='simhash': 64-bit SimHash fingerprints, 4 × 16-bit
+      pigeonhole bands, hamming ≤ 3; score = hamming distance.
 
-@register("c2_simhash")  # xxhash64 fingerprints are Spark-specific → rows-only
-def c2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 SimHash near-dup pairs (rows-only; recall in tests):
-    64-bit fingerprints, 4×16-bit pigeonhole bands, hamming ≤ 3."""
+    Both are bucketed (never all-pairs) with all signature math in
+    JVM codegen — the 100 TB shapes."""
     corpus = _planted_docs(spark, sf_dir)
-    return simhash_pairs(corpus, "text", "doc_id", max_hamming=3)
+    mh = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard_est").cast("double").alias("score"),
+    )
+    sh = simhash_pairs(corpus, "text", "doc_id", max_hamming=3).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
 
 
 # --------------------------------------------------------------------------
@@ -200,19 +205,34 @@ def c3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 exact cosine top-K: 10 query vectors vs the corpus,
     broadcast-join + zip_with dot products + per-query rank window
     (operators/similarity.py::brute_force_topk). The exact baseline
-    the LSH path is measured against."""
+    the ANN paths are measured against."""
     em = t(spark, sf_dir, "embeddings")
     return brute_force_topk(em, em.filter(F.col("vec_id") < 10), k=5)
 
 
-@register("c3_ann_lsh")  # LSH bucket recall is probabilistic → rows-only
-def c3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 approximate top-K via random-hyperplane LSH: sketch → banded
-    candidates → exact re-rank (recall vs brute force asserted in
-    tests/test_operators.py). The 100 TB path — candidates per query
-    are bucket-bounded, not |corpus|."""
+@register("c3_ann_lsh_ivf")  # bucket recall is probabilistic → rows-only
+def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 approximate top-K, both index families tagged in one result
+    (recall vs brute force asserted per-family in
+    tests/test_operators.py):
+
+    - method='lsh': random-hyperplane LSH — sign sketch → banded
+      hamming candidates → exact re-rank. Candidates per query are
+      bucket-bounded, not |corpus|.
+    - method='ivf': IVF-Flat (FAISS-style) — KMeans coarse quantizer,
+      probe 4/16 cells, exact re-rank; centroids ride in a broadcast
+      frame so plan size is O(1) in cluster count.
+
+    The 100 TB paths alongside the exact c3_topk_cosine baseline."""
     em = t(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_topk(em, em.filter(F.col("vec_id") < 10), k=5)
+    q = em.filter(F.col("vec_id") < 10)
+    lsh = hyperplane_lsh_topk(em, q, k=5).select(
+        F.lit("lsh").alias("method"), "q_id", "c_id", "cos", "rank"
+    )
+    ivf = ivf_topk(em, q, k=5).select(
+        F.lit("ivf").alias("method"), "q_id", "c_id", "cos", "rank"
+    )
+    return lsh.unionByName(ivf)
 
 
 @register(
@@ -232,14 +252,20 @@ def c3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c3_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C2 embedding-cosine near-dup: planted identical vectors must
-    surface as cos≈1 pairs. Exact all-pairs form here (oracle-
-    checkable); hyperplane LSH is the documented scale path."""
+    surface as cos≈1 pairs. The REGISTERED plan is hyperplane-LSH
+    candidates + exact cosine verification
+    (operators/similarity.py::embedding_dup_pairs) — a bucketed hash
+    self-join, NO all-pairs CartesianProduct (pinned in
+    tests/test_plans.py). The oracle is the exact all-pairs definition:
+    because verification is exact and identical vectors always share
+    every sketch band, the LSH path reproduces it exactly on the
+    planted corpus."""
     corpus = _planted_vecs(spark, sf_dir)
     return embedding_dup_pairs(corpus, threshold=0.99)
 
 
 # --------------------------------------------------------------------------
-# C4 text analysis
+# C4 text analysis (language-ID + quality + tokens + fingerprint, one pass)
 # --------------------------------------------------------------------------
 
 _MARKER_SQL = {
@@ -266,26 +292,67 @@ _PRED = (
 
 
 @register(
-    "c4_language_scores",
+    "c4_text_analysis",
     f"""
     WITH scored AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, text,
            {_LANG_SCORE_COLS}
       FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS n_punct,
+             len(list_filter(string_split(lower(text), ' '),
+                 w -> w IN ('the','a','of','and','to','in'))) AS n_stop,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS bpe_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_fingerprint
+      FROM documents
     )
-    SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
-           {_PRED} AS predicted_lang
-    FROM scored
+    SELECT s.doc_id, s.lang,
+           score_de, score_en, score_es, score_fr, score_zh,
+           {_PRED} AS predicted_lang,
+           m.n_tokens,
+           floor(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 1000000) / 1000000
+             AS punct_ratio,
+           floor(CAST(n_stop AS DOUBLE) / greatest(m.n_tokens, 1) * 1000000) / 1000000
+             AS stopword_ratio,
+           floor(CAST(n_chars - (m.n_tokens - 1) AS DOUBLE) / greatest(m.n_tokens, 1)
+                 * 1000000) / 1000000 AS mean_word_len,
+           floor((0.4 * least(m.n_tokens / 100.0, 1.0)
+               + 0.3 * (CAST(n_stop AS DOUBLE) / greatest(m.n_tokens, 1))
+               + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+               + 0.1 * least((CAST(n_chars - (m.n_tokens - 1) AS DOUBLE)
+                              / greatest(m.n_tokens, 1)) / 10.0, 1.0)) * 1000000)
+             / 1000000 AS quality,
+           m.n_tokens AS ws_tokens,
+           m.bpe_tokens,
+           m.content_fingerprint
+    FROM scored s JOIN m ON s.doc_id = m.doc_id
     """,
 )
-def c4_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 language-ID: marker-word profile scoring with deterministic
-    argmax (operators/text.py::language_scores). The fixture corpus is
-    vocabulary-identical across langs (verified), so accuracy is
-    asserted on real multilingual samples in tests/test_operators.py;
-    this query pins the scoring machinery."""
+def c4_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 text analysis, whole family in one map-side pass over the
+    corpus (operators/text.py): language-ID (marker-word profile
+    scoring with deterministic argmax — accuracy on real multilingual
+    samples is asserted in tests/test_operators.py; the fixture corpus
+    is vocabulary-identical across langs), quality scoring
+    (length/punct/stopword/word-length signals → bounded score, the
+    pretraining-corpus filter shape), token counting (whitespace + a
+    BPE-ish pre-tokenizer regex), and md5 document fingerprinting
+    (portable content identity; the xxhash64 companion column is
+    Spark-specific, excluded from the oracle). Zero shuffles, zero
+    Python — pure codegen'd expressions."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    return language_scores(docs, "text").select(
+    out = language_scores(docs, "text")
+    out = quality_score(out, "text")
+    out = token_stats(out, "text")
+    out = fingerprint(out, "text")
+    return out.select(
         "doc_id",
         "lang",
         "score_de",
@@ -294,134 +361,74 @@ def c4_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_fr",
         "score_zh",
         "predicted_lang",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality",
+        "ws_tokens",
+        "bpe_tokens",
+        "content_fingerprint",
     )
-
-
-@register(
-    "c4_quality_score",
-    """
-    WITH m AS (
-      SELECT doc_id,
-             len(string_split(lower(text), ' ')) AS n_tokens,
-             length(text) AS n_chars,
-             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-               AS n_punct,
-             len(list_filter(string_split(lower(text), ' '),
-                 w -> w IN ('the','a','of','and','to','in'))) AS n_stop
-      FROM documents
-    )
-    SELECT doc_id, n_tokens,
-           floor(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 1000000) / 1000000
-             AS punct_ratio,
-           floor(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 1000000) / 1000000
-             AS stopword_ratio,
-           floor(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens, 1)
-                 * 1000000) / 1000000 AS mean_word_len,
-           floor((0.4 * least(n_tokens / 100.0, 1.0)
-               + 0.3 * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
-               + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
-               + 0.1 * least((CAST(n_chars - (n_tokens - 1) AS DOUBLE)
-                              / greatest(n_tokens, 1)) / 10.0, 1.0)) * 1000000)
-             / 1000000 AS quality
-    FROM m
-    """,
-)
-def c4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 quality scoring: length/punct/stopword/word-length signals →
-    bounded score (operators/text.py::quality_score)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return quality_score(docs, "text").select(
-        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
-        "mean_word_len", "quality",
-    )
-
-
-@register(
-    "c4_token_stats",
-    r"""
-    SELECT doc_id,
-           len(string_split(lower(text), ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-             AS bpe_tokens
-    FROM documents
-    """,
-)
-def c4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 token counting: whitespace tokens + BPE-ish pre-tokenizer
-    regex (operators/text.py::token_stats)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return token_stats(docs, "text").select("doc_id", "ws_tokens", "bpe_tokens")
-
-
-@register(
-    "c4_fingerprint",
-    """
-    SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-             AS content_fingerprint
-    FROM documents
-    """,
-)
-def c4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 document fingerprinting: md5 over normalized text — portable
-    content identity (operators/text.py::fingerprint; the xxhash64
-    companion column is Spark-specific, excluded from the oracle)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return fingerprint(docs, "text").select("doc_id", "content_fingerprint")
 
 
 # --------------------------------------------------------------------------
-# C5 multimodal columns
+# C5 multimodal columns (storage layout + Arrow feature extraction)
 # --------------------------------------------------------------------------
+
+# DuckDB-side hex-nibble → int for the sha256-derived stub feature.
+_HEXVAL = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+_BYTE = "({h} * 16 + {l})"
+_U32_LE = " + ".join(
+    _BYTE.format(
+        h=_HEXVAL.format(pos=2 * i + 1), l=_HEXVAL.format(pos=2 * i + 2)
+    )
+    + f" * {256 ** i}"
+    for i in range(4)
+)
 
 
 @register(
-    "c5_multimodal_meta",
-    """
+    "c5_multimodal",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source, text, sha256(text) AS hx FROM documents
+    )
     SELECT doc_id AS media_id,
            'text/plain' AS mime,
            octet_length(encode(text)) AS n_bytes,
-           source
-    FROM documents
+           source,
+           floor(({_U32_LE}) / 4294967296.0 * 1000000) / 1000000 AS f0
+    FROM h
     """,
 )
-def c5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5 multimodal storage layout: binary payload + typed metadata
-    struct (operators/multimodal.py::attach_payload); the metadata
-    side is queryable without touching payload bytes — the predicate-
-    pruning property that matters at 100 TB."""
+def c5_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 multimodal pipeline, storage layout + feature extraction in
+    one hash-checked result: binary payload + typed metadata struct
+    (operators/multimodal.py::attach_payload — metadata predicates
+    prune without touching payload bytes, the property that matters at
+    100 TB), then mapInPandas feature extraction over the payloads
+    (Arrow-batched; real media decode is honestly gated behind
+    NotImplementedError — no media libs in this container — with the
+    deterministic sha256-derived stub standing in).
+
+    The oracle recomputes the stub's first feature lane (f0 =
+    trunc6(first sha256 uint32-LE / 2^32)) and the UDF-computed byte
+    count in SQL, so the WHOLE Arrow path — binary encode, batch
+    iteration, per-payload digest, schema — is value-hash-verified,
+    not just row-counted."""
     docs = t(spark, sf_dir, "documents")
     mm = attach_payload(docs, "doc_id", "text", "source")
-    return mm.select(
+    feats = extract_features(mm, fake=True)  # media_id, n_bytes, feature
+    meta = mm.select(
         "media_id",
         F.col("meta.mime").alias("mime"),
-        F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.source").alias("source"),
     )
-
-
-@register("c5_feature_extract")  # sha256-derived stub features → rows-only
-def c5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5 feature extraction: mapInPandas over binary payloads with the
-    deterministic decode stub (real decode gated behind
-    NotImplementedError — no media libs in this container). Plumbing
-    (schema, Arrow batching, partition parallelism) is fully real."""
-    docs = t(spark, sf_dir, "documents")
-    mm = attach_payload(docs, "doc_id", "text", "source")
-    feats = extract_features(mm, fake=True)
-    return feats.select(
-        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    return feats.join(meta, "media_id").select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "source",
+        F.element_at("feature", 1).alias("f0"),
     )
-
-
-@register("c3_ann_ivf")  # KMeans cells are engine-specific → rows-only
-def c3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 approximate top-K via IVF-Flat (operators/similarity.py::
-    ivf_topk): KMeans coarse quantizer → probe 4/16 cells → exact
-    re-rank. Recall vs brute force asserted in tests/test_operators.py.
-    The inverted-list layout is the FAISS-style scale path alongside
-    hyperplane LSH."""
-    from timescale_cdc_spark.operators.similarity import ivf_topk
-
-    em = t(spark, sf_dir, "embeddings")
-    return ivf_topk(em, em.filter(F.col("vec_id") < 10), k=5)

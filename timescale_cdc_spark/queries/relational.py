@@ -1,8 +1,13 @@
-"""Relational query surface (SURVEY.md §2 Tier B, B12-B40 + B43 batch
+"""Relational query surface (SURVEY.md §2 Tier B, B12-B32 + B43 batch
 analog). The reference's operating model is ad-hoc SQL over the event
 log and entity tables (reference: readme.md:107-121, indexes
 init.sql:64-66); each function here is one operator family expressed
 Spark-first, with an exactly-matching DuckDB oracle.
+
+Round 2: the registry is consolidated to <= 50 entries (one per §2
+operator) so EVERY entry lands inside the driver's correctness window.
+Merged entries note the operators they cover in their docstring; the
+full §2 -> entry map lives in README.md.
 
 Scale notes are in each docstring: what Catalyst does with the plan and
 why it survives 100 TB (pushdown, broadcast, partial aggregation).
@@ -75,28 +80,42 @@ def flagship_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# B12 scan + projection (pushdown), B15-B17 filters/projection
+# B12+B17 scan/projection (pushdown) — merged; B15/B16 filters
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "b12_scan_projection",
+    "b12_b17_scan_projection_computed",
     """
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           lower(l_returnflag) AS flag_lc,
+           l_extendedprice * 2.0 AS price_x2
     FROM lineitem WHERE l_quantity >= 45
     """,
 )
-def b12_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet scan with column pruning + predicate pushdown (B12).
+def b12_b17_scan_projection_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with column pruning + predicate pushdown (B12) and
+    computed projection columns (B17) in one plan.
 
-    The physical plan must show ReadSchema with exactly 5 columns and
-    PushedFilters: [GreaterThanOrEqual(l_quantity,45.0)] — at 100 TB
-    this is the difference between reading 4 columns and 16.
+    The physical plan must show ReadSchema with exactly the 6 source
+    columns and PushedFilters: [GreaterThanOrEqual(l_quantity,45.0)] —
+    at 100 TB this is the difference between reading 6 columns and 16.
+    Computed columns (date cast, case fold, arithmetic) stay inside
+    whole-stage codegen.
     """
     return (
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 45)
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.lower("l_returnflag").alias("flag_lc"),
+            (F.col("l_extendedprice") * 2.0).alias("price_x2"),
+        )
     )
 
 
@@ -122,46 +141,31 @@ def b15_filter_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b16_filter_in_like_null",
+    "b16_predicates",
     """
-    SELECT o_orderkey, o_orderstatus, o_orderpriority
-    FROM orders
-    WHERE o_orderstatus IN ('F', 'P')
-      AND o_orderpriority LIKE '%URGENT%'
-      AND o_orderdate IS NOT NULL
-    """,
-)
-def b16_filter_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN / LIKE / IS NULL predicates (B16) — the null-convention
-    filters of the envelope (reference readme.md:262-265:
-    `before IS NULL` ⇔ INSERT)."""
-    od = t(spark, sf_dir, "orders")
-    return od.filter(
-        F.col("o_orderstatus").isin("F", "P")
-        & F.col("o_orderpriority").like("%URGENT%")
-        & F.col("o_orderdate").isNotNull()
-    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
-
-
-@register(
-    "b17_projection_computed",
-    """
-    SELECT event_id,
-           CAST(ts AS DATE) AS event_date,
-           upper(event_type) AS event_type_uc,
-           value * 2.0 AS value_x2
+    SELECT event_id, event_type, props
     FROM events
+    WHERE event_type IN ('click', 'view', 'signup')
+      AND props LIKE '%"k"%'
+      AND ts IS NOT NULL
+      AND regexp_matches(props, '"k": [0-9]?[0-9]}$')
+      AND event_type ILIKE '%I%'
     """,
 )
-def b17_projection_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projection + computed columns (B17): derive event_date exactly
-    as the log's partition column derivation (SURVEY §1.3)."""
-    return t(spark, sf_dir, "events").select(
-        "event_id",
-        F.col("ts").cast("date").alias("event_date"),
-        F.upper("event_type").alias("event_type_uc"),
-        (F.col("value") * 2.0).alias("value_x2"),
-    )
+def b16_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 predicate family in one conjunction: IN / LIKE / IS NULL
+    (the envelope's null-convention filters, reference readme.md:262-265)
+    plus regex (rlike == DuckDB regexp_matches, unanchored) and
+    case-insensitive LIKE (ilike == ILIKE). IN/LIKE/NULL push into the
+    parquet scan; regex evaluates post-scan inside codegen."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+        & F.col("props").like('%"k"%')
+        & F.col("ts").isNotNull()
+        & F.col("props").rlike('"k": [0-9]?[0-9]}$')
+        & F.col("event_type").ilike("%I%")
+    ).select("event_id", "event_type", "props")
 
 
 # ---------------------------------------------------------------------------
@@ -233,46 +237,45 @@ def b19_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b20_join_semi",
+    "b20_join_semi_anti",
     """
-    SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+    SELECT 'semi' AS join_kind, c_mktsegment, COUNT(*) AS n
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_mktsegment
-    """,
-)
-def b20_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (B20): 'assets that have ≥1 change event'. Semi
-    join never duplicates the left side — cheaper than inner+distinct."""
-    cu = t(spark, sf_dir, "customer")
-    od = t(spark, sf_dir, "orders")
-    return (
-        cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers_with_orders"))
-    )
-
-
-@register(
-    "b20_join_anti",
-    """
-    SELECT c_custkey, c_name, c_mktsegment
+    UNION ALL
+    SELECT 'anti' AS join_kind, c_mktsegment, COUNT(*) AS n
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2001-05-01 00:00:00')
+    GROUP BY c_mktsegment
     """,
 )
-def b20_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (B20): 'assets with no change event in the recent
-    window' — the dormant-entity audit."""
+def b20_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (B20), tagged and unioned: 'assets
+    that have ≥1 change event' per segment and 'assets with no change
+    event in the recent window' per segment. Semi never duplicates the
+    left side — cheaper than inner+distinct; anti is the dormant-entity
+    audit."""
     cu = t(spark, sf_dir, "customer")
-    od = t(spark, sf_dir, "orders").filter(
+    od = t(spark, sf_dir, "orders")
+    semi = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("semi").alias("join_kind"), "c_mktsegment", "n")
+    )
+    recent = od.filter(
         F.col("o_orderdate") >= F.lit("2001-05-01 00:00:00").cast("timestamp")
     )
-    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_mktsegment"
+    anti = (
+        cu.join(recent, cu.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("anti").alias("join_kind"), "c_mktsegment", "n")
     )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -311,40 +314,42 @@ def b21_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b22_range_join",
+    "b22_range_join_bucketed",
     """
-    SELECT s.event_id AS signup_event_id, s.user_id,
-           COUNT(c.event_id) AS clicks_within_1h
+    SELECT s.event_id AS signup_id, e.event_id AS error_id
     FROM events s
-    LEFT JOIN events c
-      ON c.user_id = s.user_id
-     AND c.event_type = 'click'
-     AND c.ts > s.ts
-     AND c.ts <= s.ts + INTERVAL 1 HOUR
+    JOIN events e
+      ON e.event_type = 'error'
+     AND abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+             - CAST(floor(epoch(s.ts)) AS BIGINT)) <= 300
     WHERE s.event_type = 'signup'
-    GROUP BY s.event_id, s.user_id
     """,
 )
-def b22_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range/interval join (B22): 'anomaly events within a window of an
-    asset change' (Timescale-idiomatic). The user_id equi-key keeps it
-    a hash join with a range residual — never a nested-loop cross
-    product. At 100 TB: both sides also bucketed by time to bound
-    per-key fan-out."""
+def b22_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (B22), keyless form: every error event
+    within ±5 minutes of any signup — the pure time-proximity join
+    ('anomaly events near an asset change', Timescale-idiomatic).
+
+    Implemented with the bucketed range join (operators/timejoin.py):
+    tolerance-width epoch buckets turn the would-be nested-loop
+    cross product into a hash join on bucket id (the plan contains NO
+    CartesianProduct / BroadcastNestedLoopJoin — pinned in
+    tests/test_plans.py). The equi-key + interval variant (clicks
+    within 1h of a signup per user) is the easy case — the same
+    operator takes ``extra_on`` for it — and is exercised in
+    tests/test_timejoin.py. The oracle is the naive non-equi join."""
+    from timescale_cdc_spark.operators.timejoin import range_join_bucketed
+
     ev = t(spark, sf_dir, "events")
-    s = ev.filter(F.col("event_type") == "signup").alias("s")
-    c = ev.filter(F.col("event_type") == "click").alias("c")
-    joined = s.join(
-        c,
-        (F.col("c.user_id") == F.col("s.user_id"))
-        & (F.col("c.ts") > F.col("s.ts"))
-        & (F.col("c.ts") <= F.col("s.ts") + F.expr("INTERVAL 1 HOUR")),
-        "left",
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
     )
-    return joined.groupBy(
-        F.col("s.event_id").alias("signup_event_id"),
-        F.col("s.user_id").alias("user_id"),
-    ).agg(F.count("c.event_id").alias("clicks_within_1h"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    return range_join_bucketed(s, e, "s_ts", "e_ts", tolerance_seconds=300).select(
+        "signup_id", "error_id"
+    )
 
 
 @register(
@@ -357,7 +362,9 @@ def b22_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY c.ts DESC, c.event_id DESC) AS rn
       FROM events p
       JOIN events c
-        ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.ts <= p.ts
+       AND c.ts >  p.ts - INTERVAL 7 DAY
       WHERE p.event_type = 'purchase'
     )
     SELECT purchase_event_id, user_id, purchase_ts, click_value
@@ -365,17 +372,26 @@ def b22_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b23_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (B23): latest click at-or-before each purchase, per
-    user — the 'row state as of time T' reconstruction pattern
-    (reference's log replay, readme.md:214-220). Spark lacks a native
-    as-of join; equi-join on the key + row_number over (ts DESC,
-    event_id DESC) is the composition (SURVEY B23)."""
+    """As-of join (B23) with a bounded lookback: latest click at-or-
+    before each purchase, per user, looking back at most 7 days — the
+    'row state as of time T' reconstruction pattern (reference's log
+    replay, readme.md:214-220).
+
+    Spark lacks a native as-of join; equi-join on the key +
+    row_number over (ts DESC, event_id DESC) is the composition
+    (SURVEY B23). The TWO-SIDED time bound (c.ts in (p.ts - 7d, p.ts])
+    is what makes this scale: per-key candidate fan-out is bounded by
+    the horizon instead of growing with the full history of a hot key
+    (the classic as-of blowup). The bound is pinned in
+    tests/test_plans.py."""
     ev = t(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").alias("p")
     c = ev.filter(F.col("event_type") == "click").alias("c")
     j = p.join(
         c,
-        (F.col("c.user_id") == F.col("p.user_id")) & (F.col("c.ts") <= F.col("p.ts")),
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") > F.col("p.ts") - F.expr("INTERVAL 7 DAY")),
         "inner",
     )
     w = W.partitionBy("p.event_id").orderBy(F.desc("c.ts"), F.desc("c.event_id"))
@@ -439,7 +455,8 @@ def b25_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash aggregate (B25), TPC-H Q1 shape: the canonical 'events per
     (schema, table, operation)' rollup of the CDC log. Map-side partial
     aggregation means the shuffle carries |groups| rows per partition,
-    not |input| — the reason this survives 100 TB."""
+    not |input| — the reason this survives 100 TB. Also the full-scan
+    aggregate (A20's SELECT-the-world over the biggest fixture)."""
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
@@ -472,63 +489,180 @@ def b25_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_users,
-           COUNT(*) AS n_events
+           COUNT(*) AS n_events,
+           CASE WHEN approx_count_distinct(user_id)
+                     BETWEEN 0.9 * COUNT(DISTINCT user_id)
+                         AND 1.1 * COUNT(DISTINCT user_id)
+                THEN 1 ELSE 0 END AS approx_users_ok,
+           CASE WHEN approx_quantile(value, 0.5)
+                     BETWEEN quantile_cont(value, 0.4)
+                         AND quantile_cont(value, 0.6)
+                THEN 1 ELSE 0 END AS approx_p50_ok
     FROM events GROUP BY event_type
     """,
 )
 def b26_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct / count-distinct (B26). Exact count-distinct expands to
-    a two-phase aggregate; at 100 TB prefer approx_count_distinct
-    (see b26_approx_distinct, rows-only check)."""
+    """Distinct / approx-distinct / approx-quantile (B26, whole family).
+
+    Exact COUNT(DISTINCT) expands to a two-phase aggregate; at 100 TB
+    the single-pass mergeable sketches are the answer —
+    approx_count_distinct (HyperLogLog++) and percentile_approx. Sketch
+    VALUES are engine-specific by construction, so the oracle checks
+    the sketch's ACCURACY CONTRACT instead: each engine computes its
+    own estimate and flags whether it lands within the documented error
+    bound of its own exact answer (HLL rsd=0.01 vs a ±10% band; approx
+    p50 vs the exact p40..p60 corridor). Both engines must flag 1 —
+    a hard, hash-checked signal that the sketches are wired correctly."""
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.01)
+    q40 = F.expr("percentile(value, 0.4)")
+    q60 = F.expr("percentile(value, 0.6)")
+    ap50 = F.percentile_approx("value", 0.5, 10000)
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("n_users"),
+            exact.alias("n_users"),
             F.count("*").alias("n_events"),
+            F.when(
+                approx.between(0.9 * exact, 1.1 * exact), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("approx_users_ok"),
+            F.when(ap50.between(q40, q60), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("approx_p50_ok"),
+        )
+        .select(
+            "event_type", "n_users", "n_events", "approx_users_ok", "approx_p50_ok"
         )
     )
 
 
-@register("b26_approx_distinct")  # HLL sketches differ per engine → rows-only check
-def b26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (B26 at-scale form): HyperLogLog++ sketch,
-    single pass, constant memory — the 100 TB answer to COUNT(DISTINCT).
-    No oracle: sketch estimates are engine-specific by construction."""
-    return (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
-    )
+_GM_ROLLUP_SQL = """
+    SELECT 'rollup' AS variant,
+           COALESCE(event_type, 'ALL') AS key1,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS key2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+"""
+
+_GM_CUBE_SQL = """
+    SELECT 'cube' AS variant,
+           COALESCE(event_type, 'ALL') AS key1,
+           COALESCE(CAST(user_id % 5 AS VARCHAR), 'ALL') AS key2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 5 AS VARCHAR))
+"""
+
+_GM_GSETS_SQL = """
+    SELECT 'grouping_sets' AS variant,
+           COALESCE(event_type, 'ALL') AS key1,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS key2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+"""
 
 
 @register(
-    "b27_rollup",
-    """
-    SELECT COALESCE(event_type, 'ALL') AS event_type,
-           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS event_day,
-           COUNT(*) AS n
-    FROM events
-    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
-    """,
+    "b27_rollup_cube_gsets",
+    f"{_GM_ROLLUP_SQL} UNION ALL {_GM_CUBE_SQL} UNION ALL {_GM_GSETS_SQL}",
 )
-def b27_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rollup / grouping sets (B27): op counts by (table), (table,op),
-    () — the multi-granularity monitoring rollup."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "event_day_raw", F.col("ts").cast("date")
-    )
-    return (
-        ev.rollup("event_type", "event_day_raw")
-        .agg(F.count("*").alias("n"))
+def b27_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity grouping (B27): ROLLUP, CUBE, and explicit
+    GROUPING SETS, tagged and unioned under one aligned schema —
+    op counts by (table), (table, op), () at every granularity, the
+    monitoring rollup. Each variant is ONE aggregate pass over the
+    grouping-id expansion (no multi-scan); the GROUPING SETS leg runs
+    through the engine's SQL entry point (spark.sql) to pin the SQL
+    text surface too."""
+    ev = t(spark, sf_dir, "events")
+    dec_sum = F.sum(F.expr("CAST(value AS DECIMAL(10,2))")).cast("double")
+
+    rolled = (
+        ev.withColumn("event_day_raw", F.col("ts").cast("date"))
+        .rollup("event_type", "event_day_raw")
+        .agg(F.count("*").alias("n"), dec_sum.alias("total_value"))
         .select(
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.lit("rollup").alias("variant"),
+            F.coalesce("event_type", F.lit("ALL")).alias("key1"),
             F.coalesce(F.col("event_day_raw").cast("string"), F.lit("ALL")).alias(
-                "event_day"
+                "key2"
             ),
             "n",
+            "total_value",
         )
     )
+    cubed = (
+        ev.withColumn("user_bucket", (F.col("user_id") % 5).cast("string"))
+        .cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"), dec_sum.alias("total_value"))
+        .select(
+            F.lit("cube").alias("variant"),
+            F.coalesce("event_type", F.lit("ALL")).alias("key1"),
+            F.coalesce("user_bucket", F.lit("ALL")).alias("key2"),
+            "n",
+            "total_value",
+        )
+    )
+    ev.createOrReplaceTempView("_gs_events")
+    gsets = spark.sql(
+        """
+        SELECT 'grouping_sets' AS variant,
+               COALESCE(event_type, 'ALL') AS key1,
+               COALESCE(CAST(CAST(ts AS DATE) AS STRING), 'ALL') AS key2,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+        """
+    )
+    return rolled.unionByName(cubed).unionByName(gsets)
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "b27_pivot_unpivot",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    types AS (SELECT * FROM (VALUES ('click'), ('error'), ('purchase'),
+                                    ('signup'), ('view')) t(event_type))
+    SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+    FROM users u CROSS JOIN types t
+    LEFT JOIN counts c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    """,
+)
+def b27_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot + unpivot round-trip (B27 family): event-type counts pivot
+    to wide columns per user (explicit pivot values — single-pass
+    aggregate, no distinct pre-scan, the required form at scale), then
+    stack() unpivots the wide row back to (user_id, event_type, n)
+    long form, zeros included. The oracle is the dense user×type
+    scaffold — proving pivot's fill plus unpivot's order-preserving
+    flatten are lossless inverses."""
+    ev = t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+        .na.fill(0)
+    )
+    stack_expr = "stack({}, {}) AS (event_type, n)".format(
+        len(_PIVOT_TYPES),
+        ", ".join(f"'{v}', `{v}`" for v in _PIVOT_TYPES),
+    )
+    return wide.selectExpr("user_id", stack_expr)
 
 
 # ---------------------------------------------------------------------------
@@ -563,70 +697,60 @@ def b28_window_rank_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b29_window_analytic",
+    "b29_window_analytic_frames",
     """
-    SELECT event_id, user_id, ts, value,
-           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+    SELECT event_id, user_id, ts, value, event_type,
+           LAG(value) OVER w AS prev_value,
            CAST(SUM(CAST(value AS DECIMAL(10,2)))
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running_value,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_n
+             AS running_n,
+           LEAD(event_type) OVER w AS next_type,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS final_type,
+           CAST(SUM(CAST(value AS DECIMAL(10,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS avg_value_3
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
-def b29_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window (B29): lag + running aggregates per key — the
-    'previous value per key' CDC diff primitive. Decimal running sum
-    keeps cumulative totals bit-exact."""
+def b29_window_analytic_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions + explicit frames (B29, whole family):
+    lag / lead / first / last / running aggregates / sliding 3-row
+    moving average per key — the 'previous value per key' CDC diff
+    primitive plus every frame form. One window spec, several frames;
+    all frames share the single sort-per-partition. Decimal running
+    sums keep cumulative totals bit-exact."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    last3 = w.rowsBetween(-2, 0)
+    dec_val = F.expr("CAST(value AS DECIMAL(10,2))")
     return t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "ts",
         "value",
+        "event_type",
         F.lag("value").over(w).alias("prev_value"),
-        F.sum(F.expr("CAST(value AS DECIMAL(10,2))"))
-        .over(frame)
-        .cast("double")
-        .alias("running_value"),
-        F.count("*").over(frame).alias("running_n"),
-    )
-
-
-@register(
-    "b30_latest_state",
-    """
-    WITH r AS (
-      SELECT user_id, ts, event_id, event_type, value,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    )
-    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
-           event_type AS last_event_type, value AS last_value
-    FROM r WHERE rn = 1
-    """,
-)
-def b30_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-state reconstruction (B30): fold the log → current row
-    per key, last event wins — the core CDC replay (cdc/replay.py
-    applies this to real envelopes; this is the fixture-table form)."""
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("ts").alias("last_ts"),
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_event_type"),
-            F.col("value").alias("last_value"),
-        )
+        F.sum(dec_val).over(run).cast("double").alias("running_value"),
+        F.count("*").over(run).alias("running_n"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(full).alias("final_type"),
+        (
+            F.sum(dec_val).over(last3).cast("double") / F.count("*").over(last3)
+        ).alias("avg_value_3"),
     )
 
 
@@ -656,55 +780,49 @@ def b31_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b32_set_except",
+    "b32_set_ops",
     """
-    SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_day
-    FROM events WHERE event_type = 'click'
-    EXCEPT
-    SELECT DISTINCT user_id, CAST(ts AS DATE)
-    FROM events WHERE event_type = 'purchase'
-    """,
-)
-def b32_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (B32): 'events in the log but not in a topic sink' lag
-    audit shape — (user, day) pairs that clicked but did not purchase."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "event_day", F.col("ts").cast("date")
-    )
-    click = (
-        ev.filter(F.col("event_type") == "click")
-        .select("user_id", "event_day")
-        .distinct()
-    )
-    buy = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", "event_day")
-        .distinct()
-    )
-    return click.exceptAll(buy)
-
-
-@register(
-    "b32_set_union_intersect",
-    """
-    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    WITH cd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_day
+                FROM events WHERE event_type = 'click'),
+         pd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_day
+                FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
          p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-    SELECT 'union' AS tag, COUNT(*) AS n FROM (SELECT * FROM c UNION SELECT * FROM p)
+    SELECT 'except' AS tag, COUNT(*) AS n
+    FROM (SELECT * FROM cd EXCEPT ALL SELECT * FROM pd)
+    UNION ALL
+    SELECT 'union' AS tag, COUNT(*) AS n
+    FROM (SELECT * FROM c UNION SELECT * FROM p)
     UNION ALL
     SELECT 'intersect' AS tag, COUNT(*) AS n
     FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
     """,
 )
-def b32_set_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT (B32): re-merge per-table views into the full
-    log (A11 ⊕ B32 invariant of SURVEY §5)."""
-    ev = t(spark, sf_dir, "events")
+def b32_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (B32), tagged: EXCEPT ALL ('events in the log but
+    not in a topic sink' lag audit — (user, day) pairs that clicked but
+    did not purchase), UNION, and INTERSECT (re-merging per-table views
+    into the full log, the A11 ⊕ B32 invariant of SURVEY §5)."""
+    ev = t(spark, sf_dir, "events").withColumn("event_day", F.col("ts").cast("date"))
+    cd = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "event_day")
+        .distinct()
+    )
+    pd_ = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_day")
+        .distinct()
+    )
     c = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    u = c.union(p).distinct().agg(F.count("*").alias("n")).select(
+    ex = cd.exceptAll(pd_).agg(F.count("*").alias("n")).select(
+        F.lit("except").alias("tag"), "n"
+    )
+    un = c.union(p).distinct().agg(F.count("*").alias("n")).select(
         F.lit("union").alias("tag"), "n"
     )
-    i = c.intersect(p).agg(F.count("*").alias("n")).select(
+    it = c.intersect(p).agg(F.count("*").alias("n")).select(
         F.lit("intersect").alias("tag"), "n"
     )
-    return u.union(i)
+    return ex.union(un).union(it)
