@@ -79,20 +79,57 @@ class IncrementalPoller:
             | ((F.col("ts") == t0) & (F.col("event_id") > i0))
         ).orderBy("ts", "event_id")
 
-    def poll(self, log_df: DataFrame) -> DataFrame:
-        """Poll + advance the offset to the max delivered (ts,
-        event_id). Collects ONLY the 2-value max row to the driver."""
-        batch = self.poll_frame(log_df)
+    def fetch(self, log_df: DataFrame) -> tuple[DataFrame, Offset | None]:
+        """Fetch the next batch WITHOUT committing the offset.
+
+        Returns ``(batch, next_offset)``; pass ``next_offset`` to
+        :meth:`ack` only after the batch has been durably consumed —
+        the connector's offset-commit-after-delivery contract
+        (docker-compose.yml:74). A consumer crash between fetch and
+        ack re-delivers the same batch next time (at-least-once),
+        never skips it.
+
+        The batch is CLOSED ABOVE at ``next_offset``: the returned
+        frame filters (old_offset, next_offset] on (ts, event_id), so
+        even though Spark frames are lazy and re-evaluated at action
+        time, rows appended to the log between fetch and consumption
+        fall outside the interval and are delivered exactly once — by
+        the NEXT fetch (collects only the 2-value max row here)."""
+        open_batch = self.poll_frame(log_df)
         top = (
-            batch.select("ts", "event_id")
+            open_batch.select("ts", "event_id")
             .orderBy(F.desc("ts"), F.desc("event_id"))
             .limit(1)
             .collect()
         )
-        if top:
-            new = Offset(ts=str(top[0]["ts"]), event_id=int(top[0]["event_id"]))
-            self._commit(new)
-            self._offset = new
+        if not top:
+            return open_batch, None
+        new = Offset(ts=str(top[0]["ts"]), event_id=int(top[0]["event_id"]))
+        hi_ts = F.lit(new.ts).cast("timestamp")
+        hi_id = F.lit(new.event_id)
+        bounded = open_batch.filter(
+            (F.col("ts") < hi_ts)
+            | ((F.col("ts") == hi_ts) & (F.col("event_id") <= hi_id))
+        )
+        return bounded, new
+
+    def ack(self, offset: Offset | None) -> None:
+        """Commit a fetched batch's offset after successful consumption
+        (the second half of the fetch/ack contract)."""
+        if offset is not None:
+            self._commit(offset)
+            self._offset = offset
+
+    def poll(self, log_df: DataFrame) -> DataFrame:
+        """Convenience fetch+immediate-ack. NOTE the delivery
+        semantics: the offset is committed BEFORE the caller acts on
+        the (lazy) batch, so a consumer failure after poll() skips
+        those events (at-most-once). Consumers that need at-least-once
+        must use fetch()/ack(). The returned batch is bounded above at
+        the committed offset, so late-appended rows are not silently
+        absorbed into an already-committed interval."""
+        batch, new = self.fetch(log_df)
+        self.ack(new)
         return batch
 
     def sweep_by_id(self, log_df: DataFrame, last_seen_id: int) -> DataFrame:

@@ -81,10 +81,16 @@ class EventLog:
         """Append envelope rows (ts, schema_name, table_name, operation,
         before, after), assigning dense event_ids above the watermark.
 
-        Returns the number of events written. The watermark commits
-        after the data write succeeds — a rerun of a failed batch
-        reassigns the same id range (idempotent recovery, the analog
-        of the connector's offset commit, docker-compose.yml:74).
+        Returns the number of events written. The write itself is
+        IDEMPOTENT per batch: the batch is staged under a
+        watermark-keyed directory (overwritten on retry), any files a
+        previous attempt of the SAME batch already moved into the log
+        are swept, and only then are the fresh files moved in under
+        batch-keyed names. The watermark commits last — so a rerun of
+        a failed batch REPLACES its own partial output instead of
+        appending duplicates (same id range, same rows; the analog of
+        the connector's offset commit, docker-compose.yml:74, and of
+        streaming/pipeline.py's _batch_id-keyed sinks).
 
         ``distributed_ids=False`` (default): ids follow the global
         (ts, tiebreak) order via one narrow per-batch sort — exact
@@ -113,17 +119,56 @@ class EventLog:
                     "event_id", F.row_number().over(w) + F.lit(start)
                 )
             with_ids = with_ids.withColumn("event_date", F.to_date("ts"))
+            staging = os.path.join(self.path, "_staging", f"batch_{start}")
             (
                 with_ids.select(*ENVELOPE_COLS, "event_date")
                 .sortWithinPartitions("schema_name", "table_name", "ts", "event_id")
-                .write.mode("append")
+                .write.mode("overwrite")
                 .partitionBy("event_date")
-                .parquet(self.data_path)
+                .parquet(staging)
             )
+            self._publish_staged_batch(staging, start)
         finally:
             envelope.unpersist()
         self._commit_watermark(start + n)
         return n
+
+    def _publish_staged_batch(self, staging: str, start: int) -> None:
+        """Move a staged batch into the live partition dirs under
+        deterministic batch-keyed file names (``batch<start>-i.parquet``).
+
+        Retry-safe: a previous attempt of the same batch may have moved
+        some (or differently-split) files already — those are swept
+        first, so after this returns the log contains EXACTLY the
+        staged batch's rows for this id range, regardless of how many
+        earlier attempts died mid-move."""
+        tag = f"batch{start}-"
+        if os.path.isdir(self.data_path):
+            for part in os.listdir(self.data_path):
+                pdir = os.path.join(self.data_path, part)
+                if not (part.startswith("event_date=") and os.path.isdir(pdir)):
+                    continue
+                for fname in os.listdir(pdir):
+                    if fname.startswith(tag):
+                        os.remove(os.path.join(pdir, fname))
+        i = 0
+        for part in sorted(os.listdir(staging)):
+            sdir = os.path.join(staging, part)
+            if not (part.startswith("event_date=") and os.path.isdir(sdir)):
+                continue
+            ddir = os.path.join(self.data_path, part)
+            os.makedirs(ddir, exist_ok=True)
+            for fname in sorted(os.listdir(sdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                os.replace(
+                    os.path.join(sdir, fname),
+                    os.path.join(ddir, f"{tag}{i:05d}.parquet"),
+                )
+                i += 1
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
 
     def _assign_ids_distributed(
         self, envelope: DataFrame, start: int, tiebreak: list[str]

@@ -1,28 +1,48 @@
 """Incremental materialization: maintain a current-state table from
 change batches — the MERGE INTO / upsert pattern (no Delta in this
-environment, so emulated with anti-join + union + atomic directory
-swap, the guide-sanctioned composition).
+environment, so emulated with anti-join + union over a PK-bucketed,
+version-manifested layout).
 
 This is the consumer-side complement of replay (cdc/replay.py): replay
 folds the WHOLE log each time (O(log)); a materialized table applies
-only the new batch (O(batch + table)) — the difference that matters
-when the log is 100 TB and the live table is 100 GB.
+only the new batch — and with PK bucketing, rewrites only the buckets
+containing touched keys (O(batch + touched buckets)), not the whole
+table. That is the difference that matters when the log is 100 TB and
+the live table is 100 GB: a 1-row batch rewrites 1/n_buckets of the
+table, not all of it.
 
-Scale: the merge is one full-outer-shaped pass — anti-join(target,
-batch-keys) keeps untouched rows, the batch's latest non-DELETE images
-are unioned in. Both sides shuffle on the PK once; with a PK-bucketed
-target the anti-join is co-located. The directory swap gives readers
-snapshot isolation (they see old or new, never half).
+Crash safety (round-2 fix): the previous directory-swap scheme
+(rename current→._old, rename tmp→current, rmtree ._old) could lose
+the table if the process died between the two renames. The layout is
+now versioned-directories + an atomically-replaced manifest:
+
+    path/_MANIFEST.json           {"version": 7, "n_buckets": 16,
+                                   "buckets": {"3": "v_000007", ...}}
+    path/bucket=3/v_000007/*.parquet
+
+Every write lands in a NEW version directory, invisible until the
+manifest is atomically replaced (os.replace of a complete temp file).
+A crash at ANY point leaves the old manifest pointing at intact data;
+orphaned staging/version directories are garbage-collected on the next
+apply. Readers get snapshot isolation for free (they hold the paths of
+one manifest generation).
+
+Scale: the merge is one anti-join + union over ONLY the touched
+buckets; both sides shuffle on the PK once, and because the stored
+layout is already PK-bucketed the anti-join is hash-local per bucket.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_MANIFEST = "_MANIFEST.json"
 
 
 class MaterializedTable:
@@ -34,31 +54,71 @@ class MaterializedTable:
         path: str,
         row_schema: T.StructType,
         pk: str,
+        n_buckets: int = 16,
     ):
         self.spark = spark
         self.path = path
         self.row_schema = row_schema
         self.pk = pk
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
-    @property
-    def _data(self) -> str:
-        return os.path.join(self.path, "current")
+    # -- manifest ------------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _load_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"version": 0, "n_buckets": self.n_buckets, "buckets": {}}
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())
+
+    def _bucket_dir(self, bucket: int, version: str) -> str:
+        return os.path.join(self.path, f"bucket={bucket}", version)
+
+    def _bucket_expr(self, col: F.Column) -> F.Column:
+        # Keys arriving from envelope JSON are strings; hash the string
+        # form on BOTH sides so batch keys and stored rows agree.
+        return F.pmod(F.hash(col.cast("string")), F.lit(self.n_buckets))
 
     def exists(self) -> bool:
-        return os.path.isdir(self._data)
+        return bool(self._load_manifest()["buckets"])
+
+    def _current_paths(self, manifest: dict | None = None) -> list[str]:
+        m = manifest or self._load_manifest()
+        return [
+            self._bucket_dir(int(b), v)
+            for b, v in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
+            if os.path.isdir(self._bucket_dir(int(b), v))
+        ]
 
     def read(self) -> DataFrame:
-        if not self.exists():
+        paths = self._current_paths()
+        if not paths:
             return self.spark.createDataFrame([], schema=self.row_schema)
-        return self.spark.read.parquet(self._data)
+        return self.spark.read.schema(self.row_schema).parquet(*paths)
+
+    # -- merge ---------------------------------------------------------------
 
     def apply_changes(self, envelope_batch: DataFrame) -> None:
         """Upsert one envelope batch (MERGE semantics):
 
         - last event per PK within the batch wins (ts, event_id order)
         - DELETE → row removed; INSERT/UPDATE → `after` image upserted
+        - only buckets containing touched keys are rewritten; a new
+          version directory per touched bucket + one atomic manifest
+          replace make the whole merge all-or-nothing.
         """
+        self._gc()  # sweep orphans from any earlier crash
+
         key = F.coalesce(
             F.get_json_object("after", f"$.{self.pk}"),
             F.get_json_object("before", f"$.{self.pk}"),
@@ -73,22 +133,77 @@ class MaterializedTable:
             .select(F.from_json("after", self.row_schema).alias("r"))
             .select("r.*")
         )
-        touched_keys = last.select(key.cast("string").alias("_k"))
+        touched_keys = last.select(key.cast("string").alias("_k")).distinct()
+        touched_buckets = sorted(
+            r["_b"]
+            for r in touched_keys.select(
+                self._bucket_expr(F.col("_k")).alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+        if not touched_buckets:
+            return
 
-        target = self.read()
+        manifest = self._load_manifest()
+        new_version = f"v_{manifest['version'] + 1:06d}"
+
+        # Current rows of ONLY the touched buckets.
+        touched_paths = [
+            self._bucket_dir(b, manifest["buckets"][str(b)])
+            for b in touched_buckets
+            if str(b) in manifest["buckets"]
+        ]
+        if touched_paths:
+            target = self.spark.read.schema(self.row_schema).parquet(*touched_paths)
+        else:
+            target = self.spark.createDataFrame([], schema=self.row_schema)
+
         untouched = target.join(
             touched_keys,
             target[self.pk].cast("string") == touched_keys["_k"],
             "left_anti",
         )
-        merged = untouched.unionByName(upserts)
+        merged = untouched.unionByName(upserts).withColumn(
+            "_bucket", self._bucket_expr(F.col(self.pk))
+        )
 
-        tmp = self._data + "._new"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(self._data):
-            old = self._data + "._old"
-            os.rename(self._data, old)
-            os.rename(tmp, self._data)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, self._data)
+        staging = os.path.join(self.path, f"_staging_{new_version}")
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+
+        new_buckets = dict(manifest["buckets"])
+        for b in touched_buckets:
+            src = os.path.join(staging, f"_bucket={b}")
+            if os.path.isdir(src):
+                dst = self._bucket_dir(b, new_version)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+                new_buckets[str(b)] = new_version
+            else:
+                # every row in the bucket was deleted
+                new_buckets.pop(str(b), None)
+
+        self._commit_manifest(
+            {
+                "version": manifest["version"] + 1,
+                "n_buckets": self.n_buckets,
+                "buckets": new_buckets,
+            }
+        )
+        self._gc()
+
+    def _gc(self) -> None:
+        """Remove anything the current manifest does not reference:
+        leftover staging dirs and superseded/orphaned bucket versions.
+        Safe at any time — referenced data is never touched."""
+        manifest = self._load_manifest()
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if name.startswith("_staging_"):
+                shutil.rmtree(full, ignore_errors=True)
+            elif name.startswith("bucket=") and os.path.isdir(full):
+                bucket = name.split("=", 1)[1]
+                current = manifest["buckets"].get(bucket)
+                for ver in os.listdir(full):
+                    if ver != current:
+                        shutil.rmtree(os.path.join(full, ver), ignore_errors=True)

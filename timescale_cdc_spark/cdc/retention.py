@@ -56,10 +56,33 @@ def apply_retention(
     return dropped
 
 
+def recover_partition(log: EventLog, date: dt.date) -> bool:
+    """Self-heal a partition left half-swapped by a crashed compaction:
+    if the live dir is missing but a ``._compact_old`` survivor exists,
+    restore it; stale tmp/old leftovers next to an intact live dir are
+    swept. Returns True if a restore happened. Called automatically at
+    the start of compact_partition — a crash between the two renames
+    can therefore never strand the partition's data."""
+    part = os.path.join(log.data_path, f"event_date={date.isoformat()}")
+    old = part + "._compact_old"
+    tmp = part + "._compact_tmp"
+    restored = False
+    if not os.path.isdir(part) and os.path.isdir(old):
+        os.rename(old, part)  # crash happened between the two renames
+        restored = True
+    if os.path.isdir(part):
+        for leftover in (old, tmp):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+    return restored
+
+
 def compact_partition(log: EventLog, date: dt.date, target_files: int = 1) -> int:
     """Rewrite one date partition into ``target_files`` sorted files.
     Returns rows compacted. Uses an atomic directory swap so readers
-    never observe a half-written partition."""
+    never observe a half-written partition; recovers any half-swapped
+    state from a previous crash first."""
+    recover_partition(log, date)
     part = os.path.join(log.data_path, f"event_date={date.isoformat()}")
     if not os.path.isdir(part):
         return 0

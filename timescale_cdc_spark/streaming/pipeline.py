@@ -67,16 +67,42 @@ class CdcStreamPipeline:
         sinks_root: str,
         tables: list[tuple[str, str]],
         checkpoint_dir: str | None = None,
+        qualified_topics: bool = False,
     ):
         self.spark = spark
         self.log = log
         self.sinks_root = sinks_root
         self.tables = tables
+        self.qualified_topics = qualified_topics
+        # Topic paths are keyed by table name (reference naming,
+        # cdc-timescale-connector.json:16). Two whitelisted tables with
+        # the same name in different schemas would share a sink dir and
+        # the per-batch overwrite of one would silently delete the
+        # other's events — reject that unless schema-qualified topic
+        # naming (cdc-<schema>-<table>) is enabled.
+        if not qualified_topics:
+            names = [t for _, t in tables]
+            dupes = {n for n in names if names.count(n) > 1}
+            if dupes:
+                raise ValueError(
+                    f"duplicate table names across schemas {sorted(dupes)} would "
+                    "collide on cdc-<table> topic paths; pass "
+                    "qualified_topics=True for cdc-<schema>-<table> naming"
+                )
         self.checkpoint_dir = checkpoint_dir or os.path.join(
             sinks_root, "_checkpoint"
         )
 
-    def topic_path(self, table_name: str) -> str:
+    def topic_path(self, table_name: str, schema_name: str | None = None) -> str:
+        if self.qualified_topics:
+            if schema_name is None:
+                matches = [s for s, t in self.tables if t == table_name]
+                if len(matches) != 1:
+                    raise ValueError(
+                        f"table {table_name!r} is ambiguous; pass schema_name"
+                    )
+                schema_name = matches[0]
+            return os.path.join(self.sinks_root, f"cdc-{schema_name}-{table_name}")
         return os.path.join(self.sinks_root, f"cdc-{table_name}")
 
     def _deliver_batch(self, batch: DataFrame, batch_id: int) -> None:
