@@ -214,6 +214,37 @@ def test_incremental_poller_no_redelivery(spark, log, tmp_path):
     assert poller2.sweep_by_id(log.read(), last_seen_id=0).count() == 4
 
 
+def test_fetch_empty_batch_is_eagerly_empty(spark, log, tmp_path):
+    """Round-3 regression (ADVICE r2): an empty fetch must return a
+    provably-empty frame. Because frames are lazy, returning the open
+    interval would surface rows appended AFTER the fetch in the
+    'empty' batch — but ack(None) never advances the offset, so the
+    next fetch would re-deliver them (double delivery)."""
+    s0, s1 = _assets(spark, []), _assets(spark, SEED)
+    log.append(cdc_transform(s0, s1, "id", "dataschema", "assets", F.lit(T0)))
+
+    poller = IncrementalPoller(
+        str(tmp_path / "offset.json"), start_ts="2025-01-01 00:00:00"
+    )
+    batch, off = poller.fetch(log.read())
+    poller.ack(off)
+    assert batch.count() == 3
+
+    empty, off2 = poller.fetch(log.read())
+    assert off2 is None
+
+    # rows land AFTER the empty fetch but BEFORE the consumer acts
+    s2 = _assets(spark, SEED + [(4, "Valve", "VLV004", T0, T0)])
+    log.append(
+        cdc_transform(s1, s2, "id", "dataschema", "assets",
+                      F.lit(T0 + dt.timedelta(seconds=30)))
+    )
+    assert empty.count() == 0  # the "empty" batch must stay empty
+    nxt, off3 = poller.fetch(log.read())
+    assert nxt.count() == 1  # delivered exactly once, by the NEXT fetch
+    poller.ack(off3)
+
+
 def test_maintenance_runner(spark, log, tmp_path):
     import datetime as dt2
 
@@ -271,6 +302,39 @@ def test_materialized_table_equals_full_replay(spark, log, tmp_path):
         want = {(r[0], r[1]) for r in states[i]}
         assert got_mat == want, f"step {i}: materialized != expected"
         assert got_mat == got_replay, f"step {i}: materialized != replay"
+
+
+def test_materialized_table_adopts_stored_bucket_count(spark, log, tmp_path):
+    """Round-3 regression (ADVICE r2): reopening an existing table with
+    a different n_buckets must adopt the stored layout's count —
+    otherwise _bucket_expr disagrees with the on-disk bucketing and
+    updated keys silently duplicate."""
+    from timescale_cdc_spark.cdc.materialize import MaterializedTable
+
+    path = str(tmp_path / "mat")
+    mat = MaterializedTable(spark, path, ASSETS_SCHEMA, "id", n_buckets=16)
+    env = cdc_transform(
+        _assets(spark, []), _assets(spark, SEED),
+        "id", "dataschema", "assets", F.lit(T0),
+    )
+    log.append(env)
+    mat.apply_changes(log.read().filter(F.col("ts") == T0))
+
+    # reopen with a DIFFERENT n_buckets: stored layout wins
+    mat2 = MaterializedTable(spark, path, ASSETS_SCHEMA, "id", n_buckets=4)
+    assert mat2.n_buckets == 16
+
+    # an update through the reopened handle must not duplicate the PK
+    ts2 = T0 + dt.timedelta(minutes=1)
+    env2 = cdc_transform(
+        _assets(spark, SEED),
+        _assets(spark, [(1, "Water Pump XL", "WP001", T0, T0)] + SEED[1:]),
+        "id", "dataschema", "assets", F.lit(ts2),
+    )
+    log.append(env2)
+    mat2.apply_changes(log.read().filter(F.col("ts") == ts2))
+    rows = {(r["id"], r["name"]) for r in mat2.read().collect()}
+    assert rows == {(1, "Water Pump XL"), (2, "Steam Trap"), (3, "Compressor")}
 
 
 def test_distributed_id_assignment_dense(spark, log):

@@ -66,6 +66,33 @@ def test_topic_routing_and_resume(spark, tmp_path):
     )
 
 
+def test_qualified_topics_same_table_name_two_schemas(spark, tmp_path):
+    """Round-3 regression (ADVICE r2): with qualified_topics=True and
+    the SAME table name whitelisted in two schemas — the only scenario
+    the flag exists for — delivery must route each schema's events to
+    its own cdc-<schema>-<table> sink instead of raising 'ambiguous'
+    on every micro-batch."""
+    log = EventLog(spark, str(tmp_path / "log"))
+    s0, s1 = _assets(spark, []), _assets(spark, SEED)
+    log.append(cdc_transform(s0, s1, "id", "alpha", "assets", F.lit(T0)))
+    log.append(
+        cdc_transform(s0, _assets(spark, SEED[:2]), "id", "beta", "assets",
+                      F.lit(T0))
+    )
+
+    pipe = CdcStreamPipeline(
+        spark, log, str(tmp_path / "topics"),
+        tables=[("alpha", "assets"), ("beta", "assets")],
+        qualified_topics=True,
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    assert pipe.read_topic("assets", "alpha").count() == 3
+    assert pipe.read_topic("assets", "beta").count() == 2
+    with pytest.raises(ValueError, match="ambiguous"):
+        pipe.topic_path("assets")
+
+
 def _envelope_stream_dir(spark, tmp_path, rows):
     """Write envelope rows as parquet to stream from."""
     path = str(tmp_path / "stream_src")

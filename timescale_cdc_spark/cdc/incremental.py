@@ -103,7 +103,12 @@ class IncrementalPoller:
             .collect()
         )
         if not top:
-            return open_batch, None
+            # Return a provably-empty frame, not the open interval: the
+            # open frame is lazy, so rows appended between this fetch
+            # and the consumer's action would surface in an "empty"
+            # batch whose ack(None) never advances the offset — the
+            # next fetch would re-deliver them (double delivery).
+            return open_batch.filter(F.lit(False)), None
         new = Offset(ts=str(top[0]["ts"]), event_id=int(top[0]["event_id"]))
         hi_ts = F.lit(new.ts).cast("timestamp")
         hi_id = F.lit(new.event_id)

@@ -24,8 +24,12 @@ Every write lands in a NEW version directory, invisible until the
 manifest is atomically replaced (os.replace of a complete temp file).
 A crash at ANY point leaves the old manifest pointing at intact data;
 orphaned staging/version directories are garbage-collected on the next
-apply. Readers get snapshot isolation for free (they hold the paths of
-one manifest generation).
+apply. Readers resolving paths from one manifest generation see a
+consistent snapshot PROVIDED writers are serialized: ``_gc()`` during
+a concurrent apply deletes superseded version directories, so a reader
+overlapping a writer can lose paths mid-scan. Writers are expected to
+be single-threaded per table (the reference's connector is a single
+task per relation, cdc-timescale-connector.json:8).
 
 Scale: the merge is one anti-join + union over ONLY the touched
 buckets; both sides shuffle on the PK once, and because the stored
@@ -62,6 +66,13 @@ class MaterializedTable:
         self.pk = pk
         self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
+        # The stored layout is authoritative: reopening an existing
+        # table with a different n_buckets would make _bucket_expr
+        # disagree with the on-disk bucketing (touched-bucket pruning
+        # reads the wrong buckets, the anti-join misses existing rows).
+        manifest = self._load_manifest()
+        if manifest["buckets"] and manifest.get("n_buckets") != n_buckets:
+            self.n_buckets = int(manifest["n_buckets"])
 
     # -- manifest ------------------------------------------------------------
 
@@ -94,11 +105,19 @@ class MaterializedTable:
 
     def _current_paths(self, manifest: dict | None = None) -> list[str]:
         m = manifest or self._load_manifest()
-        return [
-            self._bucket_dir(int(b), v)
-            for b, v in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
-            if os.path.isdir(self._bucket_dir(int(b), v))
-        ]
+        paths = []
+        for b, v in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
+            p = self._bucket_dir(int(b), v)
+            if not os.path.isdir(p):
+                # Silently skipping would mask data loss as a smaller
+                # table; a manifest-referenced dir must exist.
+                raise FileNotFoundError(
+                    f"manifest v{m['version']} references missing bucket "
+                    f"directory {p}; table is corrupt or being mutated by "
+                    "a concurrent writer"
+                )
+            paths.append(p)
+        return paths
 
     def read(self) -> DataFrame:
         paths = self._current_paths()

@@ -93,6 +93,20 @@ def compare_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
     finally:
         con.close()
 
+    # The driver's value-hash does NOT strip timezones, so a tz-aware
+    # column on one side (e.g. DuckDB to_timestamp → TIMESTAMPTZ) vs a
+    # naive one on the other hash-mismatches there even though our
+    # normalization below would erase the difference. Fail loudly here.
+    for frame, side in ((sdf, "spark"), (odf, "oracle")):
+        for c in frame.columns:
+            if getattr(frame[c].dtype, "tz", None) is not None:
+                return CompareResult(
+                    False,
+                    f"tz-aware column {c!r} on {side} side: driver hash would "
+                    "mismatch; produce naive timestamps on both sides "
+                    "(DuckDB: make_timestamp(us) not to_timestamp(s))",
+                )
+
     s, o = _normalize(sdf), _normalize(odf)
     if list(s.columns) != list(o.columns):
         return CompareResult(

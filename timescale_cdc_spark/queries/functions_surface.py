@@ -182,7 +182,7 @@ def b33_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(extract(dow FROM ts) + 1 AS INT) AS dow,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
            CAST(ts AS DATE) + 7 AS week_later,
-           to_timestamp(floor(epoch(ts) / 900) * 900) AS bucket_15m,
+           make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS bucket_15m,
            ts - INTERVAL 1 HOUR AS ts_minus_1h,
            ts + INTERVAL 20 MINUTE AS ts_plus_20m
     FROM events

@@ -53,6 +53,16 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(copies)
 
 
+# CORRECTNESS CONTRACT (c3_embedding_dup_pairs): the registered Spark
+# plan finds pairs via hyperplane-LSH candidates + EXACT cosine verify,
+# while the oracle is the exact all-pairs definition. These agree only
+# because every >=0.99 pair in this corpus is a planted IDENTICAL copy
+# (identical vectors share every sketch band, so LSH recall is 1.0 for
+# them by construction). The fixture embeddings are random enough that
+# organic near-but-not-identical pairs at cos>=0.99 do not occur at the
+# tested SFs — a borderline non-identical pair has a ~1.3%/pair chance
+# of missing every band. If the fixture changes, re-check that
+# invariant before trusting the hash match.
 PLANT_VECS_SQL = """
   SELECT vec_id, embedding FROM embeddings
   UNION ALL

@@ -118,7 +118,8 @@ class CdcStreamPipeline:
                 (
                     view.write.mode("overwrite").parquet(
                         os.path.join(
-                            self.topic_path(table_name), f"_batch_id={batch_id}"
+                            self.topic_path(table_name, schema_name),
+                            f"_batch_id={batch_id}",
                         )
                     )
                 )
@@ -146,10 +147,14 @@ class CdcStreamPipeline:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         return writer.start()
 
-    def read_topic(self, table_name: str) -> DataFrame:
-        """Consumer side (B10): read everything delivered to a topic."""
+    def read_topic(
+        self, table_name: str, schema_name: str | None = None
+    ) -> DataFrame:
+        """Consumer side (B10): read everything delivered to a topic.
+        ``schema_name`` disambiguates under qualified_topics when two
+        schemas whitelist the same table name."""
         return self.spark.read.option("recursiveFileLookup", "true").parquet(
-            self.topic_path(table_name)
+            self.topic_path(table_name, schema_name)
         )
 
 
