@@ -213,7 +213,12 @@ def embedding_dup_pairs(
             )
         ).alias("ck"),
     ).select("_id", "_vec", "ck.chunk", "ck.key")
-    a, b = banded.alias("a"), banded.alias("b")
+    # shuffle_hash on both sides: identical shuffle exchanges instead
+    # of a one-sided broadcast that recomputes the whole sketch
+    # pipeline as a separate broadcast build (see
+    # dedup.minhash_lsh_pairs for the measured effect).
+    a = banded.alias("a").hint("shuffle_hash")
+    b = banded.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
             b,
