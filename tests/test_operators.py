@@ -157,6 +157,48 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert all(v == 5 for v in per_q.values())
 
 
+def test_ivf_index_persisted_build_query(spark, sf_dir, tmp_path):
+    """Persisted IVF index: build-once equals the in-line ivf_topk
+    (same quantizer seed), the corpus read is partition-pruned to the
+    probed cells, and results survive an index reload."""
+    from timescale_cdc_spark.operators.ann_index import IvfIndex
+    from timescale_cdc_spark.operators.similarity import ivf_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf")).build(em, n_clusters=16)
+    got = idx.topk(queries, k=5, n_probe=4)
+
+    # partition pruning reaches the corpus scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan
+
+    inline = {(r.q_id, r.c_id, r.cos) for r in ivf_topk(em, queries, k=5).collect()}
+    persisted = {(r.q_id, r.c_id, r.cos) for r in got.collect()}
+    assert persisted == inline
+
+    # a fresh handle over the same path serves identical results
+    reloaded = IvfIndex(spark, str(tmp_path / "ivf")).topk(queries, k=5, n_probe=4)
+    assert {(r.q_id, r.c_id, r.cos) for r in reloaded.collect()} == inline
+
+
+def test_ivf_index_sampled_build_recall(spark, sf_dir, tmp_path):
+    """Quantizer fit on a sample (the billion-vector move) still gives
+    sane recall vs brute force on the full corpus."""
+    from timescale_cdc_spark.operators.ann_index import IvfIndex
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    idx = IvfIndex(spark, str(tmp_path / "ivf_s")).build(
+        em, n_clusters=8, sample_fraction=0.5
+    )
+    approx = {(r.q_id, r.c_id) for r in idx.topk(queries, k=5, n_probe=3).collect()}
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(em, queries, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"sampled-build IVF recall too low: {recall}"
+
+
 def test_embedding_dup_pairs_lsh_equals_exact(spark, sf_dir):
     """The registered LSH-bucketed embedding near-dup operator must
     reproduce the exact all-pairs result on the planted corpus

@@ -1,0 +1,165 @@
+"""Persisted IVF-Flat index (SURVEY.md §2 C3, the build-once scale
+path).
+
+``ivf_topk`` (operators/similarity.py) re-fits KMeans on every query
+call — fine for a one-shot query, but the coarse quantizer fit
+dominates wall-clock as soon as the corpus is large or queries repeat
+(measured in SCALE.md: 66 s of a 78 s 1M-vector query run was KMeans).
+A real deployment builds the index ONCE and serves many query batches
+from it. ``IvfIndex`` materializes exactly what FAISS's IVF-Flat
+keeps in RAM, as two parquet tables:
+
+    <path>/centroids/          (_cell int, _centroid array<double>)
+    <path>/corpus/_cell=<k>/   (c_id long, c_vec array<float>)
+
+The corpus is disk-partitioned by cell, so a probe of ``n_probe``
+cells is a PARTITION-PRUNED scan — at 100 TB the query side reads
+``n_probe / n_clusters`` of the bytes, not a filtered full scan. The
+centroid table is tiny (n_clusters rows) and rides in a broadcast
+join; plan size stays O(1) in cluster count.
+
+Reference parity: the reference has no ANN surface (its embedding
+columns never existed); this is part of the training-data-pipeline
+extension mandated alongside SURVEY §2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.operators.similarity import cosine
+
+
+class IvfIndex:
+    """Build-once / query-many IVF-Flat index over an embedding table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    @property
+    def _centroids_path(self) -> str:
+        return f"{self.path}/centroids"
+
+    @property
+    def _corpus_path(self) -> str:
+        return f"{self.path}/corpus"
+
+    # -- build ---------------------------------------------------------------
+
+    def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_clusters: int = 16,
+        seed: int = 42,
+        sample_fraction: float | None = None,
+    ) -> "IvfIndex":
+        """Fit the coarse quantizer and materialize the index.
+
+        ``sample_fraction`` fits KMeans on a sample (the standard move
+        at billion-vector scale — the quantizer needs cluster SHAPES,
+        not every point); assignment still covers the full corpus.
+        """
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = corpus.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"),
+        )
+        fit_input = (
+            vecs.sample(fraction=sample_fraction, seed=seed)
+            if sample_fraction
+            else vecs
+        )
+        km = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell"
+        )
+        model = km.fit(fit_input)
+
+        cent = self.spark.createDataFrame(
+            [
+                (ci, [float(x) for x in np.asarray(c)])
+                for ci, c in enumerate(model.clusterCenters())
+            ],
+            schema="_cell int, _centroid array<double>",
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(self._centroids_path)
+
+        assigned = model.transform(vecs).select("c_id", "c_vec", "_cell")
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("_cell")
+            .parquet(self._corpus_path)
+        )
+        return self
+
+    # -- query ---------------------------------------------------------------
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self._centroids_path)
+
+    def corpus(self) -> DataFrame:
+        return self.spark.read.parquet(self._corpus_path)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Approximate top-K from the persisted index.
+
+        Probe assignment is a broadcast join against the centroid
+        table; the corpus read is filtered on the partition column
+        ``_cell`` so only probed cell directories are scanned
+        (PartitionFilters in the plan — asserted in tests)."""
+        q = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        l2 = F.aggregate(
+            F.zip_with(
+                F.col("q_vec"),
+                F.col("_centroid"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored_cells = q.crossJoin(F.broadcast(self.centroids())).withColumn(
+            "_dist", l2
+        )
+        wp = Window.partitionBy("q_id").orderBy(F.asc("_dist"), F.asc("_cell"))
+        probes = (
+            scored_cells.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= n_probe)
+            .select("q_id", "q_vec", "_cell")
+        )
+        # Partition pruning needs literal cell values at planning time:
+        # collect ONLY the probed cell ids (≤ n_probe × |queries| ints,
+        # tiny by construction — queries are the small broadcast side).
+        cells = sorted(
+            r["_cell"] for r in probes.select("_cell").distinct().collect()
+        )
+        pruned = self.corpus().filter(F.col("_cell").isin(cells))
+        cand = pruned.join(
+            F.broadcast(probes),
+            (pruned["_cell"] == probes["_cell"])
+            & (F.col("c_id") != F.col("q_id")),
+        ).select("q_id", "q_vec", "c_id", "c_vec")
+        scored = cand.withColumn(
+            "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "cos", "rank")
+        )
