@@ -20,8 +20,17 @@ import time
 
 from pyspark.sql import functions as F
 
-from timescale_cdc_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
-from timescale_cdc_spark.operators.similarity import brute_force_topk, ivf_topk
+from timescale_cdc_spark.operators.ann_index import IvfIndex
+from timescale_cdc_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from timescale_cdc_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_matmul,
+    ivf_topk,
+)
 from timescale_cdc_spark.session import get_spark
 
 
@@ -86,6 +95,10 @@ def main() -> None:
     ).count()
     planted_total = total_docs - n_docs
 
+    t0 = time.perf_counter()
+    n_sim_pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=3).count()
+    t_simhash = time.perf_counter() - t0
+
     vecs = synth_vecs(spark, n_vecs).persist()
     vecs.count()
     queries = vecs.filter(F.col("vec_id") < 10)
@@ -93,8 +106,34 @@ def main() -> None:
     brute_force_topk(vecs, queries, k=5).count()
     t_brute = time.perf_counter() - t0
     t0 = time.perf_counter()
+    brute_force_topk(vecs, queries, k=5, engine="arrow").count()
+    t_brute_arrow = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    brute_force_topk_matmul(vecs, queries, k=5).count()
+    t_brute_matmul = time.perf_counter() - t0
+    t0 = time.perf_counter()
     ivf_topk(vecs, queries, k=5, n_clusters=64, n_probe=8).count()
     t_ivf = time.perf_counter() - t0
+
+    # Persisted index: quantizer fit + layout once, then query-only.
+    import shutil
+    import tempfile
+
+    idx_dir = tempfile.mkdtemp(prefix="ivf_soak_")
+    try:
+        t0 = time.perf_counter()
+        idx = IvfIndex(spark, idx_dir).build(
+            vecs, n_clusters=64, sample_fraction=0.1
+        )
+        t_ivf_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx.topk(queries, k=5, n_probe=8).count()
+        t_ivf_query = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx.topk(queries, k=5, n_probe=8, engine="arrow").count()
+        t_ivf_query_arrow = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
 
     docs.unpersist()
     vecs.unpersist()
@@ -108,8 +147,15 @@ def main() -> None:
                 "minhash_lsh_sec": round(t_minhash, 2),
                 "minhash_pairs": n_pairs,
                 "planted_recall": round(planted_found / planted_total, 4),
+                "simhash_sec": round(t_simhash, 2),
+                "simhash_pairs": n_sim_pairs,
                 "brute_topk_sec": round(t_brute, 2),
+                "brute_topk_arrow_sec": round(t_brute_arrow, 2),
+                "brute_topk_matmul_sec": round(t_brute_matmul, 2),
                 "ivf_topk_sec": round(t_ivf, 2),
+                "ivf_index_build_sec": round(t_ivf_build, 2),
+                "ivf_index_query_sec": round(t_ivf_query, 2),
+                "ivf_index_query_arrow_sec": round(t_ivf_query_arrow, 2),
             }
         )
     )

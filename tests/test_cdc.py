@@ -337,6 +337,56 @@ def test_materialized_table_adopts_stored_bucket_count(spark, log, tmp_path):
     assert rows == {(1, "Water Pump XL"), (2, "Steam Trap"), (3, "Compressor")}
 
 
+def test_hourly_chunked_log(spark, tmp_path):
+    """Hour chunking (Timescale chunk_time_interval parity,
+    init.sql:69-70): nested event_hour partitions, hour-level partition
+    pruning, day-level retention, and leaf-preserving compaction."""
+    import os
+
+    from timescale_cdc_spark.cdc.retention import (
+        apply_retention,
+        compact_partition,
+    )
+
+    log = EventLog(spark, str(tmp_path / "log"), chunk="hour")
+    s0 = _assets(spark, [])
+    old_day = T0 - dt.timedelta(days=30)
+    for i, ts in enumerate([T0, T0 + dt.timedelta(hours=3), old_day]):
+        env = cdc_transform(
+            s0, _assets(spark, SEED), "id", "dataschema", f"t{i}", F.lit(ts)
+        )
+        log.append(env)
+
+    # nested layout: event_date=.../event_hour=NN
+    day_dir = os.path.join(log.data_path, f"event_date={T0.date().isoformat()}")
+    assert sorted(os.listdir(day_dir)) == ["event_hour=12", "event_hour=15"]
+
+    # hour-level pruning reaches the scan
+    pruned = log.read().filter(
+        (F.col("event_date") == T0.date().isoformat())
+        & (F.col("event_hour") == 12)
+    )
+    assert pruned.count() == 3
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "event_hour" in plan and "PartitionFilters" in plan
+
+    # ids stay dense across hourly appends
+    ids = [r["event_id"] for r in log.read().orderBy("event_id").collect()]
+    assert ids == list(range(1, 10))
+
+    # retention drops whole old days (both hours of a day at once)
+    dropped = apply_retention(log, horizon_days=7, now=T0.date())
+    assert dropped == [old_day.date()]
+    assert log.read().count() == 6
+
+    # compaction preserves rows AND the hour-leaf layout
+    n = compact_partition(log, T0.date())
+    assert n == 6
+    assert sorted(os.listdir(day_dir)) == ["event_hour=12", "event_hour=15"]
+    assert log.read().count() == 6
+    assert log.read().filter(F.col("event_hour") == 15).count() == 3
+
+
 def test_distributed_id_assignment_dense(spark, log):
     """SCALE.md fallback: per-partition id ranges stay dense and
     gap-free without a global sort."""

@@ -157,6 +157,81 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert all(v == 5 for v in per_q.values())
 
 
+def test_curation_pipeline_stages_and_provenance(spark, sf_dir):
+    """curate() composes quality→exact-dedup→near-dedup with full
+    provenance: every input doc is tagged kept/drop_reason, survivors
+    carry token stats, and each planted artifact lands in the right
+    bucket."""
+    from timescale_cdc_spark.operators.curation import curate, curation_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.limit(0).sparkSession.createDataFrame(
+        [
+            (900001, "x"),  # fails min_tokens / quality
+            (900002, None),  # exact copy of doc 0 (filled below)
+        ],
+        "doc_id long, text string",
+    )
+    first_text = docs.orderBy("doc_id").first()["text"]
+    planted = planted.withColumn(
+        "text", F.coalesce("text", F.lit(first_text))
+    )
+    corpus = docs.unionByName(planted)
+
+    out = curate(corpus).persist()
+    n_in = corpus.count()
+    assert out.count() == n_in  # every input doc is accounted for
+
+    by_id = {r["doc_id"]: r for r in out.filter(F.col("doc_id") > 900000).collect()}
+    assert by_id[900001]["kept"] is False
+    assert by_id[900001]["drop_reason"] == "quality"
+    # exact copy: exactly one of (doc 0, 900002) survives exact dedup,
+    # and the keeper is the LOWER id
+    assert by_id[900002]["kept"] is False
+    assert by_id[900002]["drop_reason"] in ("exact_dup", "near_dup")
+
+    kept = out.filter(F.col("kept"))
+    assert kept.filter(F.col("ws_tokens").isNull()).count() == 0
+    dropped = out.filter(~F.col("kept"))
+    assert dropped.filter(F.col("drop_reason").isNull()).count() == 0
+
+    report = {(r["kept"], r["drop_reason"]): r["n_docs"]
+              for r in curation_report(out).collect()}
+    assert sum(report.values()) == n_in
+    assert report.get((True, None), 0) > 0
+    out.unpersist()
+
+
+def test_arrow_scoring_engine_matches_jvm(spark, sf_dir):
+    """cosine_arrow (numpy batch) must agree with the JVM fold at the
+    4-dp rounding every scorer output goes through."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    jvm = {(r.q_id, r.c_id): r.cos
+           for r in brute_force_topk(em, queries, k=5, engine="jvm").collect()}
+    arrow = {(r.q_id, r.c_id): r.cos
+             for r in brute_force_topk(em, queries, k=5, engine="arrow").collect()}
+    assert set(jvm) == set(arrow)
+    for pair, cos in jvm.items():
+        assert abs(arrow[pair] - cos) <= 1e-4, (pair, cos, arrow[pair])
+
+
+def test_matmul_topk_matches_jvm(spark, sf_dir):
+    """brute_force_topk_matmul (corpus-once matmul + map-side top-K)
+    returns the same ranked neighbors as the JVM pairwise scorer."""
+    from timescale_cdc_spark.operators.similarity import brute_force_topk_matmul
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    jvm = {(r.q_id, r.c_id, r.rank): r.cos
+           for r in brute_force_topk(em, queries, k=5).collect()}
+    mat = {(r.q_id, r.c_id, r.rank): r.cos
+           for r in brute_force_topk_matmul(em, queries, k=5).collect()}
+    assert set(jvm) == set(mat)
+    for key, cos in jvm.items():
+        assert abs(mat[key] - cos) <= 1e-4
+
+
 def test_ivf_index_persisted_build_query(spark, sf_dir, tmp_path):
     """Persisted IVF index: build-once equals the in-line ivf_topk
     (same quantizer seed), the corpus read is partition-pruned to the

@@ -46,9 +46,20 @@ class EventLog:
     stand-in for the reference's btree indexes (init.sql:64-66).
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    #: chunking options → partition columns (the Spark analog of
+    #: Timescale's chunk_time_interval, init.sql:69-70: a hypertable
+    #: chunked by INTERVAL '1 day' vs '1 hour'). Hourly chunks nest an
+    #: event_hour=HH directory inside each event_date=... partition —
+    #: finer pruning for hot-day workloads at the cost of more dirs.
+    CHUNKS = {"day": ["event_date"], "hour": ["event_date", "event_hour"]}
+
+    def __init__(self, spark: SparkSession, path: str, chunk: str = "day"):
+        if chunk not in self.CHUNKS:
+            raise ValueError(f"chunk must be one of {sorted(self.CHUNKS)}")
         self.spark = spark
         self.path = path
+        self.chunk = chunk
+        self.partition_cols = self.CHUNKS[chunk]
         self.data_path = os.path.join(path, "data")
         os.makedirs(self.path, exist_ok=True)
 
@@ -119,12 +130,16 @@ class EventLog:
                     "event_id", F.row_number().over(w) + F.lit(start)
                 )
             with_ids = with_ids.withColumn("event_date", F.to_date("ts"))
+            if self.chunk == "hour":
+                with_ids = with_ids.withColumn(
+                    "event_hour", F.hour("ts").cast("int")
+                )
             staging = os.path.join(self.path, "_staging", f"batch_{start}")
             (
-                with_ids.select(*ENVELOPE_COLS, "event_date")
+                with_ids.select(*ENVELOPE_COLS, *self.partition_cols)
                 .sortWithinPartitions("schema_name", "table_name", "ts", "event_id")
                 .write.mode("overwrite")
-                .partitionBy("event_date")
+                .partitionBy(*self.partition_cols)
                 .parquet(staging)
             )
             self._publish_staged_batch(staging, start)
@@ -144,25 +159,25 @@ class EventLog:
         earlier attempts died mid-move."""
         tag = f"batch{start}-"
         if os.path.isdir(self.data_path):
-            for part in os.listdir(self.data_path):
-                pdir = os.path.join(self.data_path, part)
-                if not (part.startswith("event_date=") and os.path.isdir(pdir)):
-                    continue
-                for fname in os.listdir(pdir):
+            for root, _dirs, files in os.walk(self.data_path):
+                for fname in files:
                     if fname.startswith(tag):
-                        os.remove(os.path.join(pdir, fname))
+                        os.remove(os.path.join(root, fname))
         i = 0
-        for part in sorted(os.listdir(staging)):
-            sdir = os.path.join(staging, part)
-            if not (part.startswith("event_date=") and os.path.isdir(sdir)):
+        for root, _dirs, files in sorted(os.walk(staging)):
+            rel = os.path.relpath(root, staging)
+            # only partition leaf dirs (event_date=... [/event_hour=...])
+            if rel == "." or not rel.startswith("event_date="):
                 continue
-            ddir = os.path.join(self.data_path, part)
+            if not any(f.endswith(".parquet") for f in files):
+                continue
+            ddir = os.path.join(self.data_path, rel)
             os.makedirs(ddir, exist_ok=True)
-            for fname in sorted(os.listdir(sdir)):
+            for fname in sorted(files):
                 if not fname.endswith(".parquet"):
                     continue
                 os.replace(
-                    os.path.join(sdir, fname),
+                    os.path.join(root, fname),
                     os.path.join(ddir, f"{tag}{i:05d}.parquet"),
                 )
                 i += 1

@@ -56,14 +56,11 @@ def apply_retention(
     return dropped
 
 
-def recover_partition(log: EventLog, date: dt.date) -> bool:
-    """Self-heal a partition left half-swapped by a crashed compaction:
-    if the live dir is missing but a ``._compact_old`` survivor exists,
-    restore it; stale tmp/old leftovers next to an intact live dir are
-    swept. Returns True if a restore happened. Called automatically at
-    the start of compact_partition — a crash between the two renames
-    can therefore never strand the partition's data."""
-    part = os.path.join(log.data_path, f"event_date={date.isoformat()}")
+def _recover_dir(part: str) -> bool:
+    """Self-heal a partition leaf dir left half-swapped by a crashed
+    compaction: if the live dir is missing but a ``._compact_old``
+    survivor exists, restore it; stale tmp/old leftovers next to an
+    intact live dir are swept. Returns True if a restore happened."""
     old = part + "._compact_old"
     tmp = part + "._compact_tmp"
     restored = False
@@ -77,13 +74,11 @@ def recover_partition(log: EventLog, date: dt.date) -> bool:
     return restored
 
 
-def compact_partition(log: EventLog, date: dt.date, target_files: int = 1) -> int:
-    """Rewrite one date partition into ``target_files`` sorted files.
-    Returns rows compacted. Uses an atomic directory swap so readers
-    never observe a half-written partition; recovers any half-swapped
-    state from a previous crash first."""
-    recover_partition(log, date)
-    part = os.path.join(log.data_path, f"event_date={date.isoformat()}")
+def _compact_dir(log: EventLog, part: str, target_files: int) -> int:
+    """Rewrite one partition LEAF dir into ``target_files`` sorted
+    files with an atomic swap; recovers a half-swapped crash state
+    first. Returns rows compacted."""
+    _recover_dir(part)
     if not os.path.isdir(part):
         return 0
     df = log.spark.read.parquet(part)
@@ -100,3 +95,37 @@ def compact_partition(log: EventLog, date: dt.date, target_files: int = 1) -> in
     os.rename(tmp, part)
     shutil.rmtree(old)
     return n
+
+
+def _leaf_dirs(date_dir: str) -> list[str]:
+    """Partition leaf dirs under one event_date dir: the dir itself
+    (day chunking) or its event_hour=NN children (hour chunking)."""
+    hours = sorted(
+        os.path.join(date_dir, name)
+        for name in os.listdir(date_dir)
+        if name.startswith("event_hour=") and os.path.isdir(os.path.join(date_dir, name))
+    )
+    return hours or [date_dir]
+
+
+def recover_partition(log: EventLog, date: dt.date) -> bool:
+    """Self-heal every leaf of a date partition (see _recover_dir)."""
+    part = os.path.join(log.data_path, f"event_date={date.isoformat()}")
+    restored = _recover_dir(part)
+    if os.path.isdir(part):
+        for leaf in _leaf_dirs(part):
+            restored = _recover_dir(leaf) or restored
+    return restored
+
+
+def compact_partition(log: EventLog, date: dt.date, target_files: int = 1) -> int:
+    """Rewrite one date partition into ``target_files`` sorted files
+    per leaf (the whole date dir for day chunking; each event_hour
+    sub-chunk for hour chunking — the nested layout is preserved so
+    hour-level pruning survives compaction). Returns rows compacted.
+    Atomic per leaf; readers never observe a half-written partition."""
+    part = os.path.join(log.data_path, f"event_date={date.isoformat()}")
+    _recover_dir(part)
+    if not os.path.isdir(part):
+        return 0
+    return sum(_compact_dir(log, leaf, target_files) for leaf in _leaf_dirs(part))

@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from timescale_cdc_spark.operators.similarity import cosine
+from timescale_cdc_spark.operators.similarity import _cosine_for
 
 
 class IvfIndex:
@@ -114,13 +114,17 @@ class IvfIndex:
         n_probe: int = 4,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        engine: str = "jvm",
     ) -> DataFrame:
         """Approximate top-K from the persisted index.
 
         Probe assignment is a broadcast join against the centroid
         table; the corpus read is filtered on the partition column
         ``_cell`` so only probed cell directories are scanned
-        (PartitionFilters in the plan — asserted in tests)."""
+        (PartitionFilters in the plan — asserted in tests).
+        ``engine='arrow'`` uses the numpy-batched re-rank scorer
+        (similarity.cosine_arrow) — the throughput path once probes
+        touch millions of candidates."""
         q = queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
         )
@@ -155,7 +159,7 @@ class IvfIndex:
             & (F.col("c_id") != F.col("q_id")),
         ).select("q_id", "q_vec", "c_id", "c_vec")
         scored = cand.withColumn(
-            "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+            "cos", F.round(_cosine_for(engine)(F.col("q_vec"), F.col("c_vec")), 4)
         )
         w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
         return (

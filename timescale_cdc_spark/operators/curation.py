@@ -1,0 +1,97 @@
+"""Corpus curation: the composed training-data pipeline (SURVEY.md §2
+Tier C as one flow) — what a pretraining-data team actually runs, in
+the order that minimizes work at scale:
+
+    1. quality filter   (map-side only — cheapest, run first)
+    2. exact dedup      (one shuffle on the normalized content hash)
+    3. near-dup removal (MinHash-LSH pairs → keep lowest doc_id per
+                         connected group, via the pair graph)
+    4. token accounting (map-side stats over survivors)
+
+Each stage only sees the previous stage's survivors, so the expensive
+LSH stage runs on the post-filter, post-exact-dedup corpus. The
+result carries per-document provenance (`drop_reason`) so the yield
+of every stage is auditable — the standard corpus-datasheet
+requirement.
+
+Near-dup group resolution: LSH emits (id_a < id_b) pairs. Keeping
+"lowest id per connected component" exactly would need iterative
+label propagation (a connected-components fixpoint — O(diameter)
+joins). Duplicate clusters in real corpora are overwhelmingly
+star-shaped around a canonical document, so the standard single-pass
+approximation drops every doc that appears as the HIGHER id of any
+pair (keeps pair-minimums). A doc chain a<b<c where (a,b) and (b,c)
+pair but (a,c) don't still drops both b and c — conservative (never
+keeps two members of a detected pair), order-deterministic, one
+anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from timescale_cdc_spark.operators.text import quality_score, token_stats
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    near_dup_threshold: float = 0.7,
+) -> DataFrame:
+    """Run the full curation pipeline; returns ALL input docs with
+    `kept` (bool), `drop_reason` (quality | exact_dup | near_dup |
+    null) and, for survivors, token statistics."""
+    scored = quality_score(docs.select(id_col, text_col), text_col)
+
+    quality_ok = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    exact_kept = exact_dedup(quality_ok, text_col, id_col)
+
+    pairs = minhash_lsh_pairs(
+        exact_kept, text_col, id_col, threshold=near_dup_threshold
+    )
+    near_dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = exact_kept.join(near_dup_ids, id_col, "left_anti")
+    survivors = token_stats(survivors.select(id_col, text_col), text_col)
+
+    # provenance: why did each dropped doc fall out?
+    base = docs.select(id_col)
+    q_ids = quality_ok.select(id_col)
+    e_ids = exact_kept.select(id_col)
+    s_ids = survivors.select(id_col)
+    tagged = (
+        base.join(q_ids.withColumn("_q", F.lit(True)), id_col, "left")
+        .join(e_ids.withColumn("_e", F.lit(True)), id_col, "left")
+        .join(s_ids.withColumn("_s", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.col("_s").isNotNull().alias("kept"),
+            F.when(F.col("_q").isNull(), "quality")
+            .when(F.col("_e").isNull(), "exact_dup")
+            .when(F.col("_s").isNull(), "near_dup")
+            .alias("drop_reason"),
+        )
+    )
+    return tagged.join(
+        survivors.select(id_col, "ws_tokens", "bpe_tokens"), id_col, "left"
+    )
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """Stage-yield datasheet: docs and surviving token counts per
+    outcome. One tiny aggregate over the curate() output."""
+    return (
+        curated.groupBy("kept", "drop_reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+        )
+        .orderBy("kept", "drop_reason")
+    )

@@ -42,9 +42,10 @@ def stream_event_log(spark: SparkSession, log: EventLog) -> DataFrame:
     # Copy — StructType.add would mutate the shared schema in place.
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        list(EVENT_LOG_SCHEMA.fields) + [T.StructField("event_date", T.DateType())]
-    )
+    partition_fields = [T.StructField("event_date", T.DateType())]
+    if log.chunk == "hour":
+        partition_fields.append(T.StructField("event_hour", T.IntegerType()))
+    schema = T.StructType(list(EVENT_LOG_SCHEMA.fields) + partition_fields)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)
