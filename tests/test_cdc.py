@@ -386,6 +386,19 @@ def test_hourly_chunked_log(spark, tmp_path):
     assert log.read().count() == 6
     assert log.read().filter(F.col("event_hour") == 15).count() == 3
 
+    # streaming delivery works from an hourly-chunked log (the stream
+    # schema gains the event_hour partition field)
+    from timescale_cdc_spark.streaming.pipeline import CdcStreamPipeline
+
+    pipe = CdcStreamPipeline(
+        spark, log, str(tmp_path / "topics"),
+        tables=[("dataschema", "t0"), ("dataschema", "t1")],
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    assert pipe.read_topic("t0").count() == 3
+    assert pipe.read_topic("t1").count() == 3
+
 
 def test_distributed_id_assignment_dense(spark, log):
     """SCALE.md fallback: per-partition id ranges stay dense and
