@@ -87,3 +87,54 @@ def test_as_of_join_backward_and_forward(spark):
     }
     # earliest click ≥: pid 1 (+10m) → none; pid 2 (+1m) → cid 51
     assert fwd == {1: None, 2: 51, 3: None}
+
+
+def test_as_of_join_union_equals_join_form(spark):
+    """The union+window composition (zero join fan-out) must agree
+    with the join-based form on both directions, including ties at
+    equal timestamps and keys with no match."""
+    import random
+
+    from timescale_cdc_spark.operators.timejoin import as_of_join_union
+
+    rng = random.Random(13)
+    purchases = _df(
+        spark,
+        [(i, rng.randint(100, 105), T0 + dt.timedelta(seconds=rng.randint(0, 600)))
+         for i in range(60)],
+        "pid long, user_id long, p_ts timestamp",
+    )
+    clicks = _df(
+        spark,
+        [(1000 + i, rng.randint(100, 106),
+          T0 + dt.timedelta(seconds=rng.choice([0, 60, 120, 300, 600])),
+          float(i))
+         for i in range(80)],
+        "cid long, user_id long, c_ts timestamp, v double",
+    )
+    for direction in ("backward", "forward"):
+        join_form = {
+            r.pid: (r.right_cid, r.right_v)
+            for r in as_of_join(
+                purchases, clicks, "user_id", "p_ts", "c_ts",
+                right_cols=["cid", "v"], left_id="pid", tiebreak="cid",
+                direction=direction,
+            ).collect()
+        }
+        union_form = {
+            r.pid: (r.right_cid, r.right_v)
+            for r in as_of_join_union(
+                purchases, clicks, "user_id", "p_ts", "c_ts",
+                right_cols=["cid", "v"], tiebreak="cid",
+                direction=direction,
+            ).collect()
+        }
+        assert union_form == join_form, direction
+
+    # the union form's plan has no join at all
+    out = as_of_join_union(
+        purchases, clicks, "user_id", "p_ts", "c_ts",
+        right_cols=["cid"], tiebreak="cid",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
