@@ -337,6 +337,30 @@ def test_materialized_table_adopts_stored_bucket_count(spark, log, tmp_path):
     assert rows == {(1, "Water Pump XL"), (2, "Steam Trap"), (3, "Compressor")}
 
 
+def test_append_retry_replaces_partial_output(spark, tmp_path):
+    """Crash-safety of the staged-batch publish: if a batch publishes
+    but the watermark commit never lands (crash between the two), the
+    rerun of the SAME batch must replace its own output — same id
+    range, same rows, no duplicates."""
+    log = EventLog(spark, str(tmp_path / "log"))
+    env = cdc_transform(
+        _assets(spark, []), _assets(spark, SEED),
+        "id", "dataschema", "assets", F.lit(T0),
+    )
+    n = log.append(env)
+    assert n == 3 and log.read().count() == 3
+
+    # simulate the crash: roll the watermark back as if the commit
+    # never happened, then rerun the batch
+    log._commit_watermark(0)
+    n2 = log.append(env)
+    assert n2 == 3
+    rows = log.read().collect()
+    assert len(rows) == 3, "rerun must replace, not duplicate"
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+    assert log.last_event_id() == 3
+
+
 def test_hourly_chunked_log(spark, tmp_path):
     """Hour chunking (Timescale chunk_time_interval parity,
     init.sql:69-70): nested event_hour partitions, hour-level partition

@@ -140,6 +140,38 @@ def test_multimodal_stub_and_determinism(spark, sf_dir):
         decode_stub(b"payload", fake=False)
 
 
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    """C5 resize + frame-sample plumbing: deterministic stub payloads,
+    correct shapes/metadata, bounded fan-out, real gating of the
+    library-dependent step."""
+    from timescale_cdc_spark.operators.multimodal import (
+        resize_images,
+        resize_stub,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    mm = attach_payload(docs, "doc_id", "text", "source")
+
+    thumbs = resize_images(mm, width=8, height=8)
+    rows = thumbs.orderBy("media_id").limit(5).collect()
+    assert all(len(r.payload) == 64 for r in rows)
+    assert all(r.meta.mime == "image/x-thumb" and r.meta.width == 8 for r in rows)
+    rows2 = resize_images(mm, width=8, height=8).orderBy("media_id").limit(5).collect()
+    assert [bytes(r.payload) for r in rows] == [bytes(r.payload) for r in rows2]
+
+    frames = sample_frames(mm, every_n_bytes=64, max_frames=4)
+    per_doc = {r["media_id"]: r["n"] for r in
+               frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    assert all(1 <= n <= 4 for n in per_doc.values())
+    f0 = frames.filter((F.col("media_id") == rows[0].media_id)
+                       & (F.col("frame_no") == 0)).first()
+    assert len(f0.frame) <= 64
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"payload", 8, 8, fake=False)
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     from timescale_cdc_spark.operators.similarity import ivf_topk
 
@@ -322,3 +354,28 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     }
     hot = key_histogram(od, "o_custkey", top=3).collect()
     assert len(hot) == 3 and hot[0]["n"] >= hot[-1]["n"]
+
+
+def test_winnow_fingerprints_overlap_guarantee(spark):
+    """Winnowing invariants: identical docs → identical fingerprint
+    sets; a shared substring of length >= k+window-1 yields >=1 common
+    fingerprint; disjoint texts share (almost) nothing; whitespace/
+    case normalization holds."""
+    from timescale_cdc_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, f"PREFIX AAA {shared} suffix one"),
+            (2, f"totally different opening {shared} and another ending"),
+            (3, "unrelated content with no overlap whatsoever in this text"),
+            (4, f"prefix aaa {shared} SUFFIX ONE"),  # case/space variant of 1
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: set(r.fingerprints)
+           for r in winnow_fingerprints(docs, "text", k=8, window=4).collect()}
+    assert fps[1] == fps[4]  # normalization → identical sets
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    overlap_13 = len(fps[1] & fps[3]) / max(len(fps[1]), 1)
+    assert overlap_13 < 0.2, f"disjoint docs overlap too much: {overlap_13}"

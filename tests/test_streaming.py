@@ -253,6 +253,44 @@ def test_running_latest_state_v2_transform_with_state(spark, tmp_path):
     assert got["2"].current_row is None
 
 
+def test_streaming_exact_dedup_by_content(spark, tmp_path):
+    """C1-streaming: the ingest gate drops re-posted content (incl.
+    whitespace/case variants) across micro-batches within the
+    watermark."""
+    from timescale_cdc_spark.operators.curation import streaming_exact_dedup
+
+    rows = [
+        (1, "The quick brown fox", T0),
+        (2, "unrelated document", T0),
+        (3, "the  QUICK   brown fox", T0 + dt.timedelta(minutes=1)),  # dup of 1
+        (4, "The quick brown fox", T0 + dt.timedelta(minutes=2)),  # exact dup
+        (5, "fresh content", T0 + dt.timedelta(minutes=3)),
+    ]
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts timestamp"
+    ).repartition(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(src)
+    out = streaming_exact_dedup(stream, "text", "ingest_ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert 2 in kept and 5 in kept
+    # exactly one of the three fox variants survives
+    assert len(kept & {1, 3, 4}) == 1
+    assert len(kept) == 3
+
+
 def test_five_second_trigger_cadence(spark, tmp_path):
     """B5: the reference's 5 s poll cadence (readme.md:54) as
     trigger(processingTime='5 seconds') — smoke: query starts, makes

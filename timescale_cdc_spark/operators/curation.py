@@ -83,6 +83,34 @@ def curate(
     )
 
 
+def streaming_exact_dedup(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming form of exact dedup (C1 ⊕ B45): drop any document
+    whose normalized-content fingerprint was already seen within the
+    watermark horizon — the ingest-time dedup gate of a continuously
+    fed corpus.
+
+    State is one fingerprint per distinct content bounded by the
+    watermark (dropDuplicatesWithinWatermark evicts beyond it), so
+    memory is O(distinct docs per horizon), not O(corpus). Batch
+    pipelines use curate()/exact_dedup for the global pass; this gate
+    keeps the hot path clean between those passes.
+    """
+    normalized = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+    )
+    return (
+        doc_stream.withColumn("_content_fp", F.sha2(normalized, 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_fp"])
+        .drop("_content_fp")
+    )
+
+
 def curation_report(curated: DataFrame) -> DataFrame:
     """Stage-yield datasheet: docs and surviving token counts per
     outcome. One tiny aggregate over the curate() output."""

@@ -111,3 +111,123 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
+def resize_stub(
+    payload: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """Image resize — STUB (a real deployment plugs Pillow here).
+
+    fake=True emits a deterministic surrogate: the first
+    ``width*height`` bytes of sha256-keyed stream cipher of the
+    payload — same length contract a real RGB-packed thumbnail would
+    have (w·h·3 clipped to one channel here for compactness), stable
+    across runs/machines."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires Pillow/libvips, not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    n = width * height
+    out = bytearray()
+    counter = 0
+    seed = hashlib.sha256(payload).digest()
+    while len(out) < n:
+        out.extend(hashlib.sha256(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    return bytes(out[:n])
+
+
+def resize_images(
+    df: DataFrame, width: int = 16, height: int = 16, fake: bool = True
+) -> DataFrame:
+    """C5 resize over binary payloads: mapInPandas, one Arrow batch at
+    a time; output carries the thumbnail payload + updated metadata
+    (new mime, byte count) so downstream stages treat it exactly like
+    the original multimodal frame."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["payload"].map(
+                lambda p: resize_stub(bytes(p), width, height, fake=fake)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": thumbs,
+                    "meta": [
+                        {
+                            "mime": "image/x-thumb",
+                            "n_bytes": len(t),
+                            "width": width,
+                            "height": height,
+                        }
+                        for t in thumbs
+                    ],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """C5 video frame sampling — STUB decode, real plumbing: each
+    payload yields up to ``max_frames`` (frame_no, frame_bytes) rows,
+    one output row per sampled frame (the explode-shaped output a real
+    ffmpeg key-frame sampler produces). Deterministic fake: frame i is
+    the payload slice [i·every_n_bytes, (i+1)·every_n_bytes).
+
+    Scale: the fan-out is bounded by max_frames; payload bytes stream
+    through Arrow batches and are never shuffled (downstream feature
+    extraction is map-side on the same partition).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "frame sampling requires ffmpeg, not present in "
+                        "this environment; pass fake=True for the stub"
+                    )
+                data = bytes(payload)
+                n = min(max_frames, max(1, len(data) // every_n_bytes))
+                for i in range(n):
+                    ids.append(mid)
+                    frame_nos.append(i)
+                    frames.append(data[i * every_n_bytes:(i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "frame": frames}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, out_schema)

@@ -122,3 +122,48 @@ def fingerprint(df: DataFrame, text_col: str) -> DataFrame:
         F.md5(normalized).alias("content_fingerprint"),
         F.xxhash64(normalized).alias("content_hash64"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 rolling-hash document fingerprinting — winnowing (the
+    MOSS/Stanford scheme): hash every character k-gram (the rolling
+    hash), then keep the minimum hash of each length-``window`` run of
+    consecutive k-gram hashes. The selected set is position-robust:
+    any shared substring of length >= k + window - 1 between two
+    documents is GUARANTEED to contribute at least one common
+    fingerprint, so partial overlap is detectable where a whole-text
+    hash (``fingerprint``) sees nothing.
+
+    Returns (id, fingerprints array<long>, n_fingerprints). Entirely
+    JVM expressions on normalized text. Cost is O(len · window) array
+    work per document (the HOF slice-min; the deque-based O(len)
+    winnowing needs sequential state Spark expressions can't carry) —
+    the knob at scale is ``k``/``window``, and the fingerprint sets
+    are what you shuffle, never the text.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    grams = (
+        f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), "
+        f"i -> xxhash64(substr(_norm, i, {k})))"
+    )
+    wins = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(_grams) - {window - 1}, 1)), "
+        f"j -> array_min(slice(_grams, j, {window}))))"
+    )
+    return (
+        df.withColumn("_norm", normalized)
+        .withColumn("_grams", F.expr(grams))
+        .withColumn("fingerprints", F.expr(wins))
+        .select(
+            id_col,
+            "fingerprints",
+            F.size("fingerprints").alias("n_fingerprints"),
+        )
+    )
