@@ -80,6 +80,20 @@ def test_range_join_bucketed_is_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_self_joins_are_shuffle_hash(spark, sf_dir):
+    """Round 3: LSH band self-joins must keep BOTH sides as shuffle
+    exchanges (identical canonical form → AQE ReusedQueryStage runs
+    the sketch pipeline once). A one-sided broadcast would rebuild the
+    whole sketch aggregation as a separate broadcast pipeline —
+    measured 2.2× slower."""
+    for name in ("c2_minhash_simhash", "c3_embedding_dup_pairs"):
+        plan = _plan(spark, name, sf_dir)
+        assert "ShuffledHashJoin" in plan, f"{name}: band join not shuffle-hash"
+        for line in plan.splitlines():
+            if "BroadcastHashJoin" in line and "bucket" in line:
+                raise AssertionError(f"{name}: band join got broadcast: {line}")
+
+
 def test_no_python_udf_in_core_relational_plans(spark, sf_dir):
     """The relational + CDC surface must be 100% JVM-side (B40/C5 are
     the only sanctioned Python edges)."""
