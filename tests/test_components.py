@@ -1,0 +1,83 @@
+"""Connected-components correctness: the distributed large-star/
+small-star iteration must agree with a reference union-find on random
+pair graphs, including chains (the case the single-pass star
+approximation gets conservative about) and high-degree stars."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.operators.components import (
+    connected_components,
+    dedup_keep_canonical,
+)
+
+
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min member per component
+    comp: dict[int, int] = {}
+    for x in list(parent):
+        r = find(x)
+        comp[x] = min(comp.get(r, x), x)
+    # second pass so every member maps to the true min
+    mins: dict[int, int] = {}
+    for x in parent:
+        mins.setdefault(find(x), x)
+        mins[find(x)] = min(mins[find(x)], x)
+    return {x: mins[find(x)] for x in parent}
+
+
+def _check(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df).collect()
+    }
+    want = _union_find(pairs)
+    assert got == want
+
+
+def test_chains_stars_and_random_graphs(spark):
+    # chain: a<b<c<d linked pairwise-adjacent only (transitive closure
+    # must still group them all)
+    _check(spark, [(1, 2), (2, 3), (3, 4)])
+    # star + separate pair + bridge merging two clusters
+    _check(spark, [(10, 11), (10, 12), (10, 13), (20, 21), (13, 20)])
+    # random graphs
+    rng = random.Random(3)
+    for trial in range(3):
+        n = 60
+        pairs = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(40)
+        ]
+        pairs = [(min(a, b), max(a, b)) for a, b in pairs if a != b]
+        _check(spark, pairs)
+
+
+def test_dedup_keep_canonical_transitive(spark):
+    """A chain of near-dup pairs collapses to ONE kept doc (the
+    minimum), unlike the conservative single-pass approximation."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    kept = {r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()}
+    assert kept == {1, 5, 6}

@@ -1,0 +1,154 @@
+"""Connected components over a pair graph — exact transitive closure
+of near-duplicate pairs (the dedup-cluster resolution step; completes
+operators/curation.py's single-pass star approximation).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+standard shuffle-based CC used by web-scale dedup pipelines:
+
+- large-star: every node connects its LARGER neighbors to its current
+  minimum neighbor (incl. itself).
+- small-star: every node connects its smaller-or-equal neighbors to
+  its minimum neighbor.
+
+Each round is two groupBy shuffles; the edge set monotonically bends
+toward a star per component rooted at the component minimum, and the
+iteration converges in O(log n) rounds on real graphs. No driver-side
+graph state — the only driver loop is the round counter with a
+convergence check (one count per round).
+
+At 100 TB: duplicate-pair graphs are overwhelmingly tiny components
+(pairs/triples), so rounds-to-converge is small and each round's
+shuffle carries ~|edges| longs. Skewed mega-components (boilerplate)
+are exactly what large-star handles — it splits high-degree stars in
+one round instead of chaining through them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions of each edge, self-loops dropped."""
+    return (
+        edges.select(F.col("u"), F.col("v"))
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    nbrs = edges.groupBy("u").agg(
+        F.collect_set("v").alias("nv"),
+    )
+    m = F.array_min(F.array_union(F.col("nv"), F.array(F.col("u"))))
+    return (
+        nbrs.select("u", m.alias("m"), F.explode("nv").alias("v"))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each u over smaller-or-equal neighbors: m = min; connect
+    them all (and u) to m."""
+    le = edges.filter(F.col("v") <= F.col("u"))
+    nbrs = le.groupBy("u").agg(F.collect_set("v").alias("nv"))
+    m = F.array_min(F.array_union(F.col("nv"), F.array(F.col("u"))))
+    linked = nbrs.select(
+        "u",
+        m.alias("m"),
+        F.explode(F.array_union(F.col("nv"), F.array(F.col("u")))).alias("v"),
+    )
+    return (
+        linked.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Resolve a pair list (e.g. minhash_lsh_pairs output) into
+    components. Returns (node long, component long) where component is
+    the minimum node id of the component — every node appearing in any
+    pair is present.
+
+    Converges when a large-star + small-star round leaves the edge set
+    unchanged; raises if ``max_rounds`` is exceeded (pathological
+    input — real dup graphs converge in < 10)."""
+    edges = _sym(
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+    )
+    nodes = edges.select("u").distinct()
+
+    prev_count = -1
+    prev_persisted = None
+    for _ in range(max_rounds):
+        edges = _sym(_large_star(edges))
+        edges = _small_star(edges).persist()
+        cnt = edges.count()
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = edges
+        if cnt == prev_count:
+            # candidate fixpoint: edge count stable; star-shape check
+            # below ends the loop when truly converged
+            stable = edges
+            # after convergence every edge points (u → component min):
+            # u never appears as a destination of a smaller source
+            non_star = (
+                stable.alias("a")
+                .join(
+                    stable.alias("b"),
+                    F.col("a.v") == F.col("b.u"),
+                    "inner",
+                )
+                .count()
+            )
+            if non_star == 0:
+                break
+        prev_count = cnt
+        edges = _sym(edges)
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    assignments = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
+    # component roots point to themselves
+    roots = nodes.join(
+        assignments, nodes["u"] == assignments["node"], "left_anti"
+    ).select(F.col("u").alias("node"), F.col("u").alias("component"))
+    return assignments.unionByName(roots)
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep exactly one document per near-dup component (the component
+    minimum — the deterministic canonical member) plus every doc that
+    appears in no pair. The exact-transitive version of
+    curation.curate()'s single-pass approximation."""
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -42,10 +42,18 @@ def curate(
     min_quality: float = 0.3,
     min_tokens: int = 5,
     near_dup_threshold: float = 0.7,
+    transitive: bool = False,
 ) -> DataFrame:
     """Run the full curation pipeline; returns ALL input docs with
     `kept` (bool), `drop_reason` (quality | exact_dup | near_dup |
-    null) and, for survivors, token statistics."""
+    null) and, for survivors, token statistics.
+
+    ``transitive=True`` resolves near-dup groups exactly via
+    connected components (operators/components.py) — a chain a~b~c
+    keeps only its canonical minimum instead of the single-pass
+    approximation's drop-all-higher-pair-members (see module
+    docstring). Costs O(log n) extra shuffle rounds on the pair
+    graph only."""
     scored = quality_score(docs.select(id_col, text_col), text_col)
 
     quality_ok = scored.filter(
@@ -56,7 +64,18 @@ def curate(
     pairs = minhash_lsh_pairs(
         exact_kept, text_col, id_col, threshold=near_dup_threshold
     )
-    near_dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        from timescale_cdc_spark.operators.components import (
+            connected_components,
+        )
+
+        cc = connected_components(pairs)
+        near_dup_ids = (
+            cc.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+        )
+    else:
+        near_dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = exact_kept.join(near_dup_ids, id_col, "left_anti")
     survivors = token_stats(survivors.select(id_col, text_col), text_col)
 
