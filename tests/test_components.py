@@ -70,6 +70,18 @@ def test_chains_stars_and_random_graphs(spark):
         _check(spark, pairs)
 
 
+def test_mega_component_hub_and_long_chain(spark):
+    """Skew shapes: one 500-node hub star (boilerplate mega-component
+    — the case that made collect_set a one-task straggler) plus a
+    64-node chain (max diameter per edge count), together with
+    singleton pairs. Exercises the min+join star steps on both skew
+    axes and the convergence check across >1 round."""
+    pairs = [(0, i) for i in range(1, 500)]          # hub star at 0
+    pairs += [(1000 + i, 1001 + i) for i in range(63)]  # chain
+    pairs += [(5000, 5001), (6000, 6001)]            # isolated pairs
+    _check(spark, pairs)
+
+
 def test_dedup_keep_canonical_transitive(spark):
     """A chain of near-dup pairs collapses to ONE kept doc (the
     minimum), unlike the conservative single-pass approximation."""

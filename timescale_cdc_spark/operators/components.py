@@ -41,13 +41,19 @@ def _sym(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
-    nbrs = edges.groupBy("u").agg(
-        F.collect_set("v").alias("nv"),
+    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
+
+    Shape: min-aggregate then join the min back onto the edge list —
+    NOT collect_set+explode. A mega-component's root has degree ~|C|;
+    collect_set would build that whole neighbor set in ONE task (the
+    straggler that stalls a 200k-diameter soak), while min() is a
+    partial-aggregating scalar and the join-back is an equi-join AQE
+    can skew-split."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", "u").alias("m")
     )
-    m = F.array_min(F.array_union(F.col("nv"), F.array(F.col("u"))))
     return (
-        nbrs.select("u", m.alias("m"), F.explode("nv").alias("v"))
+        edges.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -57,17 +63,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """For each u over smaller-or-equal neighbors: m = min; connect
-    them all (and u) to m."""
+    them all (and u) to m. Same min+join-back shape as _large_star."""
     le = edges.filter(F.col("v") <= F.col("u"))
-    nbrs = le.groupBy("u").agg(F.collect_set("v").alias("nv"))
-    m = F.array_min(F.array_union(F.col("nv"), F.array(F.col("u"))))
-    linked = nbrs.select(
-        "u",
-        m.alias("m"),
-        F.explode(F.array_union(F.col("nv"), F.array(F.col("u")))).alias("v"),
+    # m = min(N_le(u) ∪ {u}) = min(N_le(u)) since every v <= u
+    mins = le.groupBy("u").agg(F.min("v").alias("m"))
+    linked = le.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
     )
+    self_link = mins.select(F.col("u"), F.col("m").alias("v"))
     return (
-        linked.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        linked.union(self_link)
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
