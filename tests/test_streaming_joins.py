@@ -68,3 +68,70 @@ def test_register_table_views(spark, tmp_path):
     assert n == 1
     total = spark.sql("SELECT COUNT(*) AS n FROM event_log").collect()[0]["n"]
     assert total == 2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream watermarked interval join: each reading matches
+    maintenance events on the same asset within the 10-minute
+    lookback; older or other-asset events never join. The same
+    builder on batch frames must produce the identical result set
+    (batch parity = the oracle for the streaming plan)."""
+    from timescale_cdc_spark.streaming import stream_stream_interval_join
+
+    m = dt.timedelta(minutes=1)
+    readings = [
+        (1, T0 + 20 * m, 98.5),   # joins maint at +15m (5m before)
+        (2, T0 + 20 * m, 71.2),   # maint for asset 2 is 20m earlier -> no join
+        (3, T0 + 40 * m, 55.0),   # no maint at all
+    ]
+    maint = [
+        (1, T0 + 15 * m, "greased"),
+        (1, T0 + 31 * m, "replaced"),  # AFTER the reading -> no join
+        (2, T0 + 0 * m, "inspected"),  # 20m before reading, > lookback
+    ]
+    r_dir, mnt_dir = str(tmp_path / "readings"), str(tmp_path / "maint")
+    r_schema = "asset_id long, r_ts timestamp, value double"
+    m_schema = "asset_id long, m_ts timestamp, action string"
+    r_batch = spark.createDataFrame(readings, r_schema)
+    m_batch = spark.createDataFrame(maint, m_schema)
+    r_batch.write.parquet(r_dir)
+    m_batch.write.parquet(mnt_dir)
+
+    def build(left, right):
+        return stream_stream_interval_join(
+            left, right, on=["asset_id"],
+            left_ts="r_ts", right_ts="m_ts", lookback="10 minutes",
+        )
+
+    # streaming run
+    out = build(
+        spark.readStream.schema(r_schema).parquet(r_dir),
+        spark.readStream.schema(m_schema).parquet(mnt_dir),
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.asset_id, r.value, r.action)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    assert got == {(1, 98.5, "greased")}
+
+    # batch parity: identical plan minus watermarks, same rows
+    batch_got = {
+        (r.asset_id, r.value, r.action)
+        for r in build(r_batch, m_batch).collect()
+    }
+    assert batch_got == got
+
+    # same-name ts columns must be rejected, not silently mis-joined
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_stream_interval_join(r_batch, m_batch, on=["asset_id"])

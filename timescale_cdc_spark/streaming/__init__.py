@@ -7,11 +7,17 @@ topic publish path (readme.md:50-56).
 - monitor.py  — windowed monitoring aggregations (tumbling / sliding /
   session) and watermark policies
 - state.py    — stateful per-key processing (running current-state)
+- joins.py    — stream-stream watermarked interval join
 """
 
+from timescale_cdc_spark.streaming.joins import stream_stream_interval_join
 from timescale_cdc_spark.streaming.pipeline import (
     CdcStreamPipeline,
     stream_event_log,
 )
 
-__all__ = ["CdcStreamPipeline", "stream_event_log"]
+__all__ = [
+    "CdcStreamPipeline",
+    "stream_event_log",
+    "stream_stream_interval_join",
+]
