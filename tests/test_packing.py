@@ -1,0 +1,106 @@
+"""Sample-packing invariants: no doc lost or duplicated, budget
+respected (strictly for the exact variant, within max-doc slack for
+the window variant), oversized docs solo, deterministic pack ids."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.operators.packing import (
+    assign_packs,
+    assign_packs_exact,
+)
+
+BUDGET = 100
+
+
+def _corpus(spark, n=400, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(5, 80) if rng.random() > 0.02 else rng.randint(150, 300))
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_window_packing_invariants(spark):
+    rows, docs = _corpus(spark)
+    out = assign_packs(docs, "n_tokens", "doc_id", BUDGET, num_partitions=8)
+    got = out.collect()
+    # bijective over docs
+    assert sorted(r.doc_id for r in got) == sorted(i for i, _ in rows)
+    max_doc = max(t for _, t in rows if t <= BUDGET)
+    sums = (
+        out.groupBy("pack_id").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    for r in sums:
+        if r.pack_id.startswith("solo-"):
+            continue
+        # window variant: overflow bounded by the largest packed doc
+        assert r.s < BUDGET + max_doc
+    # oversized docs are solo
+    solo = {r.doc_id for r in got if r.pack_id.startswith("solo-")}
+    assert solo == {i for i, t in rows if t > BUDGET}
+    # deterministic across runs
+    again = {
+        (r.doc_id, r.pack_id)
+        for r in assign_packs(
+            docs, "n_tokens", "doc_id", BUDGET, num_partitions=8
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.pack_id) for r in got}
+
+
+def test_exact_packing_never_exceeds_budget(spark):
+    rows, docs = _corpus(spark)
+    out = assign_packs_exact(docs, "n_tokens", "doc_id", BUDGET, num_partitions=8)
+    got = out.collect()
+    assert sorted(r.doc_id for r in got) == sorted(i for i, _ in rows)
+    by_pack: dict[int, list[tuple[int, int]]] = {}
+    tok = dict(rows)
+    for r in got:
+        by_pack.setdefault(r.pack_seq, []).append((r.doc_id, tok[r.doc_id]))
+    for members in by_pack.values():
+        total = sum(t for _, t in members)
+        if len(members) == 1:
+            continue  # solo packs may hold one oversized doc
+        assert total <= BUDGET
+        assert all(t <= BUDGET for _, t in members)
+    # oversized docs are alone in their pack
+    for pid, members in by_pack.items():
+        if any(t > BUDGET for _, t in members):
+            assert len(members) == 1
+
+
+def test_exact_matches_reference_greedy(spark):
+    """Per-partition greedy must equal a pure-Python greedy over the
+    same partition ordering — the oracle for the applyInPandas path."""
+    rows, docs = _corpus(spark, n=120, seed=11)
+    out = assign_packs_exact(docs, "n_tokens", "doc_id", BUDGET, num_partitions=4)
+    got = out.select("doc_id", "pack_seq").collect()
+    spark_packs = {r.doc_id: r.pack_seq for r in got}
+
+    # reference: same hash distribution (taken from Spark's own
+    # xxhash64, the only non-pure-Python step), same id order, same greedy
+    parts = {
+        r.doc_id: r.p
+        for r in docs.withColumn(
+            "p", F.pmod(F.xxhash64("doc_id"), F.lit(4))
+        ).collect()
+    }
+    want: dict[int, int] = {}
+    for p in range(4):
+        members = sorted(
+            [(i, t) for i, t in rows if parts[i] == p]
+        )
+        seq, run = 0, 0
+        for i, t in members:
+            if t > BUDGET or run + t > BUDGET:
+                seq, run = seq + 1, 0
+            run += min(t, BUDGET)
+            want[i] = p * 10_000_000 + seq
+            if t > BUDGET:
+                seq, run = seq + 1, 0
+    assert spark_packs == want

@@ -11,6 +11,10 @@ from timescale_cdc_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from timescale_cdc_spark.operators.packing import (
+    assign_packs,
+    assign_packs_exact,
+)
 from timescale_cdc_spark.operators.similarity import (
     brute_force_topk,
     embedding_dup_pairs,
@@ -24,6 +28,8 @@ from timescale_cdc_spark.operators.text import (
 )
 
 __all__ = [
+    "assign_packs",
+    "assign_packs_exact",
     "brute_force_topk",
     "embedding_dup_pairs",
     "exact_dedup",
