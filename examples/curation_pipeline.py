@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""End-to-end training-data curation — the Tier C pipeline on the
+driver's documents fixture, stage by stage with yield accounting:
+
+  1. curate(): quality filter → exact dedup → MinHash-LSH near-dedup
+     (transitive component resolution) → token stats, with
+     per-document drop_reason provenance
+  2. assign_packs(): pack the survivors into fixed token-budget
+     sequences (partition-local greedy — the pretraining batch shape)
+  3. print the corpus datasheet: per-stage yields, pack fill rate
+
+Run:  python3 examples/curation_pipeline.py [sf_dir]
+      (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.catalog import load_table
+from timescale_cdc_spark.operators.curation import curate
+from timescale_cdc_spark.operators.packing import assign_packs
+from timescale_cdc_spark.session import get_spark
+
+BUDGET = 1024
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="curation_pipeline", master="local[8]",
+                      shuffle_partitions=8)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n0 = docs.count()
+
+    curated = curate(docs, transitive=True).cache()
+    yields = {
+        r["drop_reason"]: r["n"]
+        for r in curated.groupBy("drop_reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = curated.filter(F.col("kept"))
+
+    packed = assign_packs(
+        kept.select("doc_id", "ws_tokens"),
+        "ws_tokens", "doc_id", BUDGET, num_partitions=8,
+    )
+    packs = (
+        packed.groupBy("pack_id").agg(F.sum("ws_tokens").alias("tok")).cache()
+    )
+    n_packs = packs.count()
+    total_tok = packs.agg(F.sum("tok")).collect()[0][0] or 0
+
+    print("=== corpus datasheet ===")
+    print(f"input docs            {n0}")
+    for reason in ("quality", "exact_dup", "near_dup"):
+        print(f"dropped: {reason:<12} {yields.get(reason, 0)}")
+    print(f"kept                  {yields.get(None, 0)}")
+    print(f"packs (budget {BUDGET})   {n_packs}")
+    if n_packs:
+        print(f"mean pack fill        {total_tok / (n_packs * BUDGET):.1%}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
