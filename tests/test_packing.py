@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import random
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from timescale_cdc_spark.operators.packing import (
@@ -104,3 +106,35 @@ def test_exact_matches_reference_greedy(spark):
             if t > BUDGET:
                 seq, run = seq + 1, 0
     assert spark_packs == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=160), min_size=1, max_size=60),
+    budget=st.integers(min_value=20, max_value=120),
+)
+def test_exact_packing_property(spark, toks, budget):
+    """For arbitrary token counts and budgets: bijective over docs,
+    multi-doc packs never exceed the budget, docs over budget always
+    solo, pack members are contiguous in id order within a partition."""
+    docs = spark.createDataFrame(
+        list(enumerate(toks)), "doc_id long, n_tokens long"
+    )
+    got = assign_packs_exact(
+        docs, "n_tokens", "doc_id", budget, num_partitions=3
+    ).collect()
+    assert sorted(r.doc_id for r in got) == list(range(len(toks)))
+    by_pack: dict[int, list[int]] = {}
+    for r in got:
+        by_pack.setdefault(r.pack_seq, []).append(r.doc_id)
+    for members in by_pack.values():
+        total = sum(toks[i] for i in members)
+        if len(members) > 1:
+            assert total <= budget
+        else:
+            (i,) = members
+            assert toks[i] > budget or total <= budget

@@ -135,3 +135,26 @@ def test_stream_stream_interval_join(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stream_stream_interval_join(r_batch, m_batch, on=["asset_id"])
+
+
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    """Left-outer: readings with no in-window maintenance survive with
+    nulls (streaming left-outer emits them once the watermark passes;
+    with availableNow + watermark the unmatched rows flush at end)."""
+    from timescale_cdc_spark.streaming import stream_stream_interval_join
+
+    m = dt.timedelta(minutes=1)
+    readings = [(1, T0 + 20 * m, 98.5), (3, T0 + 40 * m, 55.0)]
+    maint = [(1, T0 + 15 * m, "greased")]
+    r_schema = "asset_id long, r_ts timestamp, value double"
+    m_schema = "asset_id long, m_ts timestamp, action string"
+    r_batch = spark.createDataFrame(readings, r_schema)
+    m_batch = spark.createDataFrame(maint, m_schema)
+
+    out = stream_stream_interval_join(
+        r_batch, m_batch, on=["asset_id"],
+        left_ts="r_ts", right_ts="m_ts", lookback="10 minutes",
+        how="left_outer",
+    )
+    got = {(r.asset_id, r.value, r.action) for r in out.collect()}
+    assert got == {(1, 98.5, "greased"), (3, 55.0, None)}
