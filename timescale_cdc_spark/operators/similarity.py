@@ -177,16 +177,25 @@ def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]
 
 def sketch_bits(vec_col: str, planes: list[list[float]]) -> F.Column:
     """Sign sketch: bit j = 1 iff vec · plane_j > 0, packed as long.
-    One dot product per plane (shift amounts must be Python ints)."""
-    fp = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(v)) for v in plane])
-        fp = fp.bitwiseOR(
-            F.when(
-                _dot(F.col(vec_col), plane_lit) > 0, F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+
+    Built as ONE expr() string, not num_planes × dim nested Column
+    objects — the py4j tree form cost ~2.5 s of fixed per-query
+    construction overhead (see operators/dedup.py for the same
+    pattern); the SQL text parses once on the JVM and evaluates the
+    identical fold, so sketches are bit-identical."""
+
+    def dot_expr(plane: list[float]) -> str:
+        arr = ", ".join(f"{float(v)!r}D" for v in plane)
+        return (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
         )
-    return fp
+
+    terms = " | ".join(
+        f"(CASE WHEN {dot_expr(plane)} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j, plane in enumerate(planes)
+    )
+    return F.expr(terms)
 
 
 def hyperplane_lsh_topk(
