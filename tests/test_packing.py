@@ -138,3 +138,25 @@ def test_exact_packing_property(spark, toks, budget):
         else:
             (i,) = members
             assert toks[i] > budget or total <= budget
+
+
+def test_curate_then_pack_composition(spark):
+    """The training-data flow: curation survivors feed the packer;
+    every kept doc lands in exactly one pack, no dropped doc does."""
+    from timescale_cdc_spark.operators.curation import curate
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the bank"),
+        (3, "a b"),  # fails min_tokens
+        (4, "the market rallied today and investors cheered the results"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated = curate(docs, min_quality=0.0, min_tokens=5)
+    kept = curated.filter(F.col("kept")).select("doc_id", "ws_tokens")
+    packed = assign_packs(kept, "ws_tokens", "doc_id", budget=64, num_partitions=2)
+    got = {r.doc_id for r in packed.collect()}
+    want = {r.doc_id for r in curated.filter(F.col("kept")).collect()}
+    assert got == want
+    assert 3 not in got  # min_tokens drop
+    assert len(got) < len(rows)  # exact-dup of 1/2 dropped one
