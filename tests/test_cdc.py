@@ -424,6 +424,59 @@ def test_hourly_chunked_log(spark, tmp_path):
     assert pipe.read_topic("t1").count() == 3
 
 
+def test_hour_compaction_crash_between_renames(spark, tmp_path):
+    """Crash-safety contract for hour chunks (ADVICE r3 high): a crash
+    between _compact_dir's two renames leaves only
+    ``event_hour=NN._compact_old`` + ``._compact_tmp`` survivors — the
+    live leaf is missing. recover_partition must restore the real leaf
+    (not no-op on the suffixed dirs), and compact_partition on the
+    crashed state must recover-then-compact under the real name, never
+    stranding data under ``._compact_*`` partition names."""
+    import os
+    import shutil
+
+    from timescale_cdc_spark.cdc.retention import (
+        compact_partition,
+        recover_partition,
+    )
+
+    log = EventLog(spark, str(tmp_path / "log"), chunk="hour")
+    s0 = _assets(spark, [])
+    for i, ts in enumerate([T0, T0 + dt.timedelta(hours=3)]):
+        env = cdc_transform(
+            s0, _assets(spark, SEED), "id", "dataschema", f"t{i}", F.lit(ts)
+        )
+        log.append(env)
+    assert log.read().count() == 6
+
+    day_dir = os.path.join(log.data_path, f"event_date={T0.date().isoformat()}")
+    leaf = os.path.join(day_dir, "event_hour=12")
+
+    def simulate_crash_between_renames():
+        # state mid-_compact_dir: tmp written, live renamed to old,
+        # second rename never ran
+        shutil.copytree(leaf, leaf + "._compact_tmp")
+        os.rename(leaf, leaf + "._compact_old")
+
+    simulate_crash_between_renames()
+    assert not os.path.isdir(leaf)
+    assert recover_partition(log, T0.date())
+    assert os.path.isdir(leaf)
+    assert not os.path.isdir(leaf + "._compact_old")
+    assert not os.path.isdir(leaf + "._compact_tmp")
+    assert log.read().count() == 6
+    assert log.read().filter(F.col("event_hour") == 12).count() == 3
+
+    # compact_partition directly on the crashed state: recovers first,
+    # compacts the real leaves, strands nothing
+    simulate_crash_between_renames()
+    n = compact_partition(log, T0.date())
+    assert n == 6
+    assert sorted(os.listdir(day_dir)) == ["event_hour=12", "event_hour=15"]
+    assert log.read().count() == 6
+    assert log.read().filter(F.col("event_hour") == 12).count() == 3
+
+
 def test_distributed_id_assignment_dense(spark, log):
     """SCALE.md fallback: per-partition id ranges stay dense and
     gap-free without a global sort."""

@@ -99,13 +99,30 @@ def _compact_dir(log: EventLog, part: str, target_files: int) -> int:
 
 def _leaf_dirs(date_dir: str) -> list[str]:
     """Partition leaf dirs under one event_date dir: the dir itself
-    (day chunking) or its event_hour=NN children (hour chunking)."""
+    (day chunking) or its event_hour=NN children (hour chunking).
+    ``._compact_old``/``._compact_tmp`` swap survivors are never
+    leaves — they are crash debris handled by _recover_leaves."""
     hours = sorted(
         os.path.join(date_dir, name)
         for name in os.listdir(date_dir)
-        if name.startswith("event_hour=") and os.path.isdir(os.path.join(date_dir, name))
+        if name.startswith("event_hour=")
+        and "._compact_" not in name
+        and os.path.isdir(os.path.join(date_dir, name))
     )
     return hours or [date_dir]
+
+
+def _recover_leaves(date_dir: str) -> bool:
+    """Restore hour leaves whose live dir was lost to a crash between
+    _compact_dir's two renames: each ``*._compact_old`` survivor names
+    the missing leaf — strip the suffix and _recover_dir the real path
+    (restores the live dir and sweeps tmp debris)."""
+    restored = False
+    for name in os.listdir(date_dir):
+        if name.endswith("._compact_old"):
+            leaf = os.path.join(date_dir, name[: -len("._compact_old")])
+            restored = _recover_dir(leaf) or restored
+    return restored
 
 
 def recover_partition(log: EventLog, date: dt.date) -> bool:
@@ -113,6 +130,7 @@ def recover_partition(log: EventLog, date: dt.date) -> bool:
     part = os.path.join(log.data_path, f"event_date={date.isoformat()}")
     restored = _recover_dir(part)
     if os.path.isdir(part):
+        restored = _recover_leaves(part) or restored
         for leaf in _leaf_dirs(part):
             restored = _recover_dir(leaf) or restored
     return restored
@@ -123,9 +141,13 @@ def compact_partition(log: EventLog, date: dt.date, target_files: int = 1) -> in
     per leaf (the whole date dir for day chunking; each event_hour
     sub-chunk for hour chunking — the nested layout is preserved so
     hour-level pruning survives compaction). Returns rows compacted.
-    Atomic per leaf; readers never observe a half-written partition."""
+    Atomic per leaf; readers never observe a half-written partition.
+    A leaf half-swapped by a crashed prior compaction is restored
+    first (_recover_leaves) so it is compacted under its real name,
+    never as ``._compact_old`` debris."""
     part = os.path.join(log.data_path, f"event_date={date.isoformat()}")
     _recover_dir(part)
     if not os.path.isdir(part):
         return 0
+    _recover_leaves(part)
     return sum(_compact_dir(log, leaf, target_files) for leaf in _leaf_dirs(part))
