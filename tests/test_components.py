@@ -44,10 +44,11 @@ def _union_find(pairs):
 
 def _check(spark, pairs):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = {
-        r.node: r.component
-        for r in connected_components(df).collect()
-    }
+    rows = connected_components(df).collect()
+    # exactly one (node, component) row per node — a dict built from
+    # rows would silently mask duplicate conflicting assignments
+    assert len(rows) == len({r.node for r in rows})
+    got = {r.node: r.component for r in rows}
     want = _union_find(pairs)
     assert got == want
 
@@ -80,6 +81,21 @@ def test_mega_component_hub_and_long_chain(spark):
     pairs += [(1000 + i, 1001 + i) for i in range(63)]  # chain
     pairs += [(5000, 5001), (6000, 6001)]            # isolated pairs
     _check(spark, pairs)
+
+
+def test_multi_parent_star_state_not_a_fixpoint(spark):
+    """ADVICE r3 medium regression: {(2,0),(3,0),(2,1),(4,1)} is a
+    multi-parent star — destinations {0,1} disjoint from sources
+    {2,3,4}, so the old 'no destination is a source' check alone would
+    accept it as converged, returning node 2 twice (components 0 AND 1)
+    and never merging 0 with 1. With the function check (countDistinct
+    parent == 1) the loop must keep iterating until everything lands in
+    the single true component rooted at 0. Also covers variants with
+    extra bridges that pass through the same state mid-iteration."""
+    _check(spark, [(2, 0), (3, 0), (2, 1), (4, 1)])
+    _check(spark, [(2, 0), (3, 0), (2, 1), (4, 1), (7, 5), (7, 6), (8, 6)])
+    # two genuinely separate components stay separate
+    _check(spark, [(2, 0), (3, 0), (5, 4), (6, 4)])
 
 
 def test_dedup_keep_canonical_transitive(spark):

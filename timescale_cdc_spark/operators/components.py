@@ -111,11 +111,14 @@ def connected_components(
         edges = _small_star(edges).localCheckpoint(eager=True)
         cnt = edges.count()
         if cnt == prev_count:
-            # candidate fixpoint: edge count stable; star-shape check
-            # below ends the loop when truly converged
+            # candidate fixpoint: edge count stable; the two checks
+            # below together prove a star FOREST — (1) two-level: no
+            # destination is also a source, (2) a function: no node has
+            # two distinct parents. (1) alone admits multi-parent states
+            # like {(2,0),(3,0),(2,1),(4,1)} (destinations {0,1} disjoint
+            # from sources {2,3,4}) that would return conflicting
+            # (node, component) rows and leave components 0/1 unmerged.
             stable = edges
-            # after convergence every edge points (u → component min):
-            # u never appears as a destination of a smaller source
             non_star = (
                 stable.alias("a")
                 .join(
@@ -125,7 +128,13 @@ def connected_components(
                 )
                 .count()
             )
-            if non_star == 0:
+            multi_parent = (
+                stable.groupBy("u")
+                .agg(F.countDistinct("v").alias("k"))
+                .filter(F.col("k") > 1)
+                .count()
+            )
+            if non_star == 0 and multi_parent == 0:
                 break
         prev_count = cnt
         edges = _sym(edges)
