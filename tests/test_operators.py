@@ -92,6 +92,54 @@ def test_ngram_jaccard_near_pairs(docs, planted):
         assert j is not None and 0.8 <= j < 1.0
 
 
+def test_ngram_jaccard_df_pruning_exact(spark):
+    """max_df cap (VERDICT r3 #1): ubiquitous shingles leave the
+    blocking join but stay in the |∩| accounting, so every surviving
+    pair's Jaccard is EXACT (identical to the uncapped value); the only
+    pairs lost are those sharing *only* ubiquitous shingles."""
+    boiler = "the quick brown fox jumps"
+    rows = []
+    # 20 docs sharing one boilerplate prefix (its shingles hit df=20)
+    # with otherwise-unique tails → pairs share ONLY ubiq shingles
+    for i in range(20):
+        rows.append((i, boiler + f" u{i}a u{i}b u{i}c u{i}d u{i}e"))
+    # one true near-dup pair sharing the boilerplate AND a rare tail
+    rows.append((100, boiler + " shared tail words here alpha"))
+    rows.append((101, boiler + " shared tail words here omega"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.01
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.01, max_df=5
+        ).collect()
+    }
+    # exactness: every capped pair carries the identical exact jaccard
+    for k, v in capped.items():
+        assert uncapped[k] == v, f"pair {k}: capped {v} != exact {uncapped[k]}"
+    # the true near-dup pair (shares rare shingles) survives the cap
+    assert (100, 101) in capped
+    # pairs sharing only boilerplate are exactly the dropped ones
+    dropped = set(uncapped) - set(capped)
+    only_boiler = {(a, b) for a in range(20) for b in range(a + 1, 20)}
+    only_boiler |= {(i, d) for i in range(20) for d in (100, 101)}
+    assert dropped == only_boiler
+    # ...and a cap that nothing exceeds is a no-op
+    inert = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.01, max_df=1000
+        ).collect()
+    }
+    assert inert == uncapped
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10)

@@ -215,29 +215,62 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """C2 exact n-gram Jaccard near-dup pairs, shingle-blocked.
 
     Candidates = pairs sharing ≥1 shingle (explode + equi-join on the
     shingle — the blocking key), then exact |∩|/|∪| on distinct
-    shingle sets. Oracle-testable (plain SQL). The blocking join is
-    the scalable skeleton; at extreme scale rare-shingle sampling
-    bounds fan-out of ubiquitous shingles.
+    shingle sets. Oracle-testable (plain SQL).
+
+    ``max_df`` caps ubiquitous-shingle fan-out — the classic quadratic
+    hot-key blowup: one boilerplate shingle shared by f documents
+    contributes O(f²) rows to the blocking join. With a cap, shingles
+    whose document frequency exceeds ``max_df`` are excluded from the
+    BLOCKING join only; the Jaccard of every surviving candidate stays
+    EXACT because the pruned shingles are re-counted at verification
+    (each doc carries its own tiny array of ubiquitous shingles;
+    |∩| = rare-join count + |ubiq_a ∩ ubiq_b|). The only loss is
+    candidate pairs sharing *only* ubiquitous shingles — near-certain
+    non-matches at near-dup thresholds (standard DF-pruning). The
+    global ubiquitous set is ≤ total_shingle_rows / max_df entries, so
+    it broadcasts; per-task join fan-out per shingle is ≤ max_df².
     """
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )
-    sizes = exploded.groupBy("_id").agg(F.count("*").alias("n"))
+    if max_df is not None:
+        # Per-shingle document frequency in one map-side-combining
+        # pass (shingles are distinct per doc, so count(*) == df).
+        ubiq = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle", F.lit(True).alias("_ubiq"))
+        )
+        marked = exploded.join(F.broadcast(ubiq), "shingle", "left")
+        sizes = marked.groupBy("_id").agg(
+            F.count("*").alias("n"),
+            # collect_list skips nulls → only this doc's ubiquitous
+            # shingles; bounded by the doc's own shingle count.
+            F.sort_array(
+                F.collect_list(F.when(F.col("_ubiq"), F.col("shingle")))
+            ).alias("ubiq_arr"),
+        )
+        blocking = marked.filter(F.col("_ubiq").isNull()).select("_id", "shingle")
+    else:
+        sizes = exploded.groupBy("_id").agg(F.count("*").alias("n"))
+        blocking = exploded
     # |A∩B| falls out of the blocking join itself (shingles are
     # distinct per doc), so Jaccard = common/(na+nb-common) needs no
     # per-pair array materialization — the join + one pair-count
     # aggregate is the entire cost.
     inter = (
-        exploded.alias("a")
+        blocking.alias("a")
         .hint("shuffle_hash")
         .join(
-            exploded.alias("b").hint("shuffle_hash"),
+            blocking.alias("b").hint("shuffle_hash"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a._id") < F.col("b._id")),
         )
@@ -246,11 +279,29 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
     from timescale_cdc_spark.operators.text import trunc6
 
-    jaccard = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    if max_df is not None:
+        sa = sizes.select(
+            F.col("_id").alias("id_a"),
+            F.col("n").alias("na"),
+            F.col("ubiq_arr").alias("ubiq_a"),
+        )
+        sb = sizes.select(
+            F.col("_id").alias("id_b"),
+            F.col("n").alias("nb"),
+            F.col("ubiq_arr").alias("ubiq_b"),
+        )
+        # exact |∩|: rare common (from the join) + ubiquitous common
+        common = F.col("n_common") + F.size(
+            F.array_intersect("ubiq_a", "ubiq_b")
+        )
+    else:
+        sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+        common = F.col("n_common")
+
+    jaccard = common / (F.col("na") + F.col("nb") - common)
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")

@@ -124,6 +124,15 @@ def c1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: DF-pruning cap for the registered n-gram Jaccard query: shingles in
+#: more than this many docs are excluded from candidate BLOCKING (their
+#: O(df²) join fan-out is the classic hot-key blowup) but still counted
+#: exactly at verification. Chosen to be ACTIVE at sf0.1 (243 shingles
+#: exceed it, max df 29) and inert at sf0.01 (max df 9) — the oracle
+#: below implements the identical semantics, so both SFs hash-match.
+NGRAM_MAX_DF = 20
+
+
 @register(
     "c2_ngram_jaccard",
     f"""
@@ -134,26 +143,45 @@ def c1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              concat_ws(' ', words[i], words[i+1], words[i+2]) AS shingle
       FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
     ),
+    dfreq AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle),
+    rare AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle AND d.c <= 20
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT id_a, id_b,
+    SELECT i.id_a, i.id_b,
            floor(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) * 1000000) / 1000000 AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
+    FROM inter i
+    JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
     """,
 )
 def c2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 exact n-gram Jaccard near-dup pairs over the planted corpus:
     word-3-gram shingles, shingle-blocked candidates (never all-pairs),
-    exact |∩|/|∪| ≥ 0.8 (operators/dedup.py::ngram_jaccard_pairs)."""
+    exact |∩|/|∪| ≥ 0.8 (operators/dedup.py::ngram_jaccard_pairs).
+
+    DF-pruned blocking (max_df=20): ubiquitous shingles never enter the
+    candidate join — bounded hot-key fan-out at scale — yet every
+    surviving pair's Jaccard is EXACT (pruned shingles re-counted from
+    per-doc ubiquitous arrays at verify). The oracle encodes the same
+    semantics: candidates from rare shingles only (``cand``),
+    intersection over the full shingle sets (``inter``)."""
     corpus = _planted_docs(spark, sf_dir)
-    return ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3, threshold=0.8)
+    return ngram_jaccard_pairs(
+        corpus, "text", "doc_id", shingle_n=3, threshold=0.8, max_df=NGRAM_MAX_DF
+    )
 
 
 @register("c2_minhash_simhash")  # xxhash64 sketches are Spark-specific → rows-only
