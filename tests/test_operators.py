@@ -140,6 +140,73 @@ def test_ngram_jaccard_df_pruning_exact(spark):
     assert inert == uncapped
 
 
+def test_hot_bucket_star_pairing(spark):
+    """max_bucket cap (VERDICT r3 #3): a planted identical cluster
+    (every band bucket holds the whole cluster) switches from O(f²)
+    all-pairs to O(f) star pairs against the bucket minimum — the pair
+    graph still connects the entire cluster — while pairs in normal
+    (under-cap) buckets are byte-identical to the uncapped result."""
+    from timescale_cdc_spark.operators.components import connected_components
+    from timescale_cdc_spark.operators.dedup import simhash_pairs
+
+    cluster = [(i, "spam template words repeated all over again") for i in range(40)]
+    base = " ".join(f"word{i}" for i in range(40))
+    near = [(1000, base + " flowing"), (1001, base + " running")]
+    unique = [(2000 + i, f"totally unrelated text number u{i}x u{i}y u{i}z") for i in range(5)]
+    docs = spark.createDataFrame(cluster + near + unique, "doc_id long, text string")
+
+    for fn, kwargs in (
+        (minhash_lsh_pairs, {"threshold": 0.5}),
+        (simhash_pairs, {"max_hamming": 3}),
+    ):
+        uncapped = {(r.id_a, r.id_b) for r in fn(docs, "text", "doc_id", **kwargs).collect()}
+        capped_rows = fn(docs, "text", "doc_id", max_bucket=10, **kwargs).collect()
+        capped = {(r.id_a, r.id_b) for r in capped_rows}
+        name = fn.__name__
+        # cluster collapses to the star rooted at doc 0
+        assert {(0, j) for j in range(1, 40)} <= capped, name
+        assert not any(a != 0 and a < 40 and b < 40 for a, b in capped), (
+            f"{name}: non-star pair inside the hot cluster"
+        )
+        # normal-bucket pairs unchanged by the cap
+        assert {(a, b) for a, b in uncapped if a >= 1000} == {
+            (a, b) for a, b in capped if a >= 1000
+        }, name
+        assert (1000, 1001) in capped, name
+        # the star still connects the full cluster transitively
+        pair_df = spark.createDataFrame(
+            [(a, b) for a, b in capped if b < 40], "id_a long, id_b long"
+        )
+        comp = {r.node for r in connected_components(pair_df).collect()}
+        assert comp == set(range(40)), name
+
+
+def test_expr_string_operators_quote_column_names(spark):
+    """ADVICE r3 low: operators that build F.expr SQL strings must
+    quote interpolated caller column names — a name with a space or
+    dot previously failed to parse (or resolved as a struct field)."""
+    from timescale_cdc_spark.operators.dedup import minhash_signatures
+    from timescale_cdc_spark.operators.similarity import (
+        _hyperplanes,
+        sketch_bits,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "my text.col"]
+    )
+    sigs = minhash_signatures(docs, "my text.col", "doc_id").collect()
+    assert len(sigs) == 2 and sigs[0]._sig == sigs[1]._sig
+
+    vecs = spark.createDataFrame(
+        [(1, [0.5, -0.5, 0.25])], ["vec_id", "my vec.col"]
+    )
+    planes = _hyperplanes(num_planes=4, dim=3)
+    row = vecs.select(
+        sketch_bits("my vec.col", planes).alias("bits")
+    ).collect()[0]
+    assert isinstance(row.bits, int)
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10)

@@ -137,6 +137,37 @@ def test_stream_stream_interval_join(spark, tmp_path):
         stream_stream_interval_join(r_batch, m_batch, on=["asset_id"])
 
 
+def test_stream_stream_interval_join_rejects_column_clash(spark):
+    """ADVICE r3 low: shared non-key column names across the two sides
+    would yield duplicate output columns — must raise up front, like
+    the identical-ts-name check."""
+    import pytest
+
+    from timescale_cdc_spark.streaming import stream_stream_interval_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "asset_id long, l_ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 2.0)],
+        "asset_id long, r_ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="value"):
+        stream_stream_interval_join(
+            left, right, on=["asset_id"], left_ts="l_ts", right_ts="r_ts"
+        )
+    # disjoint names still work
+    ok = stream_stream_interval_join(
+        left,
+        right.withColumnRenamed("value", "r_value"),
+        on=["asset_id"],
+        left_ts="l_ts",
+        right_ts="r_ts",
+    )
+    assert ok.count() == 1
+
+
 def test_stream_stream_interval_join_left_outer(spark, tmp_path):
     """Left-outer: readings with no in-window maintenance survive with
     nulls (streaming left-outer emits them once the watermark passes;

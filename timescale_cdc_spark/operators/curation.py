@@ -42,6 +42,7 @@ def curate(
     min_quality: float = 0.3,
     min_tokens: int = 5,
     near_dup_threshold: float = 0.7,
+    near_dup_max_bucket: int | None = 256,
     transitive: bool = False,
 ) -> DataFrame:
     """Run the full curation pipeline; returns ALL input docs with
@@ -53,7 +54,13 @@ def curate(
     keeps only its canonical minimum instead of the single-pass
     approximation's drop-all-higher-pair-members (see module
     docstring). Costs O(log n) extra shuffle rounds on the pair
-    graph only."""
+    graph only.
+
+    ``near_dup_max_bucket`` (production default 256): hot-bucket skew
+    guard for the LSH band join — exact dedup upstream already
+    collapses byte-identical clusters, but near-identical template
+    spam still lands whole clusters in one band bucket; star pairing
+    keeps the task bounded (see dedup._banded_candidates)."""
     scored = quality_score(docs.select(id_col, text_col), text_col)
 
     quality_ok = scored.filter(
@@ -62,7 +69,11 @@ def curate(
     exact_kept = exact_dedup(quality_ok, text_col, id_col)
 
     pairs = minhash_lsh_pairs(
-        exact_kept, text_col, id_col, threshold=near_dup_threshold
+        exact_kept,
+        text_col,
+        id_col,
+        threshold=near_dup_threshold,
+        max_bucket=near_dup_max_bucket,
     )
     if transitive:
         from timescale_cdc_spark.operators.components import (

@@ -93,10 +93,12 @@ def minhash_signatures(
     # Column trees (~1.6 s of fixed per-query overhead) but one JVM
     # parse as SQL text (~0.3 s) — same expressions, bit-identical
     # signatures.
+    from timescale_cdc_spark.functions.ident import sql_ident
+
     word_hashes = df.select(
         F.col(id_col).alias("_id"),
         F.expr(
-            rf"transform(split({text_col}, '\\s+'), w -> xxhash64(w))"
+            rf"transform(split({sql_ident(text_col)}, '\\s+'), w -> xxhash64(w))"
         ).alias("_hw"),
     )
     shingle_args = ", ".join(
@@ -126,6 +128,72 @@ def minhash_signatures(
     )
 
 
+def _banded_candidates(
+    banded: DataFrame,
+    key_cols: list[str],
+    payload: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Candidate pairs (id_a, id_b, pa, pb) from a banded/bucketed
+    frame with columns (_id, <payload>, *key_cols).
+
+    ``max_bucket`` is the hot-bucket skew guard: a degenerate bucket of
+    f docs (empty texts, template spam — every band bucket identical)
+    otherwise makes ONE task emit O(f²) pairs. Buckets over the cap
+    switch from all-pairs to STAR pairing — every member is paired with
+    the bucket's minimum id only, O(f) pairs — so the verified pair
+    graph still CONNECTS the whole cluster (downstream connected
+    components / keep-canonical resolution is unaffected for mutually
+    similar members). Recall effect, documented: within an over-cap
+    bucket, a pair (x, y) where NEITHER verifies against the bucket
+    representative is missed unless another (under-cap) band bucket
+    catches it — hot buckets above any sane cap are overwhelmingly
+    identical/boilerplate clusters, where star pairs all verify.
+    Bucket stats ride the same (band, bucket) shuffle key as the join;
+    representatives are one row per hot bucket (broadcast)."""
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        a = frame.alias("a").hint("shuffle_hash")
+        b = frame.alias("b").hint("shuffle_hash")
+        cond = F.col("a._id") < F.col("b._id")
+        for k in key_cols:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        return a.join(b, cond).select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col(f"a.{payload}").alias("pa"),
+            F.col(f"b.{payload}").alias("pb"),
+        )
+
+    if max_bucket is None:
+        return _pairs(banded).dropDuplicates(["id_a", "id_b"])
+    stats = banded.groupBy(*key_cols).agg(
+        F.count("*").alias("_bsz"), F.min("_id").alias("_bmin")
+    )
+    marked = banded.hint("shuffle_hash").join(
+        stats.hint("shuffle_hash"), key_cols
+    )
+    cold = marked.filter(F.col("_bsz") <= max_bucket).select(*banded.columns)
+    hot = marked.filter(F.col("_bsz") > max_bucket)
+    reps = hot.filter(F.col("_id") == F.col("_bmin")).select(
+        *key_cols,
+        F.col("_id").alias("_rep_id"),
+        F.col(payload).alias("_rep_p"),
+    )
+    hot_pairs = (
+        hot.filter(F.col("_id") != F.col("_bmin"))
+        .join(F.broadcast(reps), key_cols)
+        # rep is the bucket min, so id_a < id_b holds by construction
+        .select(
+            F.col("_rep_id").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.col("_rep_p").alias("pa"),
+            F.col(payload).alias("pb"),
+        )
+    )
+    return _pairs(cold).unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -134,6 +202,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """C2 MinHash-LSH near-dup pairs.
 
@@ -157,6 +226,10 @@ def minhash_lsh_pairs(
     self-join's two sides as identical shuffle exchanges (no
     one-sided broadcast build of the whole sketch pipeline), measured
     2.2× faster end-to-end.
+
+    ``max_bucket`` guards against degenerate hot buckets (identical/
+    boilerplate clusters) — see _banded_candidates for the star-pairing
+    semantics and recall note.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
@@ -176,27 +249,11 @@ def minhash_lsh_pairs(
         F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.bucket")
 
-    a = banded.alias("a").hint("shuffle_hash")
-    b = banded.alias("b").hint("shuffle_hash")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _banded_candidates(banded, ["band", "bucket"], "_sig", max_bucket)
     jaccard_est = (
         F.size(
             F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                F.zip_with("pa", "pb", lambda x, y: x == y),
                 lambda m: m,
             )
         )
@@ -341,11 +398,18 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """C2 SimHash near-dup pairs: fingerprint, band the 64 bits into
     ``chunks`` 16-bit keys (pigeonhole: hamming ≤ 3 ⇒ at least one of
     4 chunks identical), equi-join per chunk, verify hamming via
-    bit_count(xor). Returns (id_a, id_b, hamming)."""
+    bit_count(xor). Returns (id_a, id_b, hamming).
+
+    Both join sides stay shuffle exchanges (shuffle_hash inside
+    _banded_candidates) — a one-sided broadcast would rebuild the whole
+    fingerprint aggregation as a separate broadcast pipeline (see
+    minhash_lsh_pairs for the measured effect). ``max_bucket`` is the
+    hot-bucket skew guard (star pairing; see _banded_candidates)."""
     fp = simhash_fingerprints(df, text_col, id_col)
     width = 64 // chunks
     chunk_structs = ", ".join(
@@ -358,28 +422,8 @@ def simhash_pairs(
         "_fp",
         F.explode(F.expr(f"array({chunk_structs})")).alias("ck"),
     ).select("_id", "_fp", "ck.chunk", "ck.key")
-    # shuffle_hash on both sides: identical shuffle exchanges instead
-    # of a one-sided broadcast that rebuilds the whole fingerprint
-    # aggregation as a separate broadcast pipeline (see
-    # minhash_lsh_pairs for the measured effect).
-    a = banded.alias("a").hint("shuffle_hash")
-    b = banded.alias("b").hint("shuffle_hash")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._fp").alias("fp_a"),
-            F.col("b._fp").alias("fp_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    cand = _banded_candidates(banded, ["chunk", "key"], "_fp", max_bucket)
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

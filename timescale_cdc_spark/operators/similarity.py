@@ -184,10 +184,12 @@ def sketch_bits(vec_col: str, planes: list[list[float]]) -> F.Column:
     pattern); the SQL text parses once on the JVM and evaluates the
     identical fold, so sketches are bit-identical."""
 
+    from timescale_cdc_spark.functions.ident import sql_ident
+
     def dot_expr(plane: list[float]) -> str:
         arr = ", ".join(f"{float(v)!r}D" for v in plane)
         return (
-            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"aggregate(zip_with({sql_ident(vec_col)}, array({arr}), "
             "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
         )
 

@@ -37,15 +37,25 @@ def stream_stream_interval_join(
     (operators/timejoin.py), with watermark-driven state eviction.
 
     ``left_ts``/``right_ts`` must be distinct column names (rename
-    before calling if both streams call it ``ts``); the equality
-    ``on`` keys are deduplicated to a single output column. Batch
-    frames pass through the same plan minus the watermarks, so the
-    semantics are oracle-testable in batch mode.
+    before calling if both streams call it ``ts``), and so must every
+    non-key column across the two sides — the output carries both
+    sides' columns by name, so a shared name would make downstream
+    by-name selection ambiguous. Both conditions raise up front. The
+    equality ``on`` keys are deduplicated to a single output column.
+    Batch frames pass through the same plan minus the watermarks, so
+    the semantics are oracle-testable in batch mode.
     """
     if left_ts == right_ts:
         raise ValueError(
             "left_ts and right_ts must be distinct column names "
             f"(both are {left_ts!r}); rename one side first"
+        )
+    clash = (set(left.columns) & set(right.columns)) - set(on)
+    if clash:
+        raise ValueError(
+            "non-key columns shared by both sides would produce "
+            f"ambiguous duplicate output columns: {sorted(clash)}; "
+            "rename or drop them on one side first"
         )
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
