@@ -337,6 +337,57 @@ def test_materialized_table_adopts_stored_bucket_count(spark, log, tmp_path):
     assert rows == {(1, "Water Pump XL"), (2, "Steam Trap"), (3, "Compressor")}
 
 
+def test_materialized_table_snapshot_survives_concurrent_writer(spark, log, tmp_path):
+    """Round-4 VERDICT #3: a reader that resolved its paths from
+    manifest generation G must still be able to scan after a writer
+    commits G+1 and runs _gc — retain_generations keeps the trailing
+    window of version dirs. Beyond the window, dirs ARE reclaimed and
+    a too-stale manifest fails loudly via _current_paths."""
+    from timescale_cdc_spark.cdc.materialize import MaterializedTable
+
+    path = str(tmp_path / "mat")
+    mat = MaterializedTable(spark, path, ASSETS_SCHEMA, "id",
+                            n_buckets=4, retain_generations=2)
+
+    states = [
+        [],
+        SEED,
+        [(1, "Water Pump XL", "WP001", T0, T0)] + SEED[1:],
+        [(1, "Water Pump XXL", "WP001", T0, T0)] + SEED[1:],
+        [(1, "Water Pump XXXL", "WP001", T0, T0)] + SEED[1:],
+    ]
+    def apply_step(i):
+        ts = T0 + dt.timedelta(minutes=i)
+        env = cdc_transform(
+            _assets(spark, states[i - 1]), _assets(spark, states[i]),
+            "id", "dataschema", "assets", F.lit(ts),
+        )
+        log.append(env)
+        mat.apply_changes(log.read().filter(F.col("ts") == ts))
+
+    apply_step(1)
+    # Reader pins its snapshot: concrete G1 paths resolved NOW.
+    reader_df = mat.read()
+    g1_manifest = mat._load_manifest()
+
+    apply_step(2)  # writer commits G2 and gcs
+    # The pinned G1 scan must still succeed and see the G1 state.
+    got = {(r["id"], r["name"]) for r in reader_df.collect()}
+    assert got == {(r[0], r[1]) for r in states[1]}
+
+    # Two more generations push G1 beyond the retain window...
+    apply_step(3)
+    apply_step(4)
+    # ...so its superseded version dirs are reclaimed and a reader
+    # still holding the G1 manifest fails loudly, not with a silently
+    # smaller table.
+    with pytest.raises(FileNotFoundError):
+        mat._current_paths(g1_manifest)
+    # The live table is unaffected.
+    live = {(r["id"], r["name"]) for r in mat.read().collect()}
+    assert live == {(r[0], r[1]) for r in states[4]}
+
+
 def test_append_retry_replaces_partial_output(spark, tmp_path):
     """Crash-safety of the staged-batch publish: if a batch publishes
     but the watermark commit never lands (crash between the two), the

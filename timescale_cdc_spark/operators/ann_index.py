@@ -47,6 +47,10 @@ class IvfIndex:
     def _corpus_path(self) -> str:
         return f"{self.path}/corpus"
 
+    @property
+    def _meta_path(self) -> str:
+        return f"{self.path}/meta"
+
     # -- build ---------------------------------------------------------------
 
     def build(
@@ -97,7 +101,125 @@ class IvfIndex:
             .partitionBy("_cell")
             .parquet(self._corpus_path)
         )
+
+        # Build-time stats for the staleness signal: corpus size and
+        # mean quantization error (mean L2² to the assigned centroid).
+        stats = (
+            self.corpus()
+            .join(F.broadcast(self.centroids()), "_cell")
+            .agg(
+                F.count("*").alias("n_at_build"),
+                F.avg(self._l2_sq(F.col("c_vec"))).alias("qerr_at_build"),
+            )
+            .withColumn("n_clusters", F.lit(n_clusters))
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
         return self
+
+    @staticmethod
+    def _l2_sq(vec: F.Column) -> F.Column:
+        """Squared L2 distance between a vector column and the
+        ``_centroid`` column it is joined with."""
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.col("_centroid"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def append(
+        self,
+        new_vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Absorb inserts WITHOUT refitting the quantizer: assign each
+        new vector to its nearest existing centroid (broadcast join +
+        per-vector rank — the exact rule ``model.transform`` applied at
+        build time) and append into that cell's partition directory.
+
+        This is how a CDC-fed index stays queryable between rebuilds —
+        an insert batch is one broadcast join + one partition-local
+        append, never a corpus rewrite. Recall degrades only as the
+        data distribution drifts away from the frozen centroids; the
+        drift is observable via :meth:`staleness`, which is the rebuild
+        trigger. Caller contract: ids in ``new_vectors`` are new (the
+        CDC upsert path dedupes upstream); appending an existing id
+        would shadow nothing and surface both rows.
+        """
+        v = new_vectors.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        )
+        scored = v.crossJoin(F.broadcast(self.centroids())).withColumn(
+            "_dist", self._l2_sq(F.col("c_vec"))
+        )
+        w = Window.partitionBy("c_id").orderBy(F.asc("_dist"), F.asc("_cell"))
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("c_id", "c_vec", "_cell")
+        )
+        (
+            assigned.write.mode("append")
+            .partitionBy("_cell")
+            .parquet(self._corpus_path)
+        )
+
+    def staleness(self) -> dict:
+        """Rebuild signal for the maintenance loop. Returns:
+
+        - ``appended_fraction``: share of the corpus appended since the
+          last build — the primary trigger (appends are assigned to
+          FROZEN centroids, so quantizer quality decays with this).
+        - ``qerr_ratio``: current mean quantization error over the
+          build-time mean — detects distribution DRIFT even at low
+          append volume (new vectors far from every centroid).
+        - ``cell_imbalance``: max cell size / mean cell size — a hot
+          cell degrades probe cost even when recall holds.
+        - ``rebuild_recommended``: True once appended_fraction > 0.25
+          or qerr_ratio > 1.5.
+
+        One pruned-free corpus scan (count + one agg) — cheap relative
+        to a rebuild's KMeans fit; run it on the maintenance cadence,
+        not per query.
+        """
+        meta = self.spark.read.parquet(self._meta_path).collect()[0]
+        cur = (
+            self.corpus()
+            .join(F.broadcast(self.centroids()), "_cell")
+            .groupBy("_cell")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(self._l2_sq(F.col("c_vec"))).alias("qerr_sum"),
+            )
+            .agg(
+                F.sum("n").alias("n_now"),
+                (F.sum("qerr_sum") / F.sum("n")).alias("qerr_now"),
+                (F.max("n") / F.avg("n")).alias("cell_imbalance"),
+            )
+            .collect()[0]
+        )
+        appended_fraction = (cur["n_now"] - meta["n_at_build"]) / cur["n_now"]
+        qerr_ratio = (
+            cur["qerr_now"] / meta["qerr_at_build"]
+            if meta["qerr_at_build"]
+            else 1.0
+        )
+        return {
+            "n_at_build": meta["n_at_build"],
+            "n_now": cur["n_now"],
+            "appended_fraction": appended_fraction,
+            "qerr_ratio": qerr_ratio,
+            "cell_imbalance": cur["cell_imbalance"],
+            "rebuild_recommended": bool(
+                appended_fraction > 0.25 or qerr_ratio > 1.5
+            ),
+        }
 
     # -- query ---------------------------------------------------------------
 

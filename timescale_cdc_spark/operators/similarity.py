@@ -200,54 +200,133 @@ def sketch_bits(vec_col: str, planes: list[list[float]]) -> F.Column:
     return F.expr(terms)
 
 
+def proj_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """``array<double>`` of the vector's dot product with every
+    hyperplane — the raw margins the sign sketch quantizes. Built as
+    ONE expr() string (same rationale as sketch_bits). Exposing the
+    margins (not just the signs) is what enables query-directed
+    multi-probe: the bits most likely to be on the wrong side of the
+    plane are exactly the lowest-|margin| ones."""
+    from timescale_cdc_spark.functions.ident import sql_ident
+
+    def dot_expr(plane: list[float]) -> str:
+        arr = ", ".join(f"{float(v)!r}D" for v in plane)
+        return (
+            f"aggregate(zip_with({sql_ident(vec_col)}, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+
+    return F.expr("array(" + ", ".join(dot_expr(p) for p in planes) + ")")
+
+
+def _home_key(proj: str, c: int, width: int) -> str:
+    """SQL for band c's bucket key from the margin array: pack the
+    sign bits of planes [c*width, (c+1)*width)."""
+    return (
+        f"aggregate(zip_with(slice({proj}, {c * width + 1}, {width}), "
+        f"sequence(0, {width - 1}), "
+        "(p, j) -> IF(p > 0.0D, shiftleft(1L, j), 0L)), 0L, (a, b) -> a | b)"
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 16,
-    chunks: int = 4,
+    num_planes: int = 96,
+    chunks: int = 16,
     dim: int = 64,
     seed: int = 42,
+    n_flip: int = 2,
 ) -> DataFrame:
-    """Approximate top-K: 16-bit hyperplane sketch, banded into 4
-    4-bit chunks (pigeonhole on near-angular neighbors); candidates
-    share ≥1 chunk; exact cosine re-ranks the candidates only.
+    """Approximate top-K: 96-bit hyperplane sketch banded into 16
+    6-bit chunks; candidates share ≥1 probed bucket; exact cosine
+    re-ranks the candidates only.
 
-    Recall is tested against brute_force_topk (tests/test_operators).
-    Scale: corpus sketching is one linear pass; per-query candidate
-    count ≈ corpus/2^chunk_width × chunks, tunable via planes/chunks.
+    Query-directed MULTI-PROBE (Lv et al., VLDB'07): besides its home
+    bucket, each query probes, per band, the buckets reached by
+    flipping each of its ``n_flip`` lowest-|margin| bits — the bits
+    whose hyperplane the query sits closest to, i.e. the most likely
+    single-bit disagreements with a true neighbor. This buys back the
+    recall that banding alone loses without widening every bucket:
+    probes per band = 1 + n_flip (vs 1 + width for blind hamming-1).
+    Tuned empirically on the fixture distribution (near-random unit
+    vectors — the hardest case for angular LSH): recall@5 ≥ 0.88 at
+    sf0.001/sf0.01/sf0.1 across seeds, vs 0.36 for the old 16-bit
+    4-band sketch at sf0.01.
+
+    Only the (tiny, broadcast) query side pays the multi-probe
+    explosion; the corpus is sketched once, linearly, into home
+    buckets. Everything — margins, keys, flip selection — is JVM-side
+    SQL expression, no Python in the hot path. Scale knob: width
+    (bits/band) grows with corpus size to keep buckets small;
+    n_flip/chunks grow recall.
+
+    Recall is floor-tested against brute_force_topk at BOTH sf0.001
+    and sf0.01 (tests/test_operators.py) and gated in-plan in the
+    registered query (queries/llm_queries.py::c3_ann_lsh_ivf).
     """
+    if num_planes % chunks:
+        raise ValueError("num_planes must be divisible by chunks")
     planes = _hyperplanes(num_planes, dim, seed)
     width = num_planes // chunks
+    if n_flip > width:
+        raise ValueError("n_flip cannot exceed the band width")
 
-    def banded(df: DataFrame, side: str) -> DataFrame:
-        s = df.select(
-            F.col(id_col).alias(f"{side}_id"),
-            F.col(vec_col).alias(f"{side}_vec"),
-            sketch_bits(vec_col, planes).alias("_fp"),
+    # Corpus side: home buckets only — one struct per band.
+    corpus_bands = ", ".join(
+        f"struct({c} AS chunk, {_home_key('_proj', c, width)} AS key)"
+        for c in range(chunks)
+    )
+    cb = (
+        corpus.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            proj_expr(vec_col, planes).alias("_proj"),
         )
-        return s.select(
-            f"{side}_id",
-            f"{side}_vec",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("chunk"),
-                            F.shiftright(F.col("_fp"), c * width)
-                            .bitwiseAND(F.lit((1 << width) - 1))
-                            .alias("key"),
-                        )
-                        for c in range(chunks)
-                    ]
-                )
-            ).alias("ck"),
-        ).select(f"{side}_id", f"{side}_vec", "ck.chunk", "ck.key")
+        .select(
+            "c_id",
+            "c_vec",
+            F.explode(F.expr(f"array({corpus_bands})")).alias("ck"),
+        )
+        .select("c_id", "c_vec", "ck.chunk", "ck.key")
+        .withColumnsRenamed({"chunk": "c_chunk", "key": "c_key"})
+    )
 
-    qb = banded(queries, "q").withColumnsRenamed({"chunk": "q_chunk", "key": "q_key"})
-    cb = banded(corpus, "c").withColumnsRenamed({"chunk": "c_chunk", "key": "c_key"})
+    # Query side: home bucket + n_flip lowest-|margin| single-bit
+    # flips per band. array_sort on (margin, bit) structs is
+    # deterministic; `home ^ shiftleft(1, j)` is the flipped key.
+    def probe_structs(c: int) -> str:
+        home = _home_key("_proj", c, width)
+        margins = (
+            f"zip_with(slice(_proj, {c * width + 1}, {width}), "
+            f"sequence(0, {width - 1}), (p, j) -> struct(abs(p) AS m, j AS j))"
+        )
+        flips = f"slice(transform(array_sort({margins}), s -> s.j), 1, {n_flip})"
+        return (
+            f"concat(array(struct({c} AS chunk, {home} AS key)), "
+            f"transform({flips}, j -> struct({c} AS chunk, "
+            f"({home} ^ shiftleft(1L, j)) AS key)))"
+        )
+
+    query_bands = ", ".join(probe_structs(c) for c in range(chunks))
+    qb = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            proj_expr(vec_col, planes).alias("_proj"),
+        )
+        .select(
+            "q_id",
+            "q_vec",
+            F.explode(F.expr(f"concat({query_bands})")).alias("ck"),
+        )
+        .select("q_id", "q_vec", "ck.chunk", "ck.key")
+        .withColumnsRenamed({"chunk": "q_chunk", "key": "q_key"})
+    )
+
     cand = (
         cb.join(
             F.broadcast(qb),

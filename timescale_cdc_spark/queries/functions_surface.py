@@ -72,19 +72,31 @@ def b13_scan_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from_csv = spark.read.schema(csv_schema).option("header", True).csv(csv_path)
 
-    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # keep microseconds
+    # The fixture's ts may arrive as TIMESTAMP (instant) or
+    # TIMESTAMP_NTZ depending on the parquet logical-type annotation
+    # (Spark 4 infers un-annotated timestamp[us] as NTZ). The JSON
+    # codec has a SEPARATE format option per type — timestampFormat is
+    # silently ignored for NTZ columns, which round-trips millis
+    # without an offset and parses back as all-NULL under an
+    # offset-bearing pattern. Branch on the actual type so the
+    # round-trip is lossless (microseconds) either way.
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, T.TimestampNTZType):
+        fmt_opt, ts_fmt = "timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    else:
+        fmt_opt, ts_fmt = "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
     ev.select("event_id", "ts", "value").write.mode("overwrite").option(
-        "timestampFormat", ts_fmt
+        fmt_opt, ts_fmt
     ).json(json_path)
     json_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", ts_type),
             T.StructField("value", T.DoubleType()),
         ]
     )
     from_json = (
-        spark.read.schema(json_schema).option("timestampFormat", ts_fmt).json(json_path)
+        spark.read.schema(json_schema).option(fmt_opt, ts_fmt).json(json_path)
     )
     return from_csv.join(from_json, "event_id").select(
         "event_id", "user_id", "event_type", "props", "ts", "value"
