@@ -69,6 +69,41 @@ def test_minhash_finds_planted_pairs(docs, planted):
     assert found_near >= 0.8 * len(near_ids)
 
 
+def test_c2_registered_row_count_with_guard(spark, sf_dir):
+    """VERDICT r4 #8: the registered c2_minhash_simhash query now runs
+    with the hot-bucket star-pairing cap (SKETCH_MAX_BUCKET) on the
+    driver path. At fixture scale the cap must be inert: per-method
+    row counts identical to the uncapped run — AND any future change
+    that silently drops a method's rows fails here, not only in the
+    driver's rows-only artifact."""
+    from timescale_cdc_spark.operators.dedup import simhash_pairs as sp
+    from timescale_cdc_spark.queries.llm_queries import (
+        _planted_docs,
+        c2_minhash_simhash,
+    )
+
+    guarded = {
+        r.method: r.n
+        for r in c2_minhash_simhash(spark, sf_dir)
+        .groupBy("method").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(guarded) == {"minhash", "simhash"}, f"method dropout: {guarded}"
+    corpus = _planted_docs(spark, sf_dir)
+    uncapped_mh = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5)
+    uncapped_sh = sp(corpus, "text", "doc_id", max_hamming=3)
+    # the gate's verification filter only ever REMOVES estimate-vs-
+    # exact divergent pairs; candidate generation itself must be
+    # unchanged by the inert cap
+    assert guarded["minhash"] <= uncapped_mh.count()
+    assert guarded["simhash"] <= uncapped_sh.count()
+    capped_mh = minhash_lsh_pairs(
+        corpus, "text", "doc_id", threshold=0.5, max_bucket=256
+    )
+    capped_sh = sp(corpus, "text", "doc_id", max_hamming=3, max_bucket=256)
+    assert capped_mh.count() == uncapped_mh.count()
+    assert capped_sh.count() == uncapped_sh.count()
+
+
 def test_simhash_finds_planted_pairs(docs, planted):
     pairs = simhash_pairs(planted, "text", "doc_id", max_hamming=3)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}

@@ -109,3 +109,36 @@ def test_no_python_udf_in_core_relational_plans(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} has Python in the hot path"
         )
+
+
+def test_banded_candidates_hot_cold_union_plan(spark):
+    """Round-4 VERDICT #4: the skew-guarded candidate path (hot-bucket
+    star pairing unioned with the cold all-pairs join,
+    operators/dedup.py::_banded_candidates) must stay (a) cartesian-
+    free and (b) single-sketch-pipeline — the banded frame feeds the
+    bucket-stats agg, the cold self-join, and the hot star join through
+    REUSED exchanges (identical canonical form + shuffle_hash hints),
+    never as independent re-sketches of the corpus."""
+    from timescale_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "all these documents share every word exactly")
+            for i in range(20)]
+    rows += [(100 + i, f"unique text number {i} with tokens {i * 7}")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "text", "doc_id",
+                              threshold=0.5, max_bucket=4)
+    got = pairs.collect()  # AQE must finalize before reading the plan
+
+    ep = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ep
+    assert "BroadcastNestedLoopJoin" not in ep
+    assert ep.count("ReusedExchange") >= 1, (
+        "guarded path re-built the sketch pipeline instead of reusing "
+        "its shuffle exchange"
+    )
+
+    # and the guard's OUTPUT contract: the 20-doc identical cluster is
+    # star-connected through its representative (min id), not O(f²)
+    hot = [(r.id_a, r.id_b) for r in got if r.id_b < 100]
+    assert sorted(hot) == [(0, i) for i in range(1, 20)]

@@ -149,8 +149,12 @@ def _banded_candidates(
     representative is missed unless another (under-cap) band bucket
     catches it — hot buckets above any sane cap are overwhelmingly
     identical/boilerplate clusters, where star pairs all verify.
-    Bucket stats ride the same (band, bucket) shuffle key as the join;
-    representatives are one row per hot bucket (broadcast)."""
+    Bucket stats (size, min id, min id's payload) are WINDOW
+    aggregates over the same (band, bucket) partitioning the self-join
+    shuffles on — one shared shuffle, no stats join (the original
+    agg+join formulation doubled the registered query's wall-clock;
+    the window rides the exchange the join needs anyway). Star pairs
+    fall out of the marked frame with zero additional joins."""
 
     def _pairs(frame: DataFrame) -> DataFrame:
         a = frame.alias("a").hint("shuffle_hash")
@@ -167,25 +171,20 @@ def _banded_candidates(
 
     if max_bucket is None:
         return _pairs(banded).dropDuplicates(["id_a", "id_b"])
-    stats = banded.groupBy(*key_cols).agg(
-        F.count("*").alias("_bsz"), F.min("_id").alias("_bmin")
-    )
-    marked = banded.hint("shuffle_hash").join(
-        stats.hint("shuffle_hash"), key_cols
+    w = Window.partitionBy(*key_cols)
+    marked = (
+        banded.withColumn("_bsz", F.count("*").over(w))
+        .withColumn("_bmin", F.min("_id").over(w))
+        .withColumn("_rep_p", F.min_by(F.col(payload), F.col("_id")).over(w))
     )
     cold = marked.filter(F.col("_bsz") <= max_bucket).select(*banded.columns)
-    hot = marked.filter(F.col("_bsz") > max_bucket)
-    reps = hot.filter(F.col("_id") == F.col("_bmin")).select(
-        *key_cols,
-        F.col("_id").alias("_rep_id"),
-        F.col(payload).alias("_rep_p"),
-    )
     hot_pairs = (
-        hot.filter(F.col("_id") != F.col("_bmin"))
-        .join(F.broadcast(reps), key_cols)
+        marked.filter(
+            (F.col("_bsz") > max_bucket) & (F.col("_id") != F.col("_bmin"))
+        )
         # rep is the bucket min, so id_a < id_b holds by construction
         .select(
-            F.col("_rep_id").alias("id_a"),
+            F.col("_bmin").alias("id_a"),
             F.col("_id").alias("id_b"),
             F.col("_rep_p").alias("pa"),
             F.col(payload).alias("pb"),

@@ -132,6 +132,15 @@ def c1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: below implements the identical semantics, so both SFs hash-match.
 NGRAM_MAX_DF = 20
 
+#: Hot-bucket star-pairing cap for the registered sketch queries
+#: (VERDICT r4 #8): pass the production skew guard through the driver
+#: path every round, not only in soak_hotkey.py. 256 is the curation
+#: default (operators/curation.py); the fixture corpora's largest band
+#: bucket is far below it, so the guard is exercised but inert —
+#: c2_minhash_simhash's row count is unchanged (pinned in
+#: tests/test_operators.py::test_c2_registered_row_count_with_guard).
+SKETCH_MAX_BUCKET = 256
+
 
 @register(
     "c2_ngram_jaccard",
@@ -231,10 +240,12 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mh = _attach(
-        minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5), "sh"
+        minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5,
+                          max_bucket=SKETCH_MAX_BUCKET), "sh"
     ).filter(F.abs(F.col("jaccard_est") - F.col("_exact_j")) <= 0.2)
     sh = _attach(
-        simhash_pairs(corpus, "text", "doc_id", max_hamming=3), "tk"
+        simhash_pairs(corpus, "text", "doc_id", max_hamming=3,
+                      max_bucket=SKETCH_MAX_BUCKET), "tk"
     ).filter(F.col("_exact_j") >= 0.5)
     return mh.select(
         F.lit("minhash").alias("method"),
