@@ -25,10 +25,12 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; we read it via the nanosAsLong escape hatch and
-    truncate to microseconds (``ts DIV 1000``) — the same conversion
-    DuckDB applies, so oracle comparisons stay exact.
+    ``events.parquet`` has shipped with TIMESTAMP(NANOS) in some
+    driver generations (Spark's parquet reader rejects it) and plain
+    TIMESTAMP(MICROS)/NTZ in others. The nanosAsLong escape hatch +
+    conditional ``ts DIV 1000`` truncation handles the former — the
+    same conversion DuckDB applies, so oracle comparisons stay exact —
+    and is a no-op when the column already reads as a timestamp type.
     """
     # Timestamp semantics must be UTC regardless of who built the
     # session (the DuckDB oracle is tz-naive UTC); runtime-settable.

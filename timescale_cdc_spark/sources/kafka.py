@@ -19,9 +19,17 @@ from timescale_cdc_spark.schemas import EVENT_LOG_SCHEMA
 
 
 def kafka_available(spark: SparkSession) -> bool:
-    """True when the kafka data source is registered on the classpath."""
+    """True when the kafka data source is registered on the classpath.
+
+    Probes via ``Class.forName`` — a bare py4j attribute access
+    (``spark._jvm.org...KafkaSourceProvider``) NEVER raises for a
+    missing class (the JVM view resolves packages lazily and hands
+    back a JavaPackage stub), which made the original probe report
+    the jar present in every container."""
     try:
-        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
         return True
     except Exception:
         return False
@@ -36,18 +44,73 @@ def _require_kafka(spark: SparkSession) -> None:
         )
 
 
-def envelope_to_kafka(df: DataFrame, topic_prefix: str = "cdc-") -> DataFrame:
+#: Kafka Connect JSON schema for the envelope value, as the reference's
+#: JsonConverter (docker-compose.yml:76-79, schemas.enable defaulting
+#: to true) frames every record produced by the JDBC source connector:
+#: {"schema": <this>, "payload": <row>}. Field order and logical types
+#: follow cdc.event_log (init.sql:41-49); TIMESTAMPTZ rides as int64
+#: epoch-millis tagged with the Connect Timestamp logical name.
+CONNECT_VALUE_SCHEMA = (
+    '{"type":"struct","fields":['
+    '{"type":"int64","optional":false,'
+    '"name":"org.apache.kafka.connect.data.Timestamp","version":1,'
+    '"field":"ts"},'
+    '{"type":"string","optional":false,"field":"schema_name"},'
+    '{"type":"string","optional":false,"field":"table_name"},'
+    '{"type":"string","optional":false,"field":"operation"},'
+    '{"type":"string","optional":true,"field":"before"},'
+    '{"type":"string","optional":true,"field":"after"},'
+    '{"type":"int64","optional":false,"field":"event_id"}],'
+    '"optional":false,"name":"event_log"}'
+)
+
+
+def envelope_to_kafka(
+    df: DataFrame, topic_prefix: str = "cdc-", connect_framing: bool = False
+) -> DataFrame:
     """Serialize envelope rows to the Kafka wire shape: JSON value +
     per-table topic routing (B4/B7 — JsonConverter + `cdc-<name>`
     naming, cdc-timescale-connector.json:16). Pure transform: testable
-    without a broker."""
-    return df.select(
-        F.concat(F.lit(topic_prefix), F.col("table_name")).alias("topic"),
-        F.col("event_id").cast("string").alias("key"),
-        F.to_json(F.struct(*[f.name for f in EVENT_LOG_SCHEMA.fields])).alias(
-            "value"
+    without a broker; output pinned by golden files
+    (tests/golden/kafka_wire_*.jsonl).
+
+    ``connect_framing=True`` reproduces the reference's exact
+    JsonConverter record shape — ``{"schema": ..., "payload": ...}``
+    with schemas.enable defaulting to true (docker-compose.yml:76-79):
+    explicit nulls for absent before/after images and the timestamp as
+    Connect-Timestamp epoch-millis. The bare mode (default) is the
+    schemas.enable=false shape this repo's directory topics use. The
+    record key is event_id (an extension — the reference's connector
+    sets no key and relies on tasks.max=1 for ordering; a keyed record
+    preserves per-key order under partitioned topics)."""
+    topic = F.concat(F.lit(topic_prefix), F.col("table_name")).alias("topic")
+    key = F.col("event_id").cast("string").alias("key")
+    if not connect_framing:
+        return df.select(
+            topic,
+            key,
+            F.to_json(
+                F.struct(*[f.name for f in EVENT_LOG_SCHEMA.fields])
+            ).alias("value"),
+        )
+    payload = F.to_json(
+        F.struct(
+            F.unix_millis("ts").alias("ts"),
+            "schema_name",
+            "table_name",
+            "operation",
+            "before",
+            "after",
+            "event_id",
         ),
+        {"ignoreNullFields": "false"},  # JsonConverter writes nulls
     )
+    value = F.concat(
+        F.lit('{"schema":' + CONNECT_VALUE_SCHEMA + ',"payload":'),
+        payload,
+        F.lit("}"),
+    ).alias("value")
+    return df.select(topic, key, value)
 
 
 def write_stream_to_kafka(
