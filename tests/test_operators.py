@@ -264,6 +264,21 @@ def test_ann_recall_vs_brute_force(spark, ann_sf_dir):
             assert exact_scores[(r.q_id, r.c_id)] == r.cos
 
 
+def test_lsh_arrow_sketch_engine_matches_jvm(spark, sf_dir):
+    """The numpy-matmul sketch engine (the million-vector throughput
+    path, 6.7× at 1M — SCALE.md) must band identically to the JVM
+    expression fold on the fixture corpus and return the same ranked
+    neighbors."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    jvm = {(r.q_id, r.c_id, r.rank, r.cos)
+           for r in hyperplane_lsh_topk(em, queries, k=5).collect()}
+    arrow = {(r.q_id, r.c_id, r.rank, r.cos)
+             for r in hyperplane_lsh_topk(
+                 em, queries, k=5, sketch_engine="arrow").collect()}
+    assert jvm == arrow
+
+
 @pytest.mark.parametrize(
     "ann_sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )

@@ -229,6 +229,89 @@ def _home_key(proj: str, c: int, width: int) -> str:
     )
 
 
+def _lsh_rerank(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
+    """Shared LSH tail: banded candidate join (query side broadcast),
+    dedup, EXACT cosine re-rank, per-query top-K."""
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (F.col("c_chunk") == F.col("q_chunk"))
+            & (F.col("c_key") == F.col("q_key"))
+            & (F.col("c_id") != F.col("q_id")),
+        )
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )
+
+
+def _banded_arrow(
+    df: DataFrame,
+    side: str,
+    planes: list[list[float]],
+    chunks: int,
+    width: int,
+    id_col: str,
+    vec_col: str,
+    n_flip: int = 0,
+) -> DataFrame:
+    """Arrow/numpy variant of the sketch+banding pipeline: one matmul
+    per Arrow batch against the plane matrix instead of num_planes
+    interpreted higher-order folds per row. Same keys except for dot
+    products within float-rounding of zero (summation-order
+    sensitivity — the standard jvm/arrow trade documented on the
+    scorers). ~10× on the corpus-side sketch at 1M vectors (SCALE.md).
+    ``n_flip > 0`` additionally emits the margin-directed multi-probe
+    keys (query side)."""
+    P = np.asarray(planes, dtype=np.float64).T  # dim × planes
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = V @ P
+            n = len(pdf)
+            for c in range(chunks):
+                block = proj[:, c * width:(c + 1) * width]
+                bits = block > 0
+                key = np.zeros(n, dtype=np.int64)
+                for j in range(width):
+                    key |= bits[:, j].astype(np.int64) << j
+                out = {
+                    f"{side}_id": pdf[id_col].to_numpy(),
+                    f"{side}_vec": pdf[vec_col],
+                    "chunk": np.full(n, c, dtype=np.int32),
+                    "key": key,
+                }
+                yield pd.DataFrame(out)
+                if n_flip:
+                    flip_bits = np.argsort(np.abs(block), axis=1)[:, :n_flip]
+                    for fj in range(n_flip):
+                        yield pd.DataFrame(
+                            {
+                                f"{side}_id": pdf[id_col].to_numpy(),
+                                f"{side}_vec": pdf[vec_col],
+                                "chunk": np.full(n, c, dtype=np.int32),
+                                "key": key ^ (1 << flip_bits[:, fj].astype(np.int64)),
+                            }
+                        )
+
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        gen,
+        f"{side}_id long, {side}_vec {vec_type}, chunk int, key long",
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,6 +323,7 @@ def hyperplane_lsh_topk(
     dim: int = 64,
     seed: int = 42,
     n_flip: int = 2,
+    sketch_engine: str = "jvm",
 ) -> DataFrame:
     """Approximate top-K: 96-bit hyperplane sketch banded into 16
     6-bit chunks; candidates share ≥1 probed bucket; exact cosine
@@ -267,6 +351,13 @@ def hyperplane_lsh_topk(
     Recall is floor-tested against brute_force_topk at BOTH sf0.001
     and sf0.01 (tests/test_operators.py) and gated in-plan in the
     registered query (queries/llm_queries.py::c3_ann_lsh_ivf).
+
+    ``sketch_engine='arrow'`` computes sketches as one numpy matmul
+    per Arrow batch instead of num_planes interpreted JVM folds per
+    row — the million-vector throughput path (same trade as the
+    scorers: summation order differs, so a dot within float-rounding
+    of zero can band differently; ranked output is exact either way
+    because re-ranking is exact).
     """
     if num_planes % chunks:
         raise ValueError("num_planes must be divisible by chunks")
@@ -274,6 +365,18 @@ def hyperplane_lsh_topk(
     width = num_planes // chunks
     if n_flip > width:
         raise ValueError("n_flip cannot exceed the band width")
+    if sketch_engine not in ("jvm", "arrow"):
+        raise ValueError(
+            f"unknown sketch engine {sketch_engine!r}; use 'jvm' or 'arrow'"
+        )
+    if sketch_engine == "arrow":
+        cb = _banded_arrow(
+            corpus, "c", planes, chunks, width, id_col, vec_col
+        ).withColumnsRenamed({"chunk": "c_chunk", "key": "c_key"})
+        qb = _banded_arrow(
+            queries, "q", planes, chunks, width, id_col, vec_col, n_flip
+        ).withColumnsRenamed({"chunk": "q_chunk", "key": "q_key"})
+        return _lsh_rerank(cb, qb, k)
 
     # Corpus side: home buckets only — one struct per band.
     corpus_bands = ", ".join(
@@ -327,25 +430,7 @@ def hyperplane_lsh_topk(
         .withColumnsRenamed({"chunk": "q_chunk", "key": "q_key"})
     )
 
-    cand = (
-        cb.join(
-            F.broadcast(qb),
-            (F.col("c_chunk") == F.col("q_chunk"))
-            & (F.col("c_key") == F.col("q_key"))
-            & (F.col("c_id") != F.col("q_id")),
-        )
-        .select("q_id", "q_vec", "c_id", "c_vec")
-        .dropDuplicates(["q_id", "c_id"])
-    )
-    scored = cand.withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "cos", "rank")
-    )
+    return _lsh_rerank(cb, qb, k)
 
 
 def embedding_dup_pairs(
