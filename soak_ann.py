@@ -99,6 +99,24 @@ def main() -> None:
         timings[engine] = round(time.time() - t0, 2)
         recalls[engine] = len(exact & approx) / len(exact)
 
+    # Persisted index: the corpus sketch amortizes across query
+    # batches — build once, then each batch pays only the probe join +
+    # exact re-rank over the touch-bounded candidates.
+    import tempfile
+
+    from timescale_cdc_spark.operators.ann_index import LshIndex
+
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.time()
+        idx = LshIndex(spark, f"{d}/lsh").build(
+            vecs, num_planes=192, chunks=12, n_flip=3
+        )
+        t_build = time.time() - t0
+        t0 = time.time()
+        approx = {(r.q_id, r.c_id) for r in idx.topk(queries, k=5).collect()}
+        t_query = time.time() - t0
+        recall_idx = len(exact & approx) / len(exact)
+
     print(
         json.dumps(
             {
@@ -108,6 +126,9 @@ def main() -> None:
                 "lsh_sec": timings,
                 "lsh_config": {"planes": 192, "bands": 12, "width": 16, "flips": 3},
                 "recall_at_5": recalls,
+                "lsh_index_build_sec": round(t_build, 2),
+                "lsh_index_query_sec": round(t_query, 2),
+                "lsh_index_recall_at_5": recall_idx,
             }
         )
     )

@@ -532,6 +532,43 @@ def test_ivf_index_append_and_staleness(spark, sf_dir, tmp_path):
     assert s2["appended_fraction"] > 0.25 and s2["rebuild_recommended"]
 
 
+def test_lsh_index_build_append_query(spark, sf_dir, tmp_path):
+    """Persisted LSH index: because the sketch is data-independent,
+    build(90%) + append(10%) must equal the inline operator over the
+    FULL corpus exactly — zero recall decay from appends (the
+    structural contrast with IvfIndex's frozen quantizer), and a fresh
+    handle over the same path serves identical results."""
+    from timescale_cdc_spark.operators.ann_index import LshIndex
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.filter(F.col("vec_id") % 10 != 0)
+    extra = em.filter(F.col("vec_id") % 10 == 0)
+    queries = em.filter(F.col("vec_id") < 10)
+
+    # prefix_bits=2 exercises the at-scale key-prefix layout (the
+    # default flat layout is the measured local-scale choice, SCALE.md)
+    idx = LshIndex(spark, str(tmp_path / "lsh")).build(base, prefix_bits=2)
+    idx.append(extra)
+    inline = {(r.q_id, r.c_id, r.rank, r.cos)
+              for r in hyperplane_lsh_topk(
+                  em, queries, k=5, sketch_engine="arrow").collect()}
+    got = idx.topk(queries, k=5)
+    # probed (band, key-prefix) literals must prune the banded scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "kp" in plan
+    persisted = {(r.q_id, r.c_id, r.rank, r.cos) for r in got.collect()}
+    assert persisted == inline
+
+    # the default flat layout serves the identical result
+    flat = LshIndex(spark, str(tmp_path / "lsh_flat")).build(em)
+    assert {(r.q_id, r.c_id, r.rank, r.cos)
+            for r in flat.topk(queries, k=5).collect()} == inline
+
+    reloaded = LshIndex(spark, str(tmp_path / "lsh")).topk(queries, k=5)
+    assert {(r.q_id, r.c_id, r.rank, r.cos)
+            for r in reloaded.collect()} == inline
+
+
 def test_embedding_dup_pairs_lsh_equals_exact(spark, sf_dir):
     """The registered LSH-bucketed embedding near-dup operator must
     reproduce the exact all-pairs result on the planted corpus

@@ -1,5 +1,5 @@
-"""Persisted IVF-Flat index (SURVEY.md §2 C3, the build-once scale
-path).
+"""Persisted ANN indexes (SURVEY.md §2 C3, the build-once scale
+paths): IVF-Flat and banded hyperplane LSH.
 
 ``ivf_topk`` (operators/similarity.py) re-fits KMeans on every query
 call — fine for a one-shot query, but the coarse quantizer fit
@@ -289,3 +289,204 @@ class IvfIndex:
             .filter(F.col("rank") <= k)
             .select("q_id", "c_id", "cos", "rank")
         )
+
+
+class LshIndex:
+    """Build-once / query-many banded hyperplane-LSH index.
+
+    ``hyperplane_lsh_topk`` re-sketches the corpus on every call —
+    one linear pass, but at 1M vectors that pass IS the cost (9.9 s
+    Arrow / 66 s JVM, SCALE.md) while the touch-bounded candidate join
+    is pennies. A serving deployment sketches ONCE and answers many
+    query batches from the banded layout:
+
+        <path>/banded/chunk=<c>/   (c_id long, c_vec array<float>,
+                                    key long)
+        <path>/meta/               (num_planes, chunks, width, dim,
+                                    seed, n_flip)
+
+    The banded table is disk-partitioned by band (chunk) and, with
+    ``prefix_bits=p``, further by the key's top p bits: a query batch
+    COLLECTS its probed (band, prefix) pairs (≤ queries × bands ×
+    (1+n_flip) ints — tiny by the same contract as IvfIndex's probed
+    cells) and the scan is PARTITION-PRUNED to those directories at
+    planning time, reading ~(probed prefixes)/2^p of each band's
+    bytes. The pruning pays only once the banded table is big enough
+    that bytes beat per-partition overhead — measured crossover notes
+    in SCALE.md; default is the flat per-band layout. The key
+    equi-join is a plain broadcast hash join either way.
+    Unlike the IVF quantizer, sketches have NO fitted state — appended
+    vectors get the same hyperplanes, so ``append`` causes zero recall
+    decay and there is no staleness metric to watch (the structural
+    advantage of data-independent indexes; the flip side is no
+    adaptation to the corpus distribution, which is what
+    :class:`IvfIndex` buys).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    @property
+    def _banded_path(self) -> str:
+        return f"{self.path}/banded"
+
+    @property
+    def _meta_path(self) -> str:
+        return f"{self.path}/meta"
+
+    def _config(self) -> dict:
+        row = self.spark.read.parquet(self._meta_path).collect()[0]
+        return row.asDict()
+
+    def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_planes: int = 96,
+        chunks: int = 16,
+        dim: int = 64,
+        seed: int = 42,
+        n_flip: int = 2,
+        sketch_engine: str = "arrow",
+        prefix_bits: int = 0,
+    ) -> "LshIndex":
+        """Sketch the corpus once into the banded layout. The Arrow
+        engine is the default here (this is explicitly the throughput
+        path); pass 'jvm' for the expression-fold engine.
+
+        ``prefix_bits=p`` splits each band into 2^p key-prefix
+        directories so query batches partition-prune to their probed
+        prefixes. MEASURED tradeoff (SCALE.md): at 1M vectors the
+        default flat layout serves a batch in 4.4 s while p=6 takes
+        7.2 s — 768 small partitions cost more in listing/task
+        overhead than the ~94% byte saving returns on a ~GB local
+        table. Turn it on when the banded table is large enough that
+        bytes dominate (the 100 TB serving shape); leave 0 below
+        that."""
+        from timescale_cdc_spark.operators.similarity import (
+            _banded_arrow,
+            _home_key,
+            _hyperplanes,
+            proj_expr,
+        )
+
+        if num_planes % chunks:
+            raise ValueError("num_planes must be divisible by chunks")
+        width = num_planes // chunks
+        if not 0 <= prefix_bits <= width:
+            raise ValueError("prefix_bits must be in [0, band width]")
+        planes = _hyperplanes(num_planes, dim, seed)
+        if sketch_engine == "arrow":
+            banded = _banded_arrow(
+                corpus, "c", planes, chunks, width, id_col, vec_col
+            )
+        else:
+            bands = ", ".join(
+                f"struct({c} AS chunk, {_home_key('_proj', c, width)} AS key)"
+                for c in range(chunks)
+            )
+            banded = (
+                corpus.select(
+                    F.col(id_col).alias("c_id"),
+                    F.col(vec_col).alias("c_vec"),
+                    proj_expr(vec_col, planes).alias("_proj"),
+                )
+                .select(
+                    "c_id", "c_vec",
+                    F.explode(F.expr(f"array({bands})")).alias("ck"),
+                )
+                .select("c_id", "c_vec", "ck.chunk", "ck.key")
+            )
+        banded = banded.withColumn(
+            "kp", F.shiftright("key", width - prefix_bits)
+        )
+        banded.write.mode("overwrite").partitionBy("chunk", "kp").parquet(
+            self._banded_path
+        )
+        meta = self.spark.createDataFrame(
+            [(num_planes, chunks, width, dim, seed, n_flip, prefix_bits)],
+            schema="num_planes int, chunks int, width int, dim int, "
+                   "seed int, n_flip int, prefix_bits int",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
+        return self
+
+    def append(
+        self,
+        new_vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Absorb inserts: sketch the new rows with the STORED
+        hyperplane config and append into the band partitions. Since
+        the sketch is data-independent, an appended index is exactly
+        the index a fresh build over the union would produce — no
+        drift, no rebuild trigger (tested)."""
+        from timescale_cdc_spark.operators.similarity import (
+            _banded_arrow,
+            _hyperplanes,
+        )
+
+        cfg = self._config()
+        planes = _hyperplanes(cfg["num_planes"], cfg["dim"], cfg["seed"])
+        banded = _banded_arrow(
+            new_vectors, "c", planes, cfg["chunks"], cfg["width"],
+            id_col, vec_col,
+        ).withColumn(
+            "kp", F.shiftright("key", cfg["width"] - cfg["prefix_bits"])
+        )
+        banded.write.mode("append").partitionBy("chunk", "kp").parquet(
+            self._banded_path
+        )
+
+    def banded(self) -> DataFrame:
+        return self.spark.read.parquet(self._banded_path)
+
+    def topk(self, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        """Approximate top-K from the persisted banded corpus: the
+        (tiny) query side is sketched fresh with the stored config +
+        multi-probe flips, joined against the stored home buckets, and
+        exact cosine re-ranks the candidates — identical semantics to
+        ``hyperplane_lsh_topk`` with the corpus sketch amortized away."""
+        from timescale_cdc_spark.operators.similarity import (
+            _banded_arrow,
+            _hyperplanes,
+            _lsh_rerank,
+        )
+
+        cfg = self._config()
+        planes = _hyperplanes(cfg["num_planes"], cfg["dim"], cfg["seed"])
+        qb = _banded_arrow(
+            queries, "q", planes, cfg["chunks"], cfg["width"],
+            id_col, vec_col, cfg["n_flip"],
+        ).withColumnsRenamed({"chunk": "q_chunk", "key": "q_key"})
+        # Partition pruning needs literal (chunk, prefix) values at
+        # planning time — collect the probed pairs (tiny: queries ×
+        # bands × (1+n_flip)), exactly like IvfIndex collects probed
+        # cells.
+        shift = cfg["width"] - cfg["prefix_bits"]
+        probed = (
+            qb.select(
+                "q_chunk", F.shiftright("q_key", shift).alias("kp")
+            )
+            .distinct()
+            .collect()
+        )
+        by_chunk: dict[int, list[int]] = {}
+        for r in probed:
+            by_chunk.setdefault(r["q_chunk"], []).append(r["kp"])
+        pred = F.lit(False)  # no queries → empty, not a full scan
+        for c, kps in sorted(by_chunk.items()):
+            pred = pred | (
+                (F.col("chunk") == c) & F.col("kp").isin(sorted(kps))
+            )
+        cb = (
+            self.banded()
+            .filter(pred)
+            .select("c_id", "c_vec", "chunk", "key")
+            .withColumnsRenamed({"chunk": "c_chunk", "key": "c_key"})
+        )
+        return _lsh_rerank(cb, qb, k)
