@@ -642,3 +642,88 @@ def test_winnow_fingerprints_overlap_guarantee(spark):
     assert fps[1] & fps[2], "shared substring must share a fingerprint"
     overlap_13 = len(fps[1] & fps[3]) / max(len(fps[1]), 1)
     assert overlap_13 < 0.2, f"disjoint docs overlap too much: {overlap_13}"
+
+
+def test_streaming_near_dedup_gate(spark, tmp_path):
+    """C2 ⊕ B45: the streaming near-dup gate must drop near-copies of
+    docs admitted in EARLIER batches (persisted signature index),
+    resolve within-batch pairs keep-lowest-id, and replay a batch
+    idempotently (B48 pattern: per-batch index partition overwrite +
+    self-exclusion)."""
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet village roofs and children "
+            "watch from warm windows counting drops")
+    other = ("completely different content about distributed query "
+             "engines shuffling partitions across executors with "
+             "adaptive planning and broadcast joins at terabyte scale")
+    third = ("a third unrelated document describing alpine meadows "
+             "full of wildflowers where marmots whistle warnings "
+             "across sunlit granite slopes every summer morning")
+
+    gate = StreamingNearDedup(spark, str(tmp_path / "sig_index"))
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string")
+    s1 = {r.doc_id for r in gate.process_batch(b1, 0).collect()}
+    assert s1 == {1, 2}
+
+    # batch 2: 3 is a near-copy of 1 (cross-batch dup), 4 is new
+    b2 = spark.createDataFrame(
+        [(3, base.replace("lazy", "sleepy")), (4, third)],
+        "doc_id long, text string")
+    s2 = {r.doc_id for r in gate.process_batch(b2, 1).collect()}
+    assert s2 == {4}
+
+    # batch 3: 5 dups 4 cross-batch; 6/7 dup each other within-batch
+    b3 = spark.createDataFrame(
+        [(5, third), (6, other + " extra"), (7, other + " extra")],
+        "doc_id long, text string")
+    s3 = {r.doc_id for r in gate.process_batch(b3, 2).collect()}
+    # 6 also near-dups doc 2 (admitted batch 1) -> dropped by the
+    # index check; 7 dropped either way
+    assert s3 == set()
+
+    # replay batch 2 (same batch_id): identical survivors, index not
+    # double-counted
+    s2_replay = {r.doc_id for r in gate.process_batch(b2, 1).collect()}
+    assert s2_replay == {4}
+    idx_ids = {r._id for r in gate.index().select("_id").distinct().collect()}
+    assert idx_ids == {1, 2, 4}
+
+
+def test_streaming_near_dedup_attach_end_to_end(spark, tmp_path):
+    """The attach() wrapper runs the gate inside a real streaming
+    query (availableNow) and lands survivors in per-batch partitions."""
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    doc = ("one sentence long enough to shingle about harvest moons "
+           "rising over quiet fields where owls patrol the hedgerows "
+           "hunting mice between the rows of cut wheat")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, doc), (2, doc.replace("owls", "hawks"))],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    gate = StreamingNearDedup(spark, str(tmp_path / "idx"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = gate.attach(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {r.doc_id for r in out.collect()} == {1}
+
+
+def test_c2_streaming_registered_row_count(spark):
+    """Pin the registered streaming-gate query's shape at the driver's
+    SF (the rows-only count IS the signal — 0 rows means the in-plan
+    no-surviving-dups invariant fired; a different count means the
+    batch split or gate semantics changed)."""
+    from timescale_cdc_spark.queries.llm_queries import c2_streaming_near_dedup
+
+    out = c2_streaming_near_dedup(spark, "/root/testdata/sf0.01")
+    assert out.count() == 476

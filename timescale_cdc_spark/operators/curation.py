@@ -153,3 +153,148 @@ def curation_report(curated: DataFrame) -> DataFrame:
         )
         .orderBy("kept", "drop_reason")
     )
+
+
+class StreamingNearDedup:
+    """Streaming near-dup ingest gate (C2 ⊕ B45/B48): drop incoming
+    documents whose MinHash-estimated Jaccard against ANY previously
+    admitted document reaches the threshold — the near-dup counterpart
+    of ``streaming_exact_dedup``.
+
+    Why foreachBatch + a PERSISTED signature index rather than
+    ``applyInPandasWithState``: (a) near-dup state is per-BUCKET
+    member lists over the whole admitted corpus — at pretraining scale
+    that is far beyond what a streaming state store should hold, while
+    a band-partitioned parquet index is exactly the batch LSH layout
+    and compacts/buckets like any table; (b) the dup verdict needs an
+    any-band OR after per-bucket matching, which would chain a second
+    stateful aggregation onto applyInPandasWithState — unsupported in
+    a single streaming query. The per-batch plan is the SAME banded
+    join the batch operator uses (minhash_banded → (band, bucket)
+    equi-join → signature-match verify), so cost scales with batch ×
+    touched buckets, never the corpus.
+
+    Exactly-once: the index is partitioned by ``ingest_batch``; a
+    replayed batch OVERWRITES its own partition and excludes it from
+    the index it checks against, so retries neither double-admit nor
+    self-collide (the B48 idempotent-sink pattern).
+
+    Within-batch semantics: after the index check, batch-internal
+    pairs are resolved keep-lowest-id (same single-pass star
+    approximation as ``curate`` — documented there).
+    """
+
+    def __init__(
+        self,
+        spark,
+        index_path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+        shingle_n: int = 3,
+        num_hashes: int = 64,
+        bands: int = 16,
+    ):
+        self.spark = spark
+        self.index_path = index_path.rstrip("/")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.shingle_n = shingle_n
+        self.num_hashes = num_hashes
+        self.bands = bands
+
+    def _banded(self, df: DataFrame) -> DataFrame:
+        from timescale_cdc_spark.operators.dedup import minhash_banded
+
+        return minhash_banded(
+            df, self.text_col, self.id_col,
+            self.shingle_n, self.num_hashes, self.bands,
+        )
+
+    def index(self, exclude_batch: int | None = None) -> DataFrame:
+        import os
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("_id", T.LongType()),
+                T.StructField("_sig", T.ArrayType(T.LongType())),
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bucket", T.LongType()),
+                T.StructField("ingest_batch", T.LongType()),
+            ]
+        )
+        if not os.path.isdir(self.index_path):
+            return self.spark.createDataFrame([], schema=schema)
+        df = self.spark.read.option("basePath", self.index_path).schema(
+            schema
+        ).parquet(self.index_path)
+        if exclude_batch is not None:
+            df = df.filter(F.col("ingest_batch") != exclude_batch)
+        return df
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Admit one micro-batch: returns the surviving docs and
+        appends their signatures to the index (idempotently, under
+        this batch's partition)."""
+        from timescale_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+        sigs = self._banded(batch_df)
+        idx = self.index(exclude_batch=batch_id).withColumnsRenamed(
+            {"_id": "_seen_id", "_sig": "_seen_sig"}
+        )
+        est_j = (
+            F.size(
+                F.filter(
+                    F.zip_with("_sig", "_seen_sig", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(float(self.num_hashes))
+        )
+        seen_hits = (
+            sigs.join(idx, ["band", "bucket"])
+            .filter(est_j >= self.threshold)
+            .select(F.col("_id").alias(self.id_col))
+            .distinct()
+        )
+        batch_pairs = minhash_lsh_pairs(
+            batch_df, self.text_col, self.id_col,
+            self.shingle_n, self.num_hashes, self.bands, self.threshold,
+        )
+        batch_drops = batch_pairs.select(
+            F.col("id_b").alias(self.id_col)
+        ).distinct()
+        survivors = batch_df.join(
+            seen_hits.unionByName(batch_drops).distinct(),
+            self.id_col,
+            "left_anti",
+        )
+        (
+            self._banded(survivors)
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{self.index_path}/ingest_batch={batch_id}")
+        )
+        return survivors
+
+    def attach(self, doc_stream: DataFrame, survivors_path: str,
+               checkpoint: str):
+        """Wire the gate into a stream: each micro-batch is admitted
+        via :meth:`process_batch` and survivors land in
+        ``survivors_path`` under a per-batch partition (idempotent
+        replace on replay)."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            survivors = self.process_batch(batch_df, batch_id)
+            survivors.write.mode("overwrite").parquet(
+                f"{survivors_path}/ingest_batch={batch_id}"
+            )
+
+        return (
+            doc_stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

@@ -193,6 +193,38 @@ def _banded_candidates(
     return _pairs(cold).unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
 
 
+def minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Banded MinHash sketch rows (_id, _sig, band, bucket) — the
+    shared front half of batch LSH pairing (minhash_lsh_pairs) and the
+    streaming near-dup gate's signature index
+    (curation.StreamingNearDedup). bucket = xxhash64 of the band's
+    signature rows, so equal buckets ⇔ equal band slices."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({args}) AS bucket)".format(
+            b=b,
+            args=", ".join(
+                f"element_at(_sig, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sig.select(
+        "_id",
+        "_sig",
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -230,24 +262,7 @@ def minhash_lsh_pairs(
     boilerplate clusters) — see _banded_candidates for the star-pairing
     semantics and recall note.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
-    band_structs = ", ".join(
-        "struct({b} AS band, xxhash64({args}) AS bucket)".format(
-            b=b,
-            args=", ".join(
-                f"element_at(_sig, {b * rows_per_band + r + 1})"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
-    banded = sig.select(
-        "_id",
-        "_sig",
-        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
-    ).select("_id", "_sig", "bb.band", "bb.bucket")
-
+    banded = minhash_banded(df, text_col, id_col, shingle_n, num_hashes, bands)
     cand = _banded_candidates(banded, ["band", "bucket"], "_sig", max_bucket)
     jaccard_est = (
         F.size(

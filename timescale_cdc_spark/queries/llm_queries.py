@@ -262,6 +262,64 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("c2_streaming_near_dedup")  # xxhash64 sketches → rows-only
+def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 ⊕ B45: the streaming near-dup ingest gate
+    (operators/curation.py::StreamingNearDedup) driven over the
+    planted corpus as three micro-batches (doc_id % 3). Cross-batch
+    dups drop via the persisted band-partitioned signature index,
+    within-batch pairs resolve keep-lowest-id; survivors are returned
+    tagged with their admitting batch.
+
+    SELF-VALIDATING: the result emits only if the admitted set
+    contains NO candidate pair at est-Jaccard ≥ the gate's threshold —
+    i.e. re-running the batch LSH detector over the survivors finds
+    nothing. A regression in the index check, batch resolution, or
+    replay idempotence admits a duplicate and the row count drops to
+    zero, so the driver's rows-only count is a real invariant signal.
+
+    The per-batch localCheckpoint pins each batch's admitted set at
+    process time (the production path is a foreachBatch sink writing
+    survivors out — see StreamingNearDedup.attach; this adapter exists
+    so the driver exercises the gate's semantics every round)."""
+    import os
+    import shutil
+    import tempfile
+
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), "timescale_cdc_spark_io", tag, "near_dedup_idx"
+    )
+    shutil.rmtree(index_path, ignore_errors=True)
+
+    corpus = _planted_docs(spark, sf_dir)
+    gate = StreamingNearDedup(spark, index_path)
+    admitted = None
+    for b in range(3):
+        batch = corpus.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+        survivors = (
+            gate.process_batch(batch, b)
+            .withColumn("ingest_batch", F.lit(b))
+            .localCheckpoint(eager=True)
+        )
+        admitted = survivors if admitted is None else admitted.unionByName(survivors)
+
+    # In-plan invariant gate: zero near-dup candidate pairs among the
+    # admitted docs (same detector, same threshold).
+    viol = (
+        minhash_lsh_pairs(admitted, "text", "doc_id", threshold=gate.threshold)
+        .agg(F.count("*").alias("n_viol"))
+    )
+    return (
+        admitted.select("ingest_batch", "doc_id", F.length("text").alias("n_chars"))
+        .crossJoin(F.broadcast(viol))
+        .filter(F.col("n_viol") == 0)
+        .drop("n_viol")
+    )
+
+
 # --------------------------------------------------------------------------
 # C3 similarity search
 # --------------------------------------------------------------------------
