@@ -692,6 +692,24 @@ def test_streaming_near_dedup_gate(spark, tmp_path):
     idx_ids = {r._id for r in gate.index().select("_id").distinct().collect()}
     assert idx_ids == {1, 2, 4}
 
+    # compaction merges the per-batch partitions without changing
+    # lookup behavior or replay idempotence
+    removed = gate.compact()
+    assert removed == 3
+    assert gate.compact() == 0  # single generation left → no-op
+    idx_ids = {r._id for r in gate.index().select("_id").distinct().collect()}
+    assert idx_ids == {1, 2, 4}
+    b4 = spark.createDataFrame(
+        [(8, base.replace("dog", "cat")), (9, "fresh short unrelated "
+         "words about nothing previously indexed here at all today")],
+        "doc_id long, text string")
+    s4 = {r.doc_id for r in gate.process_batch(b4, 3).collect()}
+    assert s4 == {9}  # 8 still near-dups doc 1 through the compacted base
+    # replaying an OLD batch after compaction stays idempotent: its
+    # docs meet their own compacted signatures only as same-id matches
+    s2_post_compact = {r.doc_id for r in gate.process_batch(b2, 1).collect()}
+    assert s2_post_compact == {4}
+
 
 def test_streaming_near_dedup_attach_end_to_end(spark, tmp_path):
     """The attach() wrapper runs the gate inside a real streaming

@@ -174,10 +174,16 @@ class StreamingNearDedup:
     equi-join → signature-match verify), so cost scales with batch ×
     touched buckets, never the corpus.
 
-    Exactly-once: the index is partitioned by ``ingest_batch``; a
-    replayed batch OVERWRITES its own partition and excludes it from
-    the index it checks against, so retries neither double-admit nor
-    self-collide (the B48 idempotent-sink pattern).
+    Exactly-once: the index is laid out in ``ingest_batch=`` partition
+    directories; a replayed batch OVERWRITES its own partition (no
+    storage duplication), and the lookup ignores same-id matches — so
+    a replayed document matching its own previously-indexed signature
+    is transparent, and retries neither double-admit nor self-collide
+    (the B48 idempotent-sink pattern). Correctness deliberately does
+    NOT depend on excluding the batch's partition from the lookup:
+    that keeps :meth:`compact` free to re-layout partitions without
+    tracking provenance (partition values shadow data columns on
+    read, so provenance inside a merged dir would be lost).
 
     Within-batch semantics: after the index check, batch-internal
     pairs are resolved keep-lowest-id (same single-pass star
@@ -212,7 +218,7 @@ class StreamingNearDedup:
             self.shingle_n, self.num_hashes, self.bands,
         )
 
-    def index(self, exclude_batch: int | None = None) -> DataFrame:
+    def index(self) -> DataFrame:
         import os
 
         from pyspark.sql import types as T
@@ -228,21 +234,18 @@ class StreamingNearDedup:
         )
         if not os.path.isdir(self.index_path):
             return self.spark.createDataFrame([], schema=schema)
-        df = self.spark.read.option("basePath", self.index_path).schema(
+        return self.spark.read.option("basePath", self.index_path).schema(
             schema
         ).parquet(self.index_path)
-        if exclude_batch is not None:
-            df = df.filter(F.col("ingest_batch") != exclude_batch)
-        return df
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Admit one micro-batch: returns the surviving docs and
         appends their signatures to the index (idempotently, under
         this batch's partition)."""
-        from timescale_cdc_spark.operators.dedup import minhash_lsh_pairs
+        from timescale_cdc_spark.operators.dedup import _banded_candidates
 
         sigs = self._banded(batch_df)
-        idx = self.index(exclude_batch=batch_id).withColumnsRenamed(
+        idx = self.index().withColumnsRenamed(
             {"_id": "_seen_id", "_sig": "_seen_sig"}
         )
         est_j = (
@@ -256,22 +259,35 @@ class StreamingNearDedup:
         )
         seen_hits = (
             sigs.join(idx, ["band", "bucket"])
-            .filter(est_j >= self.threshold)
+            # same-id = a replayed batch meeting its own signatures
+            .filter((F.col("_id") != F.col("_seen_id")) & (est_j >= self.threshold))
             .select(F.col("_id").alias(self.id_col))
             .distinct()
         )
-        batch_pairs = minhash_lsh_pairs(
-            batch_df, self.text_col, self.id_col,
-            self.shingle_n, self.num_hashes, self.bands, self.threshold,
+        # Within-batch pairs reuse the SAME banded sketch the index
+        # lookup computed (one sketch pass per batch, not two).
+        batch_est = (
+            F.size(
+                F.filter(F.zip_with("pa", "pb", lambda x, y: x == y),
+                         lambda m: m)
+            )
+            / F.lit(float(self.num_hashes))
         )
-        batch_drops = batch_pairs.select(
-            F.col("id_b").alias(self.id_col)
-        ).distinct()
+        batch_drops = (
+            _banded_candidates(sigs, ["band", "bucket"], "_sig", None)
+            .filter(batch_est >= self.threshold)
+            .select(F.col("id_b").alias(self.id_col))
+            .distinct()
+        )
         survivors = batch_df.join(
             seen_hits.unionByName(batch_drops).distinct(),
             self.id_col,
             "left_anti",
-        )
+        # The admitted set must be PINNED before the index write below:
+        # on a replay, the lookup's lazy plan reads the very partition
+        # the write replaces, and a post-write collect would hit the
+        # removed files (and race its own semantics).
+        ).localCheckpoint(eager=True)
         (
             self._banded(survivors)
             .withColumn("ingest_batch", F.lit(batch_id))
@@ -279,6 +295,56 @@ class StreamingNearDedup:
             .parquet(f"{self.index_path}/ingest_batch={batch_id}")
         )
         return survivors
+
+    def compact(self) -> int:
+        """Merge the accumulated per-batch partitions into one
+        generation directory — a 5 s-trigger deployment creates ~17k
+        partitions a day, and file listing (not data volume) becomes
+        the per-batch lookup cost. Returns the number of directories
+        removed.
+
+        Crash-safe by the lookup's semantics: the merged generation is
+        written BEFORE old directories are removed, and because hit
+        detection is existential and same-id matches are ignored,
+        duplicate signature rows from a crash window are harmless (a
+        rerun of compact() also dedups them via the (_id, band)
+        dropDuplicates)."""
+        import os
+        import shutil
+
+        if not os.path.isdir(self.index_path):
+            return 0
+        old_dirs = [
+            name for name in os.listdir(self.index_path)
+            if name.startswith("ingest_batch=")
+        ]
+        if len(old_dirs) <= 1:
+            return 0
+        # Generations are NEGATIVE so they can never collide with a
+        # stream's monotonically increasing (non-negative) batch ids —
+        # a future batch overwriting "its own" partition must never
+        # clobber the compacted base.
+        gen = min(
+            (int(d.split("=", 1)[1]) for d in old_dirs
+             if d.split("=", 1)[1].lstrip("-").isdigit()),
+            default=0,
+        )
+        gen = min(gen, 0) - 1
+        merged = self.index().dropDuplicates(["_id", "band"]).drop(
+            "ingest_batch"
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{self.index_path}/ingest_batch={gen}"
+        )
+        for name in old_dirs:
+            shutil.rmtree(
+                os.path.join(self.index_path, name), ignore_errors=True
+            )
+        # Spark caches per-path file listings; the removed directories
+        # would otherwise surface as FAILED_READ_FILE on the next
+        # lookup that reuses the cached FileIndex.
+        self.spark.catalog.refreshByPath(self.index_path)
+        return len(old_dirs)
 
     def attach(self, doc_stream: DataFrame, survivors_path: str,
                checkpoint: str):

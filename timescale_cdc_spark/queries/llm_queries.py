@@ -278,10 +278,9 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay idempotence admits a duplicate and the row count drops to
     zero, so the driver's rows-only count is a real invariant signal.
 
-    The per-batch localCheckpoint pins each batch's admitted set at
-    process time (the production path is a foreachBatch sink writing
-    survivors out — see StreamingNearDedup.attach; this adapter exists
-    so the driver exercises the gate's semantics every round)."""
+    (The production path is a foreachBatch sink writing survivors out
+    — see StreamingNearDedup.attach; this adapter exists so the driver
+    exercises the gate's semantics every round.)"""
     import os
     import shutil
     import tempfile
@@ -299,10 +298,10 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     admitted = None
     for b in range(3):
         batch = corpus.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
-        survivors = (
-            gate.process_batch(batch, b)
-            .withColumn("ingest_batch", F.lit(b))
-            .localCheckpoint(eager=True)
+        # process_batch pins its result (eager localCheckpoint), so
+        # the union below is stable however late the driver collects.
+        survivors = gate.process_batch(batch, b).withColumn(
+            "ingest_batch", F.lit(b)
         )
         admitted = survivors if admitted is None else admitted.unionByName(survivors)
 
