@@ -255,12 +255,32 @@ def test_maintenance_runner(spark, log, tmp_path):
     old_ts = T0 - dt2.timedelta(days=30)
     log.append(cdc_transform(s0, s1, "id", "dataschema", "assets", F.lit(old_ts)))
     log.append(cdc_transform(s0, s1, "id", "dataschema", "assets", F.lit(T0 - dt2.timedelta(days=3))))
+    # derived-structure upkeep rides the same runner: an ANN index to
+    # staleness-check and a near-dedup signature index to compact
+    from timescale_cdc_spark.operators.ann_index import IvfIndex
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    IvfIndex(spark, str(tmp_path / "ivf")).build(em, n_clusters=4)
+    gate = StreamingNearDedup(spark, str(tmp_path / "sig_idx"))
+    for b in range(2):
+        batch = spark.createDataFrame(
+            [(b * 10 + i, f"maintenance test doc {b} {i} with words "
+              f"{'x' * (i + 1)} {'y' * (b + 1)} end") for i in range(3)],
+            "doc_id long, text string",
+        )
+        gate.process_batch(batch, b)
+
     report = run_maintenance(
-        log.path, retention_days=7, compact=True, keep_hot_days=1, now=T0.date()
+        log.path, retention_days=7, compact=True, keep_hot_days=1, now=T0.date(),
+        ann_index_path=str(tmp_path / "ivf"),
+        near_dedup_index_path=str(tmp_path / "sig_idx"),
     )
     assert report["dropped_partitions"] == [old_ts.date().isoformat()]
     assert list(report["compacted_partitions"].values()) == [3]
     assert log.read().count() == 3
+    assert report["ann_index"]["rebuild_recommended"] is False
+    assert report["near_dedup_index_dirs_compacted"] == 2
 
 
 def test_materialized_table_equals_full_replay(spark, log, tmp_path):

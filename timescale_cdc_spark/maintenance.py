@@ -36,10 +36,23 @@ def run_maintenance(
     compact: bool = False,
     keep_hot_days: int = 1,
     now: dt.date | None = None,
+    ann_index_path: str | None = None,
+    near_dedup_index_path: str | None = None,
 ) -> dict:
     """Apply retention, then (optionally) compact every cold partition
     (older than ``keep_hot_days`` — hot partitions still receive
-    appends). Returns a JSON-able report."""
+    appends). With the optional index paths, the runner also covers
+    the engine's derived structures — the same background-job cadence
+    Timescale uses for its policies:
+
+    - ``ann_index_path``: report IvfIndex staleness (appended
+      fraction, quantization drift, cell imbalance) and surface its
+      rebuild flag — rebuild itself stays an operator decision (a
+      KMeans refit is not something to trigger blindly from cron).
+    - ``near_dedup_index_path``: compact the StreamingNearDedup
+      signature index's accumulated per-batch partitions.
+
+    Returns a JSON-able report."""
     spark = get_spark(app_name="timescale_cdc_maintenance")
     log = EventLog(spark, log_path)
     today = now or dt.date.today()
@@ -50,10 +63,21 @@ def run_maintenance(
         for d in _partition_dates(log):
             if d < hot_cutoff:
                 compacted[d.isoformat()] = compact_partition(log, d)
-    return {
+    report = {
         "dropped_partitions": [d.isoformat() for d in dropped],
         "compacted_partitions": compacted,
     }
+    if ann_index_path:
+        from timescale_cdc_spark.operators.ann_index import IvfIndex
+
+        report["ann_index"] = IvfIndex(spark, ann_index_path).staleness()
+    if near_dedup_index_path:
+        from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+        report["near_dedup_index_dirs_compacted"] = StreamingNearDedup(
+            spark, near_dedup_index_path
+        ).compact()
+    return report
 
 
 def main() -> None:
@@ -62,9 +86,13 @@ def main() -> None:
     p.add_argument("--retention-days", type=int, default=7)
     p.add_argument("--compact", action="store_true")
     p.add_argument("--keep-hot-days", type=int, default=1)
+    p.add_argument("--ann-index", default=None)
+    p.add_argument("--near-dedup-index", default=None)
     args = p.parse_args()
     report = run_maintenance(
-        args.log_path, args.retention_days, args.compact, args.keep_hot_days
+        args.log_path, args.retention_days, args.compact, args.keep_hot_days,
+        ann_index_path=args.ann_index,
+        near_dedup_index_path=args.near_dedup_index,
     )
     print(json.dumps(report))
 
