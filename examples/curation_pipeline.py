@@ -64,6 +64,31 @@ def main() -> None:
     print(f"packs (budget {BUDGET})   {n_packs}")
     if n_packs:
         print(f"mean pack fill        {total_tok / (n_packs * BUDGET):.1%}")
+
+    # Ingest-time complement of the batch pass above: the streaming
+    # near-dup gate admits only documents that aren't near-copies of
+    # anything previously admitted (persisted signature index; see
+    # operators/curation.py::StreamingNearDedup).
+    import tempfile
+
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    with tempfile.TemporaryDirectory() as d:
+        gate = StreamingNearDedup(spark, f"{d}/sig_index")
+        batch1 = docs.limit(50)
+        # 50 re-crawled copies under NEW doc ids + 10 genuinely new
+        # docs (same-ID re-ingest is idempotent by design — see the
+        # class docstring; content dedup applies to new ids)
+        batch2 = docs.limit(50).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        ).unionByName(
+            docs.orderBy(F.desc("doc_id")).limit(10)
+        )
+        n1 = gate.process_batch(batch1, 0).count()
+        n2 = gate.process_batch(batch2, 1).count()
+        print("=== streaming ingest gate ===")
+        print(f"batch 1 admitted      {n1}/50")
+        print(f"batch 2 admitted      {n2}/60 (50 re-crawls rejected)")
     spark.stop()
 
 

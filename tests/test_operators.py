@@ -710,6 +710,15 @@ def test_streaming_near_dedup_gate(spark, tmp_path):
     s2_post_compact = {r.doc_id for r in gate.process_batch(b2, 1).collect()}
     assert s2_post_compact == {4}
 
+    # same-id re-ingest in a NEW batch is idempotent by design
+    # (identity defines a replay; content dedup applies to new ids):
+    # doc 4 re-posted under its own id is admitted, under a new id is
+    # rejected
+    b5 = spark.createDataFrame(
+        [(4, third), (40, third)], "doc_id long, text string")
+    s5 = {r.doc_id for r in gate.process_batch(b5, 4).collect()}
+    assert s5 == {4}
+
 
 def test_streaming_near_dedup_attach_end_to_end(spark, tmp_path):
     """The attach() wrapper runs the gate inside a real streaming

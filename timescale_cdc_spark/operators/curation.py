@@ -179,8 +179,12 @@ class StreamingNearDedup:
     storage duplication), and the lookup ignores same-id matches — so
     a replayed document matching its own previously-indexed signature
     is transparent, and retries neither double-admit nor self-collide
-    (the B48 idempotent-sink pattern). Correctness deliberately does
-    NOT depend on excluding the batch's partition from the lookup:
+    (the B48 idempotent-sink pattern). Corollary: re-ingesting a
+    document under its EXISTING id is idempotent rather than a
+    duplicate hit — identity, not content, is what makes a replay a
+    replay; near-dup rejection applies to new ids. Correctness
+    deliberately does NOT depend on excluding the batch's partition
+    from the lookup:
     that keeps :meth:`compact` free to re-layout partitions without
     tracking provenance (partition values shadow data columns on
     read, so provenance inside a merged dir would be lost).
