@@ -754,3 +754,37 @@ def test_c2_streaming_registered_row_count(spark):
 
     out = c2_streaming_near_dedup(spark, "/root/testdata/sf0.01")
     assert out.count() == 476
+
+
+def test_streaming_near_dedup_transitive_option(spark, tmp_path):
+    """transitive=True resolves within-batch groups by exact connected
+    components: with pairs (3,9) and (5,9) in one batch, the greedy
+    star pass keeps BOTH local minima 3 and 5; the transitive gate
+    keeps only the component minimum 3."""
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    hub = ("shared hub sentence with many common words linking both "
+           "documents through one near duplicate bridge text body")
+    rows = [
+        (3, hub + " alpha"),
+        (5, hub + " omega"),
+        (9, hub),
+    ]
+    # verify the premise: (3,9) and (5,9) pair, (3,5) does not
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "text", "doc_id", threshold=0.5,
+        ).collect()
+    }
+    assert (3, 9) in pairs and (5, 9) in pairs
+
+    for transitive, expect in ((False, {3, 5} if (3, 5) not in pairs else {3}),
+                               (True, {3})):
+        gate = StreamingNearDedup(
+            spark, str(tmp_path / f"idx_t{transitive}"), transitive=transitive
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id for r in gate.process_batch(df, 0).collect()}
+        assert got == expect, (transitive, got)

@@ -204,6 +204,7 @@ class StreamingNearDedup:
         shingle_n: int = 3,
         num_hashes: int = 64,
         bands: int = 16,
+        transitive: bool = False,
     ):
         self.spark = spark
         self.index_path = index_path.rstrip("/")
@@ -213,6 +214,14 @@ class StreamingNearDedup:
         self.shingle_n = shingle_n
         self.num_hashes = num_hashes
         self.bands = bands
+        # Within-batch group resolution: False = single-pass star
+        # approximation (drop every higher-id pair member — can keep
+        # two local minima of one component, e.g. pairs (5,9),(3,9)
+        # keep both 3 and 5); True = exact connected components
+        # (keep only each component's minimum), same trade as
+        # curate(transitive=True). Cross-batch admission is unaffected
+        # — earlier-admitted docs always win.
+        self.transitive = transitive
 
     def _banded(self, df: DataFrame) -> DataFrame:
         from timescale_cdc_spark.operators.dedup import minhash_banded
@@ -277,12 +286,25 @@ class StreamingNearDedup:
             )
             / F.lit(float(self.num_hashes))
         )
-        batch_drops = (
+        batch_pairs = (
             _banded_candidates(sigs, ["band", "bucket"], "_sig", None)
             .filter(batch_est >= self.threshold)
-            .select(F.col("id_b").alias(self.id_col))
-            .distinct()
+            .select("id_a", "id_b")
         )
+        if self.transitive:
+            from timescale_cdc_spark.operators.components import (
+                connected_components,
+            )
+
+            batch_drops = (
+                connected_components(batch_pairs)
+                .filter(F.col("node") != F.col("component"))
+                .select(F.col("node").alias(self.id_col))
+            )
+        else:
+            batch_drops = batch_pairs.select(
+                F.col("id_b").alias(self.id_col)
+            ).distinct()
         survivors = batch_df.join(
             seen_hits.unionByName(batch_drops).distinct(),
             self.id_col,
