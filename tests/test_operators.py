@@ -531,6 +531,22 @@ def test_ivf_index_append_and_staleness(spark, sf_dir, tmp_path):
     s2 = idx.staleness()
     assert s2["appended_fraction"] > 0.25 and s2["rebuild_recommended"]
 
+    # cell-granular compaction collapses append fragmentation without
+    # changing contents: identical top-K before/after
+    before = {(r.q_id, r.c_id, r.cos)
+              for r in idx.topk(queries, k=5, n_probe=3).collect()}
+    rewritten = idx.compact()
+    assert rewritten == idx.corpus().count()
+    import glob
+    import os
+    for cell_dir in glob.glob(os.path.join(str(tmp_path / "ivf_m"),
+                                           "corpus", "_cell=*")):
+        files = [f for f in os.listdir(cell_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, (cell_dir, files)
+    after = {(r.q_id, r.c_id, r.cos)
+             for r in idx.topk(queries, k=5, n_probe=3).collect()}
+    assert after == before
+
 
 def test_lsh_index_build_append_query(spark, sf_dir, tmp_path):
     """Persisted LSH index: because the sketch is data-independent,

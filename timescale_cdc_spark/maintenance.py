@@ -45,10 +45,12 @@ def run_maintenance(
     the engine's derived structures — the same background-job cadence
     Timescale uses for its policies:
 
-    - ``ann_index_path``: report IvfIndex staleness (appended
-      fraction, quantization drift, cell imbalance) and surface its
-      rebuild flag — rebuild itself stays an operator decision (a
-      KMeans refit is not something to trigger blindly from cron).
+    - ``ann_index_path``: compact the IvfIndex's append-fragmented
+      cell files (leaf-granular atomic swap, contents unchanged) and
+      report staleness (appended fraction, quantization drift, cell
+      imbalance) with its rebuild flag — the rebuild itself stays an
+      operator decision (a KMeans refit is not something to trigger
+      blindly from cron).
     - ``near_dedup_index_path``: compact the StreamingNearDedup
       signature index's accumulated per-batch partitions.
 
@@ -70,7 +72,9 @@ def run_maintenance(
     if ann_index_path:
         from timescale_cdc_spark.operators.ann_index import IvfIndex
 
-        report["ann_index"] = IvfIndex(spark, ann_index_path).staleness()
+        idx = IvfIndex(spark, ann_index_path)
+        report["ann_index_rows_compacted"] = idx.compact()
+        report["ann_index"] = idx.staleness()
     if near_dedup_index_path:
         from timescale_cdc_spark.operators.curation import StreamingNearDedup
 

@@ -170,6 +170,48 @@ class IvfIndex:
             .parquet(self._corpus_path)
         )
 
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite each cell directory's accumulated small files
+        (every :meth:`append` adds one batch of files per touched
+        cell) into ``target_files`` sorted files — the same
+        leaf-granular atomic-swap compaction the event log uses
+        (cdc/retention.py::_compact_dir, incl. its crash recovery).
+        Cell contents are unchanged, so probes/recall are unaffected;
+        only file-open overhead shrinks. Single-writer contract, like
+        all maintenance here. Returns rows rewritten."""
+        import os
+
+        from timescale_cdc_spark.cdc.retention import _recover_dir
+
+        total = 0
+        if not os.path.isdir(self._corpus_path):
+            return 0
+        for name in sorted(os.listdir(self._corpus_path)):
+            if not name.startswith("_cell="):
+                continue
+            leaf = os.path.join(self._corpus_path, name)
+            _recover_dir(leaf)
+            if not os.path.isdir(leaf):
+                continue
+            df = self.spark.read.parquet(leaf)
+            n = df.count()
+            tmp = leaf + "._compact_tmp"
+            (
+                df.coalesce(target_files)
+                .sortWithinPartitions("c_id")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            old = leaf + "._compact_old"
+            os.rename(leaf, old)
+            os.rename(tmp, leaf)
+            import shutil
+
+            shutil.rmtree(old)
+            total += n
+        self.spark.catalog.refreshByPath(self._corpus_path)
+        return total
+
     def staleness(self) -> dict:
         """Rebuild signal for the maintenance loop. Returns:
 
