@@ -804,3 +804,43 @@ def test_streaming_near_dedup_transitive_option(spark, tmp_path):
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {r.doc_id for r in gate.process_batch(df, 0).collect()}
         assert got == expect, (transitive, got)
+
+
+def test_streaming_vector_dedup_gate(spark, sf_dir, tmp_path):
+    """Embedding-space ingest gate: exact copies of previously
+    admitted vectors are rejected across batches (index lookup + exact
+    cosine verify), within-batch copies resolve keep-lowest-id,
+    replay is idempotent, and compaction preserves behavior."""
+    from timescale_cdc_spark.operators.ann_index import StreamingVectorDedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    gate = StreamingVectorDedup(spark, str(tmp_path / "vec_idx"))
+
+    b1 = em.filter(F.col("vec_id") < 50)
+    s1 = {r.vec_id for r in gate.process_batch(b1, 0).collect()}
+    assert s1 == set(range(50))  # random unit vectors: no organic dups
+
+    # batch 2: 20 exact copies under new ids + 10 new vectors,
+    # plus a within-batch duplicate pair (both new ids, same vector)
+    copies = em.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    fresh = em.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+    twin = em.filter(F.col("vec_id") == 55).withColumn(
+        "vec_id", F.lit(2000).cast("long")
+    )
+    b2 = copies.unionByName(fresh).unionByName(twin)
+    s2 = {r.vec_id for r in gate.process_batch(b2, 1).collect()}
+    assert s2 == set(range(50, 60))  # copies + twin rejected
+
+    # replay batch 2: identical outcome
+    s2r = {r.vec_id for r in gate.process_batch(b2, 1).collect()}
+    assert s2r == s2
+
+    # compaction keeps lookups working
+    assert gate.compact() == 2
+    b3 = em.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(3000).cast("long")
+    ).unionByName(em.filter(F.col("vec_id") == 80))
+    s3 = {r.vec_id for r in gate.process_batch(b3, 2).collect()}
+    assert s3 == {80}

@@ -532,3 +532,166 @@ class LshIndex:
             .withColumnsRenamed({"chunk": "c_chunk", "key": "c_key"})
         )
         return _lsh_rerank(cb, qb, k)
+
+
+class StreamingVectorDedup:
+    """Streaming embedding-dedup ingest gate: admit a vector only if
+    no PREVIOUSLY admitted vector has cosine ≥ ``threshold`` — the
+    embedding-space counterpart of curation.StreamingNearDedup (same
+    persisted-index-over-foreachBatch architecture, same rationale:
+    admitted-corpus bucket state belongs in storage, and replay
+    idempotence comes from ignoring same-id matches, not partition
+    provenance).
+
+    Candidates come from the hyperplane band join (a pair must share
+    ≥1 band bucket); verification is EXACT cosine, so every rejection
+    is a true positive. A qualifying near-pair is missed only if it
+    disagrees in every band — for cos ≥ 0.99 with the default 32-bit/
+    4-band sketch that is ~1.3% per borderline pair and 0 for
+    identical vectors (see similarity.embedding_dup_pairs, which uses
+    the identical sketch for the batch form).
+
+    Index layout: ``ingest_batch=<b>/`` partition dirs of banded rows
+    (c_id, c_vec, chunk, key); a replayed batch overwrites its own
+    partition. ``compact()`` merges partitions into negative
+    generations exactly like StreamingNearDedup.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.99,
+        num_planes: int = 32,
+        chunks: int = 4,
+        dim: int = 64,
+        seed: int = 42,
+    ):
+        self.spark = spark
+        self.index_path = index_path.rstrip("/")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.num_planes = num_planes
+        self.chunks = chunks
+        self.width = num_planes // chunks
+        self.dim = dim
+        self.seed = seed
+
+    def _banded(self, df: DataFrame) -> DataFrame:
+        from timescale_cdc_spark.operators.similarity import (
+            _banded_arrow,
+            _hyperplanes,
+        )
+
+        planes = _hyperplanes(self.num_planes, self.dim, self.seed)
+        return _banded_arrow(
+            df, "c", planes, self.chunks, self.width,
+            self.id_col, self.vec_col,
+        )
+
+    def index(self) -> DataFrame:
+        import os
+
+        from pyspark.sql import types as T
+
+        vec_type = T.ArrayType(T.FloatType())
+        schema = T.StructType(
+            [
+                T.StructField("c_id", T.LongType()),
+                T.StructField("c_vec", vec_type),
+                T.StructField("chunk", T.IntegerType()),
+                T.StructField("key", T.LongType()),
+                T.StructField("ingest_batch", T.LongType()),
+            ]
+        )
+        if not os.path.isdir(self.index_path):
+            return self.spark.createDataFrame([], schema=schema)
+        return self.spark.read.option("basePath", self.index_path).schema(
+            schema
+        ).parquet(self.index_path)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Admit one micro-batch; returns survivors and appends their
+        banded sketches under this batch's partition (idempotent)."""
+        from timescale_cdc_spark.operators.similarity import cosine
+
+        sigs = self._banded(batch_df)
+        idx = self.index().withColumnsRenamed(
+            {"c_id": "s_id", "c_vec": "s_vec"}
+        )
+        seen_hits = (
+            sigs.join(idx, ["chunk", "key"])
+            .filter(
+                (F.col("c_id") != F.col("s_id"))
+                & (F.round(cosine(F.col("c_vec"), F.col("s_vec")), 4)
+                   >= self.threshold)
+            )
+            .select(F.col("c_id").alias(self.id_col))
+            .distinct()
+        )
+        a = sigs.alias("a").hint("shuffle_hash")
+        b = sigs.alias("b").hint("shuffle_hash")
+        batch_drops = (
+            a.join(
+                b,
+                (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.c_id") < F.col("b.c_id")),
+            )
+            .filter(
+                F.round(cosine(F.col("a.c_vec"), F.col("b.c_vec")), 4)
+                >= self.threshold
+            )
+            .select(F.col("b.c_id").alias(self.id_col))
+            .distinct()
+        )
+        survivors = batch_df.join(
+            seen_hits.unionByName(batch_drops).distinct(),
+            self.id_col,
+            "left_anti",
+        # pinned BEFORE the index write: a replay's lookup plan reads
+        # the partition the write replaces (see StreamingNearDedup)
+        ).localCheckpoint(eager=True)
+        (
+            self._banded(survivors)
+            .write.mode("overwrite")
+            .parquet(f"{self.index_path}/ingest_batch={batch_id}")
+        )
+        return survivors
+
+    def compact(self) -> int:
+        """Merge per-batch partitions into a negative generation dir
+        (cannot collide with future batch ids); same crash-safety
+        argument as StreamingNearDedup.compact."""
+        import os
+        import shutil
+
+        if not os.path.isdir(self.index_path):
+            return 0
+        old_dirs = [
+            name for name in os.listdir(self.index_path)
+            if name.startswith("ingest_batch=")
+        ]
+        if len(old_dirs) <= 1:
+            return 0
+        gen = min(
+            (int(d.split("=", 1)[1]) for d in old_dirs
+             if d.split("=", 1)[1].lstrip("-").isdigit()),
+            default=0,
+        )
+        gen = min(gen, 0) - 1
+        merged = self.index().dropDuplicates(["c_id", "chunk"]).drop(
+            "ingest_batch"
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{self.index_path}/ingest_batch={gen}"
+        )
+        for name in old_dirs:
+            shutil.rmtree(
+                os.path.join(self.index_path, name), ignore_errors=True
+            )
+        self.spark.catalog.refreshByPath(self.index_path)
+        return len(old_dirs)
