@@ -844,3 +844,25 @@ def test_streaming_vector_dedup_gate(spark, sf_dir, tmp_path):
     ).unionByName(em.filter(F.col("vec_id") == 80))
     s3 = {r.vec_id for r in gate.process_batch(b3, 2).collect()}
     assert s3 == {80}
+
+
+def test_streaming_vector_dedup_attach_end_to_end(spark, sf_dir, tmp_path):
+    """attach() runs the vector gate inside a real streaming query."""
+    from timescale_cdc_spark.operators.ann_index import StreamingVectorDedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "vsrc")
+    em.filter(F.col("vec_id") < 10).unionByName(
+        em.filter(F.col("vec_id") < 5).withColumn(
+            "vec_id", F.col("vec_id") + 500
+        )
+    ).write.parquet(src)
+
+    gate = StreamingVectorDedup(spark, str(tmp_path / "vidx"))
+    stream = spark.readStream.schema(em.schema).parquet(src)
+    q = gate.attach(stream, str(tmp_path / "vout"), str(tmp_path / "vckpt"))
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(str(tmp_path / "vout"))
+    # the 5 same-vector re-posts under new ids are rejected
+    assert {r.vec_id for r in out.collect()} == set(range(10))

@@ -662,6 +662,24 @@ class StreamingVectorDedup:
         )
         return survivors
 
+    def attach(self, vec_stream: DataFrame, survivors_path: str,
+               checkpoint: str):
+        """Wire the gate into a stream (foreachBatch, availableNow-
+        compatible): survivors land under per-batch partitions with
+        idempotent replace — mirrors StreamingNearDedup.attach."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            survivors = self.process_batch(batch_df, batch_id)
+            survivors.write.mode("overwrite").parquet(
+                f"{survivors_path}/ingest_batch={batch_id}"
+            )
+
+        return (
+            vec_stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
     def compact(self) -> int:
         """Merge per-batch partitions into a negative generation dir
         (cannot collide with future batch ids); same crash-safety
