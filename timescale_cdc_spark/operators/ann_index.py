@@ -546,10 +546,14 @@ class StreamingVectorDedup:
     Candidates come from the hyperplane band join (a pair must share
     ≥1 band bucket); verification is EXACT cosine, so every rejection
     is a true positive. A qualifying near-pair is missed only if it
-    disagrees in every band — for cos ≥ 0.99 with the default 32-bit/
-    4-band sketch that is ~1.3% per borderline pair and 0 for
-    identical vectors (see similarity.embedding_dup_pairs, which uses
-    the identical sketch for the batch form).
+    disagrees in every band — for cos ≥ 0.99 with the default
+    96-bit/6×16-bit sketch that is ~2% per borderline pair and 0 for
+    identical vectors. Band WIDTH is the candidate-fanout knob: the
+    initial 4×8-bit configuration collided each incoming vector with
+    ~index/256 per band, and the exact-verify cost made per-batch time
+    grow 4×/batch at a 10k-batch soak; 16-bit buckets cut candidates
+    ~250× and hold the per-batch curve flat (soak_gates.py numbers in
+    SCALE.md).
 
     Index layout: ``ingest_batch=<b>/`` partition dirs of banded rows
     (c_id, c_vec, chunk, key); a replayed batch overwrites its own
@@ -564,8 +568,8 @@ class StreamingVectorDedup:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         threshold: float = 0.99,
-        num_planes: int = 32,
-        chunks: int = 4,
+        num_planes: int = 96,
+        chunks: int = 6,
         dim: int = 64,
         seed: int = 42,
     ):
