@@ -866,3 +866,15 @@ def test_streaming_vector_dedup_attach_end_to_end(spark, sf_dir, tmp_path):
     out = spark.read.parquet(str(tmp_path / "vout"))
     # the 5 same-vector re-posts under new ids are rejected
     assert {r.vec_id for r in out.collect()} == set(range(10))
+
+
+def test_c3_streaming_vector_registered_row_count(spark):
+    """Pin the registered vector-gate query's shape at the driver's SF
+    (0 rows = the in-plan no-admitted-dups invariant fired; 510 would
+    mean planted copies leaked through)."""
+    from timescale_cdc_spark.queries.llm_queries import (
+        c3_streaming_vector_dedup,
+    )
+
+    out = c3_streaming_vector_dedup(spark, "/root/testdata/sf0.01")
+    assert out.count() == 500

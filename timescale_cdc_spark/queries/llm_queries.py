@@ -430,6 +430,57 @@ def c3_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(corpus, threshold=0.99)
 
 
+@register("c3_streaming_vector_dedup")  # seeded hyperplanes → rows-only
+def c3_streaming_vector_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 ⊕ B45: the embedding-space ingest gate
+    (operators/ann_index.py::StreamingVectorDedup) driven over the
+    planted vector corpus as three micro-batches (vec_id % 3).
+    Planted identical copies admit exactly one member; survivors are
+    returned tagged with their admitting batch.
+
+    SELF-VALIDATING: the result emits only if the admitted set
+    contains NO pair at cosine ≥ the gate's threshold — re-running the
+    batch LSH-candidates + exact-verify detector
+    (similarity.embedding_dup_pairs) over the survivors must find
+    nothing. A regression in the index lookup, within-batch
+    resolution, or replay handling admits a duplicate and the row
+    count drops to zero — the rows-only count is an invariant signal,
+    like c2_streaming_near_dedup's."""
+    import os
+    import shutil
+    import tempfile
+
+    from timescale_cdc_spark.operators.ann_index import StreamingVectorDedup
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), "timescale_cdc_spark_io", tag, "vec_dedup_idx"
+    )
+    shutil.rmtree(index_path, ignore_errors=True)
+
+    corpus = _planted_vecs(spark, sf_dir)
+    gate = StreamingVectorDedup(spark, index_path)
+    admitted = None
+    for b in range(3):
+        batch = corpus.filter(F.pmod(F.col("vec_id"), F.lit(3)) == b)
+        survivors = gate.process_batch(batch, b).withColumn(
+            "ingest_batch", F.lit(b)
+        )
+        admitted = survivors if admitted is None else admitted.unionByName(survivors)
+
+    viol = embedding_dup_pairs(
+        admitted.select("vec_id", "embedding"), threshold=gate.threshold
+    ).agg(F.count("*").alias("n_viol"))
+    return (
+        admitted.select(
+            "ingest_batch", "vec_id", F.size("embedding").alias("dim")
+        )
+        .crossJoin(F.broadcast(viol))
+        .filter(F.col("n_viol") == 0)
+        .drop("n_viol")
+    )
+
+
 # --------------------------------------------------------------------------
 # C4 text analysis (language-ID + quality + tokens + fingerprint, one pass)
 # --------------------------------------------------------------------------
