@@ -260,7 +260,9 @@ def test_maintenance_runner(spark, log, tmp_path):
     from timescale_cdc_spark.operators.ann_index import IvfIndex
     from timescale_cdc_spark.operators.curation import StreamingNearDedup
 
-    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from conftest import SF_DIR
+
+    em = spark.read.parquet(f"{SF_DIR.rstrip('/')}/embeddings.parquet")
     IvfIndex(spark, str(tmp_path / "ivf")).build(em, n_clusters=4)
     gate = StreamingNearDedup(spark, str(tmp_path / "sig_idx"))
     for b in range(2):

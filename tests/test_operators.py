@@ -27,6 +27,17 @@ from timescale_cdc_spark.operators.similarity import (
 )
 from timescale_cdc_spark.operators.text import language_scores
 
+from conftest import SF_DIR
+
+
+def _sibling_sf_dir(tag: str) -> str:
+    """Resolve a sibling scale-factor dir (e.g. 'sf0.01') relative to
+    conftest's SF_DIR so the SPARK_GRAFT_TEST_SF_DIR override keeps
+    working on machines with fixtures elsewhere (ADVICE r6)."""
+    import os
+
+    return os.path.join(os.path.dirname(SF_DIR.rstrip("/")), tag)
+
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
@@ -243,7 +254,7 @@ def test_expr_string_operators_quote_column_names(spark):
 
 
 @pytest.mark.parametrize(
-    "ann_sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    "ann_sf_dir", [_sibling_sf_dir("sf0.001"), _sibling_sf_dir("sf0.01")]
 )
 def test_ann_recall_vs_brute_force(spark, ann_sf_dir):
     """Multi-probe hyperplane LSH must clear the production recall
@@ -279,21 +290,29 @@ def test_lsh_arrow_sketch_engine_matches_jvm(spark, sf_dir):
     assert jvm == arrow
 
 
-@pytest.mark.parametrize(
-    "ann_sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
-)
-def test_c3_ann_registered_query_has_both_families(spark, ann_sf_dir):
+@pytest.mark.parametrize("ann_sf", ["sf0.001", "sf0.01"])
+def test_c3_ann_registered_query_has_all_families(spark, ann_sf):
     """The registered c3_ann_lsh_ivf query self-gates each index
-    family on recall@5 ≥ 0.5 and silently DROPS a failing family's
-    rows. Pin the full expected shape — 2 families × 10 queries × 5 —
+    family on recall@5 ≥ 0.5 (and the folded-in vec_gate rows on the
+    zero-admitted-dups invariant) and silently DROPS a failing
+    family's rows. Pin the full expected shape — 2 ANN families × 10
+    queries × 5, plus one vec_gate row per distinct planted vector —
     so a future family dropout fails pytest, not just the driver's
     rows-only artifact (VERDICT r4 #1/'process gap' #2)."""
     from timescale_cdc_spark.queries.llm_queries import c3_ann_lsh_ivf
 
+    ann_sf_dir = _sibling_sf_dir(ann_sf)
+    n_vecs = load_table(spark, ann_sf_dir, "embeddings").count()
     out = c3_ann_lsh_ivf(spark, ann_sf_dir)
     counts = {r.method: r.n for r in
               out.groupBy("method").agg(F.count("*").alias("n")).collect()}
-    assert counts == {"lsh": 50, "ivf": 50}, f"family dropout: {counts}"
+    # vec_gate admits exactly one member per distinct vector: the
+    # planted corpus duplicates vec_id % 50 == 0 under new ids, and
+    # the gate must reject every copy (fixture vectors are random
+    # unit vectors — no organic dups at these SFs).
+    assert counts == {"lsh": 50, "ivf": 50, "vec_gate": n_vecs}, (
+        f"family dropout: {counts}"
+    )
 
 
 def test_language_id_on_real_samples(spark):
@@ -768,7 +787,7 @@ def test_c2_streaming_registered_row_count(spark):
     batch split or gate semantics changed)."""
     from timescale_cdc_spark.queries.llm_queries import c2_streaming_near_dedup
 
-    out = c2_streaming_near_dedup(spark, "/root/testdata/sf0.01")
+    out = c2_streaming_near_dedup(spark, _sibling_sf_dir("sf0.01"))
     assert out.count() == 476
 
 
@@ -868,13 +887,14 @@ def test_streaming_vector_dedup_attach_end_to_end(spark, sf_dir, tmp_path):
     assert {r.vec_id for r in out.collect()} == set(range(10))
 
 
-def test_c3_streaming_vector_registered_row_count(spark):
-    """Pin the registered vector-gate query's shape at the driver's SF
+def test_c3_vector_gate_rows_pinned_count(spark):
+    """Pin the vector-gate leg of c3_ann_lsh_ivf at the driver's SF
     (0 rows = the in-plan no-admitted-dups invariant fired; 510 would
-    mean planted copies leaked through)."""
-    from timescale_cdc_spark.queries.llm_queries import (
-        c3_streaming_vector_dedup,
-    )
+    mean planted copies leaked through). The gate rides inside the
+    c3_ann_lsh_ivf registry entry since round 7 (registry-window
+    consolidation) — exercise it through the same helper the
+    registered query calls."""
+    from timescale_cdc_spark.queries.llm_queries import _vector_gate_rows
 
-    out = c3_streaming_vector_dedup(spark, "/root/testdata/sf0.01")
+    out = _vector_gate_rows(spark, _sibling_sf_dir("sf0.01"))
     assert out.count() == 500

@@ -21,3 +21,32 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+#: The driver evaluates only the FIRST 50 ``queries()`` entries when it
+#: builds CORRECTNESS_r{N}.json. Anything past position 50 silently
+#: gets NO correctness row — this happened in round 1 (80 registered,
+#: 30 unscored) and AGAIN in round 6 (52 registered; c5_multimodal and
+#: sql_surface_portable fell out after passing in r5). This contract
+#: test makes the overflow a pytest failure instead of a silent gap.
+DRIVER_CORRECTNESS_WINDOW = 50
+
+
+def test_registry_fits_driver_correctness_window():
+    assert len(QUERIES) <= DRIVER_CORRECTNESS_WINDOW, (
+        f"{len(QUERIES)} registered queries exceed the driver's "
+        f"{DRIVER_CORRECTNESS_WINDOW}-entry correctness window; entries "
+        f"past the window get NO correctness row. Overflowing: "
+        f"{list(QUERIES)[DRIVER_CORRECTNESS_WINDOW:]}. Fold the new "
+        f"query into an existing family entry (method-tagged rows) or "
+        f"retire one."
+    )
+
+
+def test_registry_covers_every_survey_family_tail():
+    """The Tier-C tail (the entries that historically overflow) must
+    all be INSIDE the window, in registration order."""
+    keys = list(QUERIES)
+    for name in ("c2_streaming_near_dedup", "c3_ann_lsh_ivf",
+                 "c5_multimodal", "sql_surface_portable"):
+        assert name in keys[:DRIVER_CORRECTNESS_WINDOW], name

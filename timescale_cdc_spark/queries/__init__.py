@@ -9,7 +9,11 @@ from timescale_cdc_spark.queries.base import ORACLES, QUERIES, register
 # operator family — so EVERY entry lands inside the driver's
 # correctness window (round 1 registered 80 and the driver evaluated
 # only the first 50, leaving all Tier C entries without a hard
-# correctness signal).
+# correctness signal). Round 6 regressed to 52 (two streaming-gate
+# entries pushed c5_multimodal/sql_surface_portable out); round 7
+# merged the B27 pair and folded the vector gate into c3_ann_lsh_ivf
+# to get back to 50 — tests/test_oracle_parity.py now pins
+# len(QUERIES) <= 50 so the overflow can never silently recur.
 from timescale_cdc_spark.queries import relational  # noqa: E402,F401
 from timescale_cdc_spark.queries import functions_surface  # noqa: E402,F401
 from timescale_cdc_spark.queries import cdc_queries  # noqa: E402,F401

@@ -155,7 +155,7 @@ SKETCH_MAX_BUCKET = 256
     dfreq AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle),
     rare AS (
       SELECT s.doc_id, s.shingle
-      FROM sh s JOIN dfreq d ON s.shingle = d.shingle AND d.c <= 20
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle AND d.c <= {NGRAM_MAX_DF}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -356,7 +356,8 @@ def c3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("c3_ann_lsh_ivf")  # bucket recall is probabilistic → rows-only
 def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 approximate top-K, both index families tagged in one result:
+    """C3 approximate top-K plus the embedding-space ingest gate,
+    method-tagged in one result:
 
     - method='lsh': random-hyperplane LSH — sign sketch → banded
       hamming candidates → exact re-rank. Candidates per query are
@@ -364,6 +365,13 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     - method='ivf': IVF-Flat (FAISS-style) — KMeans coarse quantizer,
       probe 4/16 cells, exact re-rank; centroids ride in a broadcast
       frame so plan size is O(1) in cluster count.
+    - method='vec_gate': the streaming vector-dedup ingest gate
+      (operators/ann_index.py::StreamingVectorDedup) driven over the
+      planted vector corpus as three micro-batches — one row per
+      admitted vector, q_id=vec_id, c_id=admitting batch, cos=dim.
+      (Round 7: folded in from the former standalone
+      ``c3_streaming_vector_dedup`` entry so the registry fits the
+      driver's 50-entry correctness window.)
 
     The 100 TB paths alongside the exact c3_topk_cosine baseline.
 
@@ -372,9 +380,14 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@5 against brute_force_topk IN-PLAN and emits only rows from
     families meeting the 0.5 recall floor (the same floor the tests
     pin). If an index family regresses below the floor its ~50 rows
-    VANISH from the result — the driver's rows-only count is a real
-    recall signal, not just \"ran without error\". Per-family recall is
-    additionally asserted in tests/test_operators.py."""
+    VANISH from the result. The vec_gate rows likewise emit only if
+    the admitted set contains NO pair at cosine ≥ the gate's threshold
+    (re-running the batch LSH-candidates + exact-verify detector over
+    the survivors must find nothing) — a regression in the index
+    lookup, within-batch resolution, or replay handling admits a
+    duplicate and all gate rows vanish. The driver's rows-only count
+    is therefore a recall AND invariant signal, not just \"ran without
+    error\". Per-family shape is pinned in tests/test_operators.py."""
     em = t(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < 10)
     lsh = hyperplane_lsh_topk(em, q, k=5).select(
@@ -398,7 +411,9 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hit") >= 0.5 * F.col("n_exact"))
         .select("method")
     )
-    return approx.join(F.broadcast(ok), "method")
+    return approx.join(F.broadcast(ok), "method").unionByName(
+        _vector_gate_rows(spark, sf_dir)
+    )
 
 
 @register(
@@ -430,22 +445,18 @@ def c3_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(corpus, threshold=0.99)
 
 
-@register("c3_streaming_vector_dedup")  # seeded hyperplanes → rows-only
-def c3_streaming_vector_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 ⊕ B45: the embedding-space ingest gate
-    (operators/ann_index.py::StreamingVectorDedup) driven over the
-    planted vector corpus as three micro-batches (vec_id % 3).
-    Planted identical copies admit exactly one member; survivors are
-    returned tagged with their admitting batch.
+def _vector_gate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-space ingest gate (C3 ⊕ B45,
+    operators/ann_index.py::StreamingVectorDedup) driven over the
+    planted vector corpus as three micro-batches (vec_id % 3), aligned
+    to the c3_ann_lsh_ivf schema as method='vec_gate' rows. Planted
+    identical copies admit exactly one member; q_id carries the
+    admitted vec_id, c_id the admitting batch, cos the vector dim.
 
-    SELF-VALIDATING: the result emits only if the admitted set
-    contains NO pair at cosine ≥ the gate's threshold — re-running the
-    batch LSH-candidates + exact-verify detector
-    (similarity.embedding_dup_pairs) over the survivors must find
-    nothing. A regression in the index lookup, within-batch
-    resolution, or replay handling admits a duplicate and the row
-    count drops to zero — the rows-only count is an invariant signal,
-    like c2_streaming_near_dedup's."""
+    The in-plan invariant (zero admitted pairs at cosine ≥ the gate's
+    threshold, verified by the batch LSH-candidates + exact-verify
+    detector similarity.embedding_dup_pairs) gates the emit — see the
+    c3_ann_lsh_ivf docstring."""
     import os
     import shutil
     import tempfile
@@ -473,7 +484,11 @@ def c3_streaming_vector_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_viol"))
     return (
         admitted.select(
-            "ingest_batch", "vec_id", F.size("embedding").alias("dim")
+            F.lit("vec_gate").alias("method"),
+            F.col("vec_id").alias("q_id"),
+            F.col("ingest_batch").cast("long").alias("c_id"),
+            F.size("embedding").cast("double").alias("cos"),
+            F.lit(0).alias("rank"),
         )
         .crossJoin(F.broadcast(viol))
         .filter(F.col("n_viol") == 0)

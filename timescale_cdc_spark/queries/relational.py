@@ -569,19 +569,55 @@ _GM_GSETS_SQL = """
     GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
 """
 
+# Pivot→unpivot round-trip leg aligned to the grouping schema: the
+# dense user×type scaffold with zeros proves pivot's fill plus
+# unpivot's flatten are lossless inverses (total_value is NULL — the
+# leg carries counts only).
+_GM_PIVOT_SQL = """
+    SELECT 'pivot_unpivot' AS variant,
+           CAST(u.user_id AS VARCHAR) AS key1,
+           ty.event_type AS key2,
+           COALESCE(c.n, 0) AS n,
+           CAST(NULL AS DOUBLE) AS total_value
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (SELECT * FROM (VALUES ('click'), ('error'), ('purchase'),
+                                      ('signup'), ('view')) t(event_type)) ty
+    LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2) c
+      ON c.user_id = u.user_id AND c.event_type = ty.event_type
+"""
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
 
 @register(
-    "b27_rollup_cube_gsets",
-    f"{_GM_ROLLUP_SQL} UNION ALL {_GM_CUBE_SQL} UNION ALL {_GM_GSETS_SQL}",
+    "b27_grouping_pivot_unpivot",
+    f"{_GM_ROLLUP_SQL} UNION ALL {_GM_CUBE_SQL} UNION ALL {_GM_GSETS_SQL}"
+    f" UNION ALL {_GM_PIVOT_SQL}",
 )
-def b27_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-granularity grouping (B27): ROLLUP, CUBE, and explicit
-    GROUPING SETS, tagged and unioned under one aligned schema —
-    op counts by (table), (table, op), () at every granularity, the
-    monitoring rollup. Each variant is ONE aggregate pass over the
-    grouping-id expansion (no multi-scan); the GROUPING SETS leg runs
-    through the engine's SQL entry point (spark.sql) to pin the SQL
-    text surface too."""
+def b27_grouping_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full B27 multi-granularity family in one aligned result:
+    ROLLUP, CUBE, explicit GROUPING SETS, and a pivot→unpivot
+    round-trip, each tagged by ``variant``.
+
+    (Round 7: merged from the former ``b27_rollup_cube_gsets`` +
+    ``b27_pivot_unpivot`` entries — one registry slot instead of two,
+    so every registered query fits the driver's 50-entry correctness
+    window; both halves stay hash-checked against the combined
+    oracle.)
+
+    Grouping legs: op counts by (table), (table, op), () at every
+    granularity — the monitoring rollup. Each variant is ONE aggregate
+    pass over the grouping-id expansion (no multi-scan); the GROUPING
+    SETS leg runs through the engine's SQL entry point (spark.sql) to
+    pin the SQL text surface too.
+
+    Pivot leg: event-type counts pivot to wide columns per user
+    (explicit pivot values — single-pass aggregate, no distinct
+    pre-scan, the required form at scale), then stack() unpivots back
+    to (user_id, event_type, n) long form, zeros included — pinned
+    against the dense user×type oracle scaffold."""
     ev = t(spark, sf_dir, "events")
     dec_sum = F.sum(F.expr("CAST(value AS DECIMAL(10,2))")).cast("double")
 
@@ -623,35 +659,7 @@ def b27_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
         """
     )
-    return rolled.unionByName(cubed).unionByName(gsets)
 
-
-_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-@register(
-    "b27_pivot_unpivot",
-    """
-    WITH counts AS (
-      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
-    ),
-    users AS (SELECT DISTINCT user_id FROM events),
-    types AS (SELECT * FROM (VALUES ('click'), ('error'), ('purchase'),
-                                    ('signup'), ('view')) t(event_type))
-    SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
-    FROM users u CROSS JOIN types t
-    LEFT JOIN counts c ON c.user_id = u.user_id AND c.event_type = t.event_type
-    """,
-)
-def b27_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot + unpivot round-trip (B27 family): event-type counts pivot
-    to wide columns per user (explicit pivot values — single-pass
-    aggregate, no distinct pre-scan, the required form at scale), then
-    stack() unpivots the wide row back to (user_id, event_type, n)
-    long form, zeros included. The oracle is the dense user×type
-    scaffold — proving pivot's fill plus unpivot's order-preserving
-    flatten are lossless inverses."""
-    ev = t(spark, sf_dir, "events")
     wide = (
         ev.groupBy("user_id")
         .pivot("event_type", _PIVOT_TYPES)
@@ -662,7 +670,16 @@ def b27_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(_PIVOT_TYPES),
         ", ".join(f"'{v}', `{v}`" for v in _PIVOT_TYPES),
     )
-    return wide.selectExpr("user_id", stack_expr)
+    pivoted = wide.selectExpr("user_id", stack_expr).select(
+        F.lit("pivot_unpivot").alias("variant"),
+        F.col("user_id").cast("string").alias("key1"),
+        F.col("event_type").alias("key2"),
+        "n",
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    return (
+        rolled.unionByName(cubed).unionByName(gsets).unionByName(pivoted)
+    )
 
 
 # ---------------------------------------------------------------------------
