@@ -284,6 +284,16 @@ def test_maintenance_runner(spark, log, tmp_path):
     assert report["ann_index"]["rebuild_recommended"] is False
     assert report["near_dedup_index_dirs_compacted"] == 2
 
+    # ADVICE r6: pointing the runner at an UNBUILT index must not
+    # raise after retention/compaction already ran — the report
+    # carries an error field for the staleness leg instead.
+    report2 = run_maintenance(
+        log.path, retention_days=7, compact=False, now=T0.date(),
+        ann_index_path=str(tmp_path / "no_such_index"),
+    )
+    assert "error" in report2["ann_index"]
+    assert report2["ann_index_rows_compacted"] == 0
+
 
 def test_materialized_table_equals_full_replay(spark, log, tmp_path):
     """Incremental materialization (apply each batch) must equal the
@@ -408,6 +418,107 @@ def test_materialized_table_snapshot_survives_concurrent_writer(spark, log, tmp_
     # The live table is unaffected.
     live = {(r["id"], r["name"]) for r in mat.read().collect()}
     assert live == {(r[0], r[1]) for r in states[4]}
+
+
+def test_materialized_table_cold_bucket_supersession_expiry(spark, log, tmp_path):
+    """ADVICE r6 (high): expiry must count from when a version dir was
+    SUPERSEDED, not when it was created. A bucket untouched for >= N
+    commits keeps an old-generation dir as its current version; when a
+    writer finally touches it, a reader holding the immediately-
+    previous manifest must STILL be able to scan that bucket — the
+    creation-generation rule deleted it on the spot."""
+    from timescale_cdc_spark.cdc.materialize import MaterializedTable
+
+    mat = MaterializedTable(spark, str(tmp_path / "mat"), ASSETS_SCHEMA,
+                            "id", n_buckets=4, retain_generations=2)
+    # Two keys in DIFFERENT buckets: one stays cold, one stays hot.
+    by_bucket = {}
+    for i in range(1, 40):
+        b = spark.range(1).select(
+            mat._bucket_expr(F.lit(str(i))).alias("b")).collect()[0].b
+        by_bucket.setdefault(b, i)
+        if len(by_bucket) >= 2:
+            break
+    cold_id, hot_id = sorted(by_bucket.values())
+
+    def state(cold_name, hot_name):
+        return [(cold_id, cold_name, "COLD", T0, T0),
+                (hot_id, hot_name, "HOT", T0, T0)]
+
+    states = [
+        [],
+        state("Cold v1", "Hot v1"),     # gen 1: cold bucket written
+        state("Cold v1", "Hot v2"),     # gens 2-4: only the hot key
+        state("Cold v1", "Hot v3"),
+        state("Cold v1", "Hot v4"),
+        state("Cold v2", "Hot v5"),     # gen 5: cold key finally touched
+        state("Cold v2", "Hot v6"),     # gen 6: pushes gen-4 manifest out
+    ]
+
+    def apply_step(i):
+        ts = T0 + dt.timedelta(minutes=i)
+        env = cdc_transform(
+            _assets(spark, states[i - 1]), _assets(spark, states[i]),
+            "id", "dataschema", "assets", F.lit(ts),
+        )
+        log.append(env)
+        mat.apply_changes(log.read().filter(F.col("ts") == ts))
+
+    for i in range(1, 5):
+        apply_step(i)
+    # Reader pins the gen-4 snapshot: cold bucket still at its gen-1
+    # dir (current since creation), hot bucket at gen 4.
+    reader_df = mat.read()
+    g4_manifest = mat._load_manifest()
+    assert g4_manifest["version"] == 4
+
+    apply_step(5)  # supersedes the cold bucket's gen-1 dir
+    # The gen-4 reader must survive the commit+gc that superseded the
+    # cold dir (it is one generation stale — inside the window).
+    got = {(r["id"], r["name"]) for r in reader_df.collect()}
+    assert got == {(cold_id, "Cold v1"), (hot_id, "Hot v4")}
+
+    apply_step(6)  # now gen 4 is two generations stale — out of window
+    with pytest.raises(FileNotFoundError):
+        mat._current_paths(g4_manifest)
+    live = {(r["id"], r["name"]) for r in mat.read().collect()}
+    assert live == {(cold_id, "Cold v2"), (hot_id, "Hot v6")}
+
+
+def test_materialized_table_recovers_orphan_version_dirs(spark, log, tmp_path):
+    """A crash BETWEEN the bucket-rename loop and the manifest commit
+    leaves version dirs the manifest never references, named exactly
+    like the next writer's rename target. The pre-apply _gc must
+    reclaim them or os.rename collides."""
+    import os as _os
+
+    from timescale_cdc_spark.cdc.materialize import MaterializedTable
+
+    path = str(tmp_path / "mat")
+    mat = MaterializedTable(spark, path, ASSETS_SCHEMA, "id", n_buckets=4)
+    env = cdc_transform(_assets(spark, []), _assets(spark, SEED),
+                        "id", "dataschema", "assets", F.lit(T0))
+    log.append(env)
+    batch = log.read().filter(F.col("ts") == T0)
+    mat.apply_changes(batch)
+
+    # Simulate the crash debris: un-committed v_000002 dirs.
+    for name in _os.listdir(path):
+        if name.startswith("bucket="):
+            _os.makedirs(_os.path.join(path, name, "v_000002"))
+            with open(_os.path.join(path, name, "v_000002", "junk"), "w") as f:
+                f.write("orphan")
+
+    ts2 = T0 + dt.timedelta(minutes=1)
+    env2 = cdc_transform(
+        _assets(spark, SEED),
+        _assets(spark, [(1, "Water Pump XL", "WP001", T0, T0)] + SEED[1:]),
+        "id", "dataschema", "assets", F.lit(ts2),
+    )
+    log.append(env2)
+    mat.apply_changes(log.read().filter(F.col("ts") == ts2))  # must not raise
+    got = {(r["id"], r["name"]) for r in mat.read().collect()}
+    assert got == {(1, "Water Pump XL"), (2, "Steam Trap"), (3, "Compressor")}
 
 
 def test_append_retry_replaces_partial_output(spark, tmp_path):

@@ -567,6 +567,43 @@ def test_ivf_index_append_and_staleness(spark, sf_dir, tmp_path):
     assert after == before
 
 
+def test_ivf_index_compact_recovers_crash_debris(spark, sf_dir, tmp_path):
+    """ADVICE r6 (medium): a crash between compact()'s two renames
+    leaves '_cell=N._compact_old' holding the only copy of cell N.
+    compact() must (a) restore that leaf rather than compacting the
+    debris as a bogus string-valued cell, and (b) sweep stale tmp
+    dirs next to intact leaves. Query results must equal pre-crash."""
+    import os
+    import shutil
+
+    from timescale_cdc_spark.operators.ann_index import IvfIndex
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    idx = IvfIndex(spark, str(tmp_path / "ivf_c")).build(em, n_clusters=8)
+    before = {(r.q_id, r.c_id, r.cos)
+              for r in idx.topk(queries, k=5, n_probe=3).collect()}
+    n_total = idx.corpus().count()
+
+    corpus_dir = os.path.join(str(tmp_path / "ivf_c"), "corpus")
+    cells = sorted(n for n in os.listdir(corpus_dir) if n.startswith("_cell="))
+    # Crash state 1: cell half-swapped — live dir gone, only ._compact_old.
+    victim = os.path.join(corpus_dir, cells[0])
+    os.rename(victim, victim + "._compact_old")
+    # Crash state 2: stale tmp next to an intact live dir.
+    survivor = os.path.join(corpus_dir, cells[1])
+    shutil.copytree(survivor, survivor + "._compact_tmp")
+
+    rewritten = idx.compact()
+    assert rewritten == n_total  # every row recovered and compacted
+    names = set(os.listdir(corpus_dir))
+    assert not any("._compact_" in n for n in names), names
+    spark.catalog.refreshByPath(corpus_dir)
+    after = {(r.q_id, r.c_id, r.cos)
+             for r in idx.topk(queries, k=5, n_probe=3).collect()}
+    assert after == before
+
+
 def test_lsh_index_build_append_query(spark, sf_dir, tmp_path):
     """Persisted LSH index: because the sketch is data-independent,
     build(90%) + append(10%) must equal the inline operator over the

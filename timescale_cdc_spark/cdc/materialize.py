@@ -24,15 +24,24 @@ Every write lands in a NEW version directory, invisible until the
 manifest is atomically replaced (os.replace of a complete temp file).
 A crash at ANY point leaves the old manifest pointing at intact data;
 orphaned staging/version directories are garbage-collected on the next
-apply. ``_gc()`` retains the version directories of the trailing
-``retain_generations`` manifest generations (plus every
-manifest-referenced dir, however old), so a reader that resolved paths
-from a recent manifest sees a consistent snapshot across a concurrent
-writer's commit — only readers more than N generations stale can lose
-paths, and those fail loudly (_current_paths raises on a missing
-referenced dir rather than silently returning a smaller table).
-Writers are still single-threaded per table (the reference's connector
-is a single task per relation, cdc-timescale-connector.json:8).
+apply. The manifest embeds the bucket maps of the trailing
+``retain_generations - 1`` predecessor generations (``history``), and
+``_gc()`` deletes exactly the version directories referenced by NO
+retained manifest — so a reader that resolved paths from any manifest
+in the retained window sees a consistent snapshot across a concurrent
+writer's commit, however cold its buckets are. (Round 7, ADVICE r6:
+the previous rule expired dirs by their CREATION generation, so a
+bucket untouched for >= N commits lost its just-superseded dir the
+moment a writer finally touched it — breaking even a reader holding
+the immediately-previous manifest. Retained-manifest reachability is
+supersession-aware by construction and also reclaims orphan dirs a
+crash left between the bucket rename and the manifest commit, which
+would otherwise collide with the next writer's os.rename.) Only
+readers more than N generations stale can lose paths, and those fail
+loudly (_current_paths raises on a missing referenced dir rather than
+silently returning a smaller table). Writers are still
+single-threaded per table (the reference's connector is a single task
+per relation, cdc-timescale-connector.json:8).
 
 Scale: the merge is one anti-join + union over ONLY the touched
 buckets; both sides shuffle on the PK once, and because the stored
@@ -214,43 +223,56 @@ class MaterializedTable:
                 # every row in the bucket was deleted
                 new_buckets.pop(str(b), None)
 
+        # The outgoing manifest's bucket map joins the retained
+        # history so every dir it references survives _gc until it is
+        # retain_generations superseded — expiry is by SUPERSESSION,
+        # not creation generation (a cold bucket's dir may be
+        # arbitrarily old and still current).
+        history = [
+            {"version": manifest["version"], "buckets": manifest["buckets"]}
+        ] + manifest.get("history", [])
         self._commit_manifest(
             {
                 "version": manifest["version"] + 1,
                 "n_buckets": self.n_buckets,
                 "buckets": new_buckets,
+                "history": history[: self.retain_generations - 1],
             }
         )
         self._gc()
 
     def _gc(self) -> None:
-        """Remove leftover staging dirs and EXPIRED bucket versions.
+        """Remove leftover staging dirs and every version dir no
+        retained manifest references.
 
-        A version dir is expired when its generation number is more
-        than ``retain_generations`` behind the current manifest
-        generation AND it is not the manifest-referenced version of its
-        bucket (a cold bucket's referenced dir can be arbitrarily old —
-        never delete it). Keeping the trailing window (round-4 VERDICT
-        #3) gives readers holding manifest G-1 … G-(N-1) a consistent
-        snapshot across a concurrent writer's commit+gc; only readers
-        older than N generations can lose paths, and they fail loudly
-        via _current_paths' missing-dir check. Safe at any time —
-        referenced and in-window data is never touched."""
+        The manifest carries the bucket maps of its
+        ``retain_generations - 1`` predecessors (``history``), so the
+        keep-set is exact manifest reachability: a dir lives until it
+        has been SUPERSEDED for retain_generations commits, however
+        long it was current before that (round-7 fix — the previous
+        creation-generation rule deleted a cold bucket's
+        just-superseded dir out from under a reader holding the
+        immediately-previous manifest). Readers holding any retained
+        manifest keep a consistent snapshot across a concurrent
+        writer's commit+gc; staler readers fail loudly via
+        _current_paths' missing-dir check. Also reclaims
+        never-referenced orphan dirs from a crash between the bucket
+        rename loop and the manifest commit (their name would collide
+        with the next writer's rename target). Safe at any time —
+        reachable data is never touched."""
         manifest = self._load_manifest()
-        horizon = manifest["version"] - self.retain_generations + 1
+        keep = {
+            (b, v)
+            for m in [manifest, *manifest.get("history", [])]
+            for b, v in m["buckets"].items()
+        }
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
             if name.startswith("_staging_"):
                 shutil.rmtree(full, ignore_errors=True)
             elif name.startswith("bucket=") and os.path.isdir(full):
                 bucket = name.split("=", 1)[1]
-                current = manifest["buckets"].get(bucket)
                 for ver in os.listdir(full):
-                    if ver == current:
-                        continue
-                    try:
-                        gen = int(ver.split("_", 1)[1])
-                    except (IndexError, ValueError):
-                        continue  # not a version dir we created
-                    if gen < horizon:
-                        shutil.rmtree(os.path.join(full, ver), ignore_errors=True)
+                    if (bucket, ver) in keep or not ver.startswith("v_"):
+                        continue  # reachable, or not a dir we created
+                    shutil.rmtree(os.path.join(full, ver), ignore_errors=True)

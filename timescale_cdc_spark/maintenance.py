@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import json
+import os
 
 from timescale_cdc_spark.cdc.log import EventLog
 from timescale_cdc_spark.cdc.retention import (
@@ -74,7 +75,17 @@ def run_maintenance(
 
         idx = IvfIndex(spark, ann_index_path)
         report["ann_index_rows_compacted"] = idx.compact()
-        report["ann_index"] = idx.staleness()
+        # Guard the staleness read (ADVICE r6): pointing the runner at
+        # an unbuilt index (or one predating the meta sidecar) must
+        # degrade to an error FIELD, not raise after retention and
+        # compaction already ran and lose the whole report.
+        if os.path.isdir(idx._meta_path):
+            report["ann_index"] = idx.staleness()
+        else:
+            report["ann_index"] = {
+                "error": "index meta not found (unbuilt index or "
+                "pre-meta layout); staleness skipped"
+            }
     if near_dedup_index_path:
         from timescale_cdc_spark.operators.curation import StreamingNearDedup
 

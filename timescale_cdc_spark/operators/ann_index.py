@@ -178,7 +178,15 @@ class IvfIndex:
         (cdc/retention.py::_compact_dir, incl. its crash recovery).
         Cell contents are unchanged, so probes/recall are unaffected;
         only file-open overhead shrinks. Single-writer contract, like
-        all maintenance here. Returns rows rewritten."""
+        all maintenance here. Returns rows rewritten.
+
+        Crash recovery (ADVICE r6): a crash between the two renames
+        below leaves ``_cell=N._compact_old`` holding the only copy of
+        cell N. Before compacting, sweep those survivors and restore
+        the real leaf (mirroring cdc/retention.py::_recover_leaves) —
+        and never treat swap debris as a cell (``'N._compact_old'``
+        would otherwise corrupt _cell type inference to string and
+        vanish from the integer-keyed centroid joins)."""
         import os
 
         from timescale_cdc_spark.cdc.retention import _recover_dir
@@ -186,8 +194,18 @@ class IvfIndex:
         total = 0
         if not os.path.isdir(self._corpus_path):
             return 0
+        # Recovery sweep FIRST: each *._compact_old names a leaf whose
+        # live dir may have been lost mid-swap; _recover_dir restores
+        # it and clears tmp debris. os.listdir is snapshotted before
+        # the loop so restored leaves are re-listed explicitly.
         for name in sorted(os.listdir(self._corpus_path)):
-            if not name.startswith("_cell="):
+            if name.endswith("._compact_old"):
+                leaf = os.path.join(
+                    self._corpus_path, name[: -len("._compact_old")]
+                )
+                _recover_dir(leaf)
+        for name in sorted(os.listdir(self._corpus_path)):
+            if not name.startswith("_cell=") or "._compact_" in name:
                 continue
             leaf = os.path.join(self._corpus_path, name)
             _recover_dir(leaf)

@@ -21,14 +21,18 @@ from timescale_cdc_spark.schemas import EVENT_LOG_SCHEMA
 def kafka_available(spark: SparkSession) -> bool:
     """True when the kafka data source is registered on the classpath.
 
-    Probes via ``Class.forName`` — a bare py4j attribute access
-    (``spark._jvm.org...KafkaSourceProvider``) NEVER raises for a
-    missing class (the JVM view resolves packages lazily and hands
-    back a JavaPackage stub), which made the original probe report
-    the jar present in every container."""
+    Probes via Spark's ``Utils.classForName`` — a bare py4j attribute
+    access (``spark._jvm.org...KafkaSourceProvider``) NEVER raises for
+    a missing class (the JVM view resolves packages lazily and hands
+    back a JavaPackage stub), and plain ``Class.forName`` resolves
+    against the root/system classloader, missing jars that
+    spark.jars/spark.jars.packages load into Spark's mutable context
+    classloader in client mode (ADVICE r6). Utils.classForName uses
+    getContextOrSparkClassLoader — the same resolution the kafka
+    DataSource lookup itself performs."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider", True, False
         )
         return True
     except Exception:
