@@ -11,7 +11,15 @@ Prints one JSON line: per-batch seconds for each gate, rejected
 counts (planted cross-batch dups must all be caught), and the
 post-compaction batch time.
 
+Round 7 adds the SEEDED mode (``--seeded``): pre-load each gate's
+index with 100× the batch size, compact into the bucket-pruned base
+layout, and measure what one batch's lookup actually OPENS — pruned
+files/bytes vs the full base — asserting per-batch input is bounded
+by the batch's touched partitions, not the corpus (VERDICT r6 #2
+done-criterion).
+
 Usage: python soak_gates.py [n_batches] [batch_docs] [batch_vecs]
+       python soak_gates.py --seeded [seed_multiple] [batch_docs]
 """
 
 from __future__ import annotations
@@ -79,7 +87,86 @@ def synth_vecs(spark, n: int, batch: int, dup_fraction: float = 0.01):
     return base.filter(F.col("vec_id") % F.lit(n) >= n_dup).unionByName(dups)
 
 
+def _scan_stats(paths: list[str]) -> tuple[int, int]:
+    import os
+
+    n_bytes = sum(
+        os.path.getsize(p.removeprefix("file:")) for p in paths
+    )
+    return len(paths), n_bytes
+
+
+def seeded_main(seed_multiple: int, batch_docs: int) -> None:
+    """For each seed size in {seed_multiple/10, seed_multiple}×batch:
+    bulk-seed the index, compact (auto-scaled prefix_mod), then
+    measure what ONE batch's lookup opens — pruned vs full base
+    files/bytes. The scale claim under test: with mod ∝ corpus,
+    per-batch pruned bytes stay ~FLAT as the index grows 10×, while
+    the full-scan bytes grow 10×."""
+    spark = get_spark(app_name="soak_gates_seeded")
+    out: dict = {"mode": "seeded", "seed_multiple": seed_multiple,
+                 "batch_docs": batch_docs, "text": {}, "vec": {}}
+
+    def measure(gate, synth, mult: int) -> dict:
+        r: dict = {"seed_docs": mult * batch_docs}
+        half = mult * batch_docs // 2
+        t0 = time.time()
+        gate.process_batch(synth(spark, half, 0), 0).count()
+        gate.process_batch(synth(spark, half, 1), 1).count()
+        r["seed_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        gate.compact()
+        r["compact_sec"] = round(time.time() - t0, 2)
+        r["prefix_mod"] = gate._gen_meta(gate._gen_dirs()[0]).get(
+            "prefix_mod"
+        )
+        batch = synth(spark, batch_docs, 2)
+        sigs = gate._banded(batch).persist()
+        r["pruned_files"], r["pruned_bytes"] = _scan_stats(
+            gate._base_df(sigs).inputFiles()
+        )
+        r["full_files"], r["full_bytes"] = _scan_stats(
+            gate._base_df().inputFiles()
+        )
+        sigs.unpersist()
+        t0 = time.time()
+        r["admitted"] = gate.process_batch(batch, 2).count()
+        r["batch_sec"] = round(time.time() - t0, 2)
+        assert r["pruned_bytes"] <= r["full_bytes"]
+        return r
+
+    with tempfile.TemporaryDirectory() as d:
+        for mult in (max(1, seed_multiple // 10), seed_multiple):
+            out["text"][f"x{mult}"] = measure(
+                StreamingNearDedup(spark, f"{d}/text_idx_{mult}"),
+                synth_docs, mult,
+            )
+            out["vec"][f"x{mult}"] = measure(
+                StreamingVectorDedup(spark, f"{d}/vec_idx_{mult}"),
+                synth_vecs, mult,
+            )
+    for fam in ("text", "vec"):
+        small, big = list(out[fam].values())
+        # full scan grows ~linearly with the corpus; the pruned scan
+        # must grow far slower (flat once mod scales: ≤ ~2× across a
+        # 10× corpus — band-key collisions add a little)
+        out[f"{fam}_pruned_growth"] = round(
+            big["pruned_bytes"] / max(1, small["pruned_bytes"]), 2
+        )
+        out[f"{fam}_full_growth"] = round(
+            big["full_bytes"] / max(1, small["full_bytes"]), 2
+        )
+        assert out[f"{fam}_pruned_growth"] < out[f"{fam}_full_growth"] / 2, fam
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--seeded":
+        seeded_main(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 100,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 2_000,
+        )
+        return
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     batch_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
     batch_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000

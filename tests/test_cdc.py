@@ -272,17 +272,27 @@ def test_maintenance_runner(spark, log, tmp_path):
             "doc_id long, text string",
         )
         gate.process_batch(batch, b)
+    from timescale_cdc_spark.operators.ann_index import StreamingVectorDedup
+
+    vgate = StreamingVectorDedup(spark, str(tmp_path / "vec_idx"))
+    vgate.process_batch(em.filter("vec_id < 5"), 0)
+    vgate.process_batch(em.filter("vec_id >= 5 AND vec_id < 10"), 1)
 
     report = run_maintenance(
         log.path, retention_days=7, compact=True, keep_hot_days=1, now=T0.date(),
         ann_index_path=str(tmp_path / "ivf"),
         near_dedup_index_path=str(tmp_path / "sig_idx"),
+        vec_dedup_index_path=str(tmp_path / "vec_idx"),
     )
     assert report["dropped_partitions"] == [old_ts.date().isoformat()]
     assert list(report["compacted_partitions"].values()) == [3]
     assert log.read().count() == 3
     assert report["ann_index"]["rebuild_recommended"] is False
     assert report["near_dedup_index_dirs_compacted"] == 2
+    assert report["vec_dedup_index_dirs_compacted"] == 2
+    # compaction adopted the bucket-pruned base layout (round 7)
+    assert gate._gen_dirs() and vgate._gen_dirs()
+    assert "prefix_mod" in gate._gen_meta(gate._gen_dirs()[0])
 
     # ADVICE r6: pointing the runner at an UNBUILT index must not
     # raise after retention/compaction already ran — the report

@@ -39,6 +39,7 @@ def run_maintenance(
     now: dt.date | None = None,
     ann_index_path: str | None = None,
     near_dedup_index_path: str | None = None,
+    vec_dedup_index_path: str | None = None,
 ) -> dict:
     """Apply retention, then (optionally) compact every cold partition
     (older than ``keep_hot_days`` — hot partitions still receive
@@ -53,7 +54,12 @@ def run_maintenance(
       operator decision (a KMeans refit is not something to trigger
       blindly from cron).
     - ``near_dedup_index_path``: compact the StreamingNearDedup
-      signature index's accumulated per-batch partitions.
+      signature index's accumulated per-batch partitions into the
+      bucket-pruned base layout (round 7 — compaction is where the
+      index ADOPTS the pruned layout, so running this on cadence is
+      what keeps per-batch lookup cost flat).
+    - ``vec_dedup_index_path``: same for the StreamingVectorDedup
+      banded index.
 
     Returns a JSON-able report."""
     spark = get_spark(app_name="timescale_cdc_maintenance")
@@ -92,6 +98,14 @@ def run_maintenance(
         report["near_dedup_index_dirs_compacted"] = StreamingNearDedup(
             spark, near_dedup_index_path
         ).compact()
+    if vec_dedup_index_path:
+        from timescale_cdc_spark.operators.ann_index import (
+            StreamingVectorDedup,
+        )
+
+        report["vec_dedup_index_dirs_compacted"] = StreamingVectorDedup(
+            spark, vec_dedup_index_path
+        ).compact()
     return report
 
 
@@ -103,11 +117,13 @@ def main() -> None:
     p.add_argument("--keep-hot-days", type=int, default=1)
     p.add_argument("--ann-index", default=None)
     p.add_argument("--near-dedup-index", default=None)
+    p.add_argument("--vec-dedup-index", default=None)
     args = p.parse_args()
     report = run_maintenance(
         args.log_path, args.retention_days, args.compact, args.keep_hot_days,
         ann_index_path=args.ann_index,
         near_dedup_index_path=args.near_dedup_index,
+        vec_dedup_index_path=args.vec_dedup_index,
     )
     print(json.dumps(report))
 

@@ -575,8 +575,14 @@ class StreamingVectorDedup:
 
     Index layout: ``ingest_batch=<b>/`` partition dirs of banded rows
     (c_id, c_vec, chunk, key); a replayed batch overwrites its own
-    partition. ``compact()`` merges partitions into negative
-    generations exactly like StreamingNearDedup.
+    partition. ``compact()`` merges everything into one negative
+    generation under ``_base/gen=<g>/chunk=<c>/kp=<p>`` (kp = key mod
+    prefix_mod) — and from then on the per-batch lookup opens ONLY the
+    (chunk, kp) leaf dirs the batch's own band keys hash into, exactly
+    the bucket-pruned architecture of curation.StreamingNearDedup
+    (see its docstring for the cost model and the losslessness
+    argument; a matching (chunk, key) always lands in a touched
+    (chunk, kp)).
     """
 
     def __init__(
@@ -590,6 +596,7 @@ class StreamingVectorDedup:
         chunks: int = 6,
         dim: int = 64,
         seed: int = 42,
+        prefix_mod: int | None = None,
     ):
         self.spark = spark
         self.index_path = index_path.rstrip("/")
@@ -601,6 +608,13 @@ class StreamingVectorDedup:
         self.width = num_planes // chunks
         self.dim = dim
         self.seed = seed
+        # Base-store granularity for the NEXT compact(): dirs = chunks
+        # × prefix_mod; existing generations keep their own recorded
+        # modulus (per-gen _meta.json). None = auto-scale with corpus
+        # size at compact time (~vecs_per_leaf vectors per leaf), like
+        # StreamingNearDedup.
+        self.prefix_mod = prefix_mod
+        self.vecs_per_leaf = 64
 
     def _banded(self, df: DataFrame) -> DataFrame:
         from timescale_cdc_spark.operators.similarity import (
@@ -614,34 +628,130 @@ class StreamingVectorDedup:
             self.id_col, self.vec_col,
         )
 
-    def index(self) -> DataFrame:
+    # -- storage layout (mirrors StreamingNearDedup — see its notes) --------
+
+    @property
+    def _base_path(self) -> str:
+        return f"{self.index_path}/_base"
+
+    def _batch_dirs(self) -> list[str]:
         import os
 
+        if not os.path.isdir(self.index_path):
+            return []
+        return sorted(
+            name for name in os.listdir(self.index_path)
+            if name.startswith("ingest_batch=")
+        )
+
+    def _gen_dirs(self) -> list[str]:
+        import os
+
+        if not os.path.isdir(self._base_path):
+            return []
+        return sorted(
+            name for name in os.listdir(self._base_path)
+            if name.startswith("gen=")
+        )
+
+    def _gen_meta(self, gen_dir: str) -> dict:
+        import json
+        import os
+
+        p = os.path.join(self._base_path, gen_dir, "_meta.json")
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    @staticmethod
+    def _batch_schema():
         from pyspark.sql import types as T
 
-        vec_type = T.ArrayType(T.FloatType())
-        schema = T.StructType(
+        return T.StructType(
             [
                 T.StructField("c_id", T.LongType()),
-                T.StructField("c_vec", vec_type),
+                T.StructField("c_vec", T.ArrayType(T.FloatType())),
                 T.StructField("chunk", T.IntegerType()),
                 T.StructField("key", T.LongType()),
                 T.StructField("ingest_batch", T.LongType()),
             ]
         )
-        if not os.path.isdir(self.index_path):
-            return self.spark.createDataFrame([], schema=schema)
-        return self.spark.read.option("basePath", self.index_path).schema(
-            schema
-        ).parquet(self.index_path)
+
+    @staticmethod
+    def _base_schema():
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("c_id", T.LongType()),
+                T.StructField("c_vec", T.ArrayType(T.FloatType())),
+                T.StructField("key", T.LongType()),
+                T.StructField("gen", T.LongType()),
+                T.StructField("chunk", T.IntegerType()),
+                T.StructField("kp", T.IntegerType()),
+            ]
+        )
+
+    def _batches_df(self) -> DataFrame:
+        dirs = self._batch_dirs()
+        if not dirs:
+            return self.spark.createDataFrame([], schema=self._batch_schema())
+        return (
+            self.spark.read.option("basePath", self.index_path)
+            .schema(self._batch_schema())
+            .parquet(*[f"{self.index_path}/{d}" for d in dirs])
+        )
+
+    def _base_df(self, sigs: DataFrame | None = None) -> DataFrame:
+        """Compacted-store rows in the batch-dir schema; with ``sigs``
+        only the (chunk, kp) leaf dirs the batch touches are opened."""
+        import os
+
+        paths: list[str] = []
+        for g in self._gen_dirs():
+            gdir = f"{self._base_path}/{g}"
+            mod = self._gen_meta(g).get("prefix_mod")
+            if sigs is None or mod is None:
+                paths.append(gdir)
+                continue
+            touched = sigs.select(
+                "chunk",
+                F.pmod(F.col("key"), F.lit(mod)).cast("int").alias("kp"),
+            ).distinct().collect()
+            for r in touched:
+                leaf = f"{gdir}/chunk={r['chunk']}/kp={r['kp']}"
+                if os.path.isdir(leaf):
+                    paths.append(leaf)
+        if not paths:
+            return self.spark.createDataFrame([], schema=self._batch_schema())
+        return (
+            self.spark.read.option("basePath", self._base_path)
+            .schema(self._base_schema())
+            .parquet(*paths)
+            .select(
+                "c_id", "c_vec", "chunk", "key",
+                F.col("gen").alias("ingest_batch"),
+            )
+        )
+
+    def index(self) -> DataFrame:
+        """Every indexed banded row (batch dirs ∪ compacted base);
+        compacted rows carry their (negative) gen as ingest_batch."""
+        return self._batches_df().unionByName(self._base_df())
+
+    def _lookup_index(self, sigs: DataFrame) -> DataFrame:
+        return self._batches_df().unionByName(self._base_df(sigs))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Admit one micro-batch; returns survivors and appends their
         banded sketches under this batch's partition (idempotent)."""
         from timescale_cdc_spark.operators.similarity import cosine
 
-        sigs = self._banded(batch_df)
-        idx = self.index().withColumnsRenamed(
+        # One sketch pass per batch (touched-collect, lookup, pairing
+        # and the index write all reuse it).
+        sigs = self._banded(batch_df).persist()
+        idx = self._lookup_index(sigs).withColumnsRenamed(
             {"c_id": "s_id", "c_vec": "s_vec"}
         )
         seen_hits = (
@@ -678,10 +788,13 @@ class StreamingVectorDedup:
         # the partition the write replaces (see StreamingNearDedup)
         ).localCheckpoint(eager=True)
         (
-            self._banded(survivors)
+            sigs.join(
+                survivors.select(F.col(self.id_col).alias("c_id")), "c_id"
+            )
             .write.mode("overwrite")
             .parquet(f"{self.index_path}/ingest_batch={batch_id}")
         )
+        sigs.unpersist()
         return survivors
 
     def attach(self, vec_stream: DataFrame, survivors_path: str,
@@ -703,35 +816,56 @@ class StreamingVectorDedup:
         )
 
     def compact(self) -> int:
-        """Merge per-batch partitions into a negative generation dir
-        (cannot collide with future batch ids); same crash-safety
-        argument as StreamingNearDedup.compact."""
+        """Merge per-batch partitions (plus any prior generation) into
+        one new (chunk, kp)-partitioned generation — adopting the
+        bucket-pruned layout every later lookup reads; same
+        crash-safety argument as StreamingNearDedup.compact."""
+        import json
         import os
         import shutil
 
-        if not os.path.isdir(self.index_path):
-            return 0
-        old_dirs = [
-            name for name in os.listdir(self.index_path)
-            if name.startswith("ingest_batch=")
-        ]
-        if len(old_dirs) <= 1:
+        batch_dirs = self._batch_dirs()
+        gen_dirs = self._gen_dirs()
+        if len(batch_dirs) + len(gen_dirs) <= 1:
             return 0
         gen = min(
-            (int(d.split("=", 1)[1]) for d in old_dirs
+            (int(d.split("=", 1)[1]) for d in gen_dirs
              if d.split("=", 1)[1].lstrip("-").isdigit()),
             default=0,
         )
         gen = min(gen, 0) - 1
         merged = self.index().dropDuplicates(["c_id", "chunk"]).drop(
             "ingest_batch"
+        ).localCheckpoint(eager=True)
+        if self.prefix_mod is not None:
+            mod = self.prefix_mod
+        else:
+            n_vecs = max(1, merged.count() // max(1, self.chunks))
+            mod = 16
+            while mod < n_vecs // self.vecs_per_leaf and mod < 65536:
+                mod *= 2
+        gdir = f"{self._base_path}/gen={gen}"
+        (
+            merged.withColumn(
+                "kp",
+                F.pmod(F.col("key"), F.lit(mod)).cast("int"),
+            )
+            # one file per (chunk, kp) leaf — see StreamingNearDedup
+            .repartition("chunk", "kp")
+            .write.mode("overwrite")
+            .partitionBy("chunk", "kp")
+            .parquet(gdir)
         )
-        merged.write.mode("overwrite").parquet(
-            f"{self.index_path}/ingest_batch={gen}"
-        )
-        for name in old_dirs:
+        with open(os.path.join(gdir, "_meta.json"), "w") as f:
+            json.dump({"prefix_mod": mod}, f)
+        for name in batch_dirs:
             shutil.rmtree(
                 os.path.join(self.index_path, name), ignore_errors=True
             )
+        for name in gen_dirs:
+            shutil.rmtree(
+                os.path.join(self._base_path, name), ignore_errors=True
+            )
         self.spark.catalog.refreshByPath(self.index_path)
-        return len(old_dirs)
+        self.spark.catalog.refreshByPath(self._base_path)
+        return len(batch_dirs) + len(gen_dirs)

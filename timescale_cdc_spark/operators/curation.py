@@ -189,6 +189,27 @@ class StreamingNearDedup:
     tracking provenance (partition values shadow data columns on
     read, so provenance inside a merged dir would be lost).
 
+    Scale (round 7): the lookup is BUCKET-PRUNED. :meth:`compact`
+    rewrites the admitted corpus into a base store partitioned by
+    ``(band, bp)`` where ``bp = bucket mod prefix_mod``; each batch
+    collects its own touched ``(band, bp)`` literals (tiny: ≤ batch ×
+    bands values) and the index read opens ONLY those leaf
+    directories. Per-batch cost is therefore batch × touched
+    partitions + the small un-compacted tail of recent batch dirs
+    (bounded by compaction cadence), never O(admitted corpus). The
+    pruning is a semantic no-op: any index row that could match a
+    batch row shares its (band, bucket), hence its (band, bp) — rows
+    in unopened partitions cannot join. Explicit leaf paths (rather
+    than a partition-column filter over a full-tree read) also keep
+    the per-batch LISTING cost at touched-prefixes-only on an object
+    store — a full FileIndex build per 5 s micro-batch is exactly the
+    hidden O(corpus) the round-6 design paid. ``prefix_mod`` is
+    recorded per generation (``_meta.json`` inside the gen dir, so a
+    re-layout with a different modulus at the next compaction never
+    desynchronizes readers mid-crash); choose it so partition size
+    stays roughly constant as the corpus grows — bytes read per batch
+    is touched_partitions × (corpus / (bands × prefix_mod)).
+
     Within-batch semantics: after the index check, batch-internal
     pairs are resolved keep-lowest-id (same single-pass star
     approximation as ``curate`` — documented there).
@@ -205,6 +226,7 @@ class StreamingNearDedup:
         num_hashes: int = 64,
         bands: int = 16,
         transitive: bool = False,
+        prefix_mod: int | None = None,
     ):
         self.spark = spark
         self.index_path = index_path.rstrip("/")
@@ -214,6 +236,17 @@ class StreamingNearDedup:
         self.shingle_n = shingle_n
         self.num_hashes = num_hashes
         self.bands = bands
+        # Base-store layout granularity for the NEXT compact(): dirs =
+        # bands × prefix_mod; already-written generations keep the
+        # modulus recorded in their own _meta.json. None (default) =
+        # auto-scale the modulus with the corpus at compact time so
+        # per-batch bytes stay ~flat as the corpus grows (see
+        # compact()); pass an int to pin a layout.
+        self.prefix_mod = prefix_mod
+        # Auto-mod target: ~this many documents per (band, bp) leaf.
+        # Smaller → finer pruning; larger → bigger files. On an object
+        # store raise it until leaves reach ~100 MB.
+        self.docs_per_leaf = 64
         # Within-batch group resolution: False = single-pass star
         # approximation (drop every higher-id pair member — can keep
         # two local minima of one component, e.g. pairs (5,9),(3,9)
@@ -231,12 +264,56 @@ class StreamingNearDedup:
             self.shingle_n, self.num_hashes, self.bands,
         )
 
-    def index(self) -> DataFrame:
+    # -- storage layout ------------------------------------------------------
+    #
+    #   <index_path>/ingest_batch=<b>/          flat per-batch dirs
+    #       (replay contract: a batch overwrites its own dir)
+    #   <index_path>/_base/gen=<g>/band=<b>/bp=<p>/
+    #       compacted store, bucket-pruned at lookup; the leading
+    #       underscore hides it from any parquet listing of
+    #       <index_path> itself. Each gen dir carries its own
+    #       _meta.json ({"prefix_mod": M}) so a re-layout under a new
+    #       modulus can never desynchronize a reader mid-crash.
+
+    @property
+    def _base_path(self) -> str:
+        return f"{self.index_path}/_base"
+
+    def _batch_dirs(self) -> list[str]:
         import os
 
+        if not os.path.isdir(self.index_path):
+            return []
+        return sorted(
+            name for name in os.listdir(self.index_path)
+            if name.startswith("ingest_batch=")
+        )
+
+    def _gen_dirs(self) -> list[str]:
+        import os
+
+        if not os.path.isdir(self._base_path):
+            return []
+        return sorted(
+            name for name in os.listdir(self._base_path)
+            if name.startswith("gen=")
+        )
+
+    def _gen_meta(self, gen_dir: str) -> dict:
+        import json
+        import os
+
+        p = os.path.join(self._base_path, gen_dir, "_meta.json")
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    @staticmethod
+    def _batch_schema():
         from pyspark.sql import types as T
 
-        schema = T.StructType(
+        return T.StructType(
             [
                 T.StructField("_id", T.LongType()),
                 T.StructField("_sig", T.ArrayType(T.LongType())),
@@ -245,11 +322,81 @@ class StreamingNearDedup:
                 T.StructField("ingest_batch", T.LongType()),
             ]
         )
-        if not os.path.isdir(self.index_path):
-            return self.spark.createDataFrame([], schema=schema)
-        return self.spark.read.option("basePath", self.index_path).schema(
-            schema
-        ).parquet(self.index_path)
+
+    @staticmethod
+    def _base_schema():
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("_id", T.LongType()),
+                T.StructField("_sig", T.ArrayType(T.LongType())),
+                T.StructField("bucket", T.LongType()),
+                T.StructField("gen", T.LongType()),
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bp", T.IntegerType()),
+            ]
+        )
+
+    def _batches_df(self) -> DataFrame:
+        dirs = self._batch_dirs()
+        if not dirs:
+            return self.spark.createDataFrame([], schema=self._batch_schema())
+        return (
+            self.spark.read.option("basePath", self.index_path)
+            .schema(self._batch_schema())
+            .parquet(*[f"{self.index_path}/{d}" for d in dirs])
+        )
+
+    def _base_df(self, sigs: DataFrame | None = None) -> DataFrame:
+        """Compacted-store rows, projected to the batch-dir schema.
+        With ``sigs``, the read opens ONLY the (band, bp) leaf dirs the
+        batch's own buckets hash into — explicit paths, so both bytes
+        READ and prefixes LISTED are bounded by the batch, not the
+        corpus. Pruning is lossless: a matching (band, bucket) pair
+        always lands in a touched (band, bp)."""
+        import os
+
+        gens = self._gen_dirs()
+        paths: list[str] = []
+        for g in gens:
+            gdir = f"{self._base_path}/{g}"
+            mod = self._gen_meta(g).get("prefix_mod")
+            if sigs is None or mod is None:
+                # full read (compaction path, or a crash window where
+                # the gen landed without its meta — correctness first)
+                paths.append(gdir)
+                continue
+            touched = sigs.select(
+                "band",
+                F.pmod(F.col("bucket"), F.lit(mod)).cast("int").alias("bp"),
+            ).distinct().collect()
+            for r in touched:
+                leaf = f"{gdir}/band={r['band']}/bp={r['bp']}"
+                if os.path.isdir(leaf):
+                    paths.append(leaf)
+        if not paths:
+            return self.spark.createDataFrame([], schema=self._batch_schema())
+        return (
+            self.spark.read.option("basePath", self._base_path)
+            .schema(self._base_schema())
+            .parquet(*paths)
+            .select(
+                "_id", "_sig", "band", "bucket",
+                F.col("gen").alias("ingest_batch"),
+            )
+        )
+
+    def index(self) -> DataFrame:
+        """Every indexed signature row (batch dirs ∪ compacted base),
+        in the batch-dir schema; compacted rows carry their (negative)
+        generation as ``ingest_batch``."""
+        return self._batches_df().unionByName(self._base_df())
+
+    def _lookup_index(self, sigs: DataFrame) -> DataFrame:
+        """The per-batch lookup view: full recent batch dirs (small —
+        bounded by compaction cadence) ∪ bucket-pruned base."""
+        return self._batches_df().unionByName(self._base_df(sigs))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Admit one micro-batch: returns the surviving docs and
@@ -257,8 +404,11 @@ class StreamingNearDedup:
         this batch's partition)."""
         from timescale_cdc_spark.operators.dedup import _banded_candidates
 
-        sigs = self._banded(batch_df)
-        idx = self.index().withColumnsRenamed(
+        # One sketch pass per batch: the touched-partition collect, the
+        # index lookup, the within-batch pairing, and the index write
+        # below all reuse this cached sketch.
+        sigs = self._banded(batch_df).persist()
+        idx = self._lookup_index(sigs).withColumnsRenamed(
             {"_id": "_seen_id", "_sig": "_seen_sig"}
         )
         est_j = (
@@ -315,62 +465,99 @@ class StreamingNearDedup:
         # removed files (and race its own semantics).
         ).localCheckpoint(eager=True)
         (
-            self._banded(survivors)
+            sigs.join(
+                survivors.select(F.col(self.id_col).alias("_id")), "_id"
+            )
             .withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
             .parquet(f"{self.index_path}/ingest_batch={batch_id}")
         )
+        sigs.unpersist()
         return survivors
 
     def compact(self) -> int:
-        """Merge the accumulated per-batch partitions into one
-        generation directory — a 5 s-trigger deployment creates ~17k
-        partitions a day, and file listing (not data volume) becomes
-        the per-batch lookup cost. Returns the number of directories
-        removed.
+        """Merge the accumulated per-batch partitions (plus any prior
+        base generation) into ONE new bucket-partitioned generation —
+        a 5 s-trigger deployment creates ~17k partitions a day, and
+        file listing (not data volume) becomes the per-batch lookup
+        cost. This is also where the index ADOPTS the pruned layout:
+        the merged corpus lands under ``_base/gen=<g>/band=<b>/bp=<p>``
+        so every subsequent lookup is partition-pruned (see class
+        docstring). Returns the number of directories removed.
 
         Crash-safe by the lookup's semantics: the merged generation is
         written BEFORE old directories are removed, and because hit
         detection is existential and same-id matches are ignored,
         duplicate signature rows from a crash window are harmless (a
         rerun of compact() also dedups them via the (_id, band)
-        dropDuplicates)."""
+        dropDuplicates). A crash before the gen's _meta.json lands
+        degrades that gen to unpruned-but-correct reads until the next
+        compaction rewrites it."""
+        import json
         import os
         import shutil
 
-        if not os.path.isdir(self.index_path):
+        batch_dirs = self._batch_dirs()
+        gen_dirs = self._gen_dirs()
+        if len(batch_dirs) + len(gen_dirs) <= 1:
             return 0
-        old_dirs = [
-            name for name in os.listdir(self.index_path)
-            if name.startswith("ingest_batch=")
-        ]
-        if len(old_dirs) <= 1:
-            return 0
-        # Generations are NEGATIVE so they can never collide with a
-        # stream's monotonically increasing (non-negative) batch ids —
-        # a future batch overwriting "its own" partition must never
-        # clobber the compacted base.
+        # Generations are NEGATIVE so a legacy flat compacted dir
+        # (pre-round-7 layout: ingest_batch=<negative>) can never
+        # collide with a stream's monotonically increasing batch ids;
+        # legacy dirs read as batch dirs and migrate here.
         gen = min(
-            (int(d.split("=", 1)[1]) for d in old_dirs
+            (int(d.split("=", 1)[1]) for d in gen_dirs
              if d.split("=", 1)[1].lstrip("-").isdigit()),
             default=0,
         )
         gen = min(gen, 0) - 1
         merged = self.index().dropDuplicates(["_id", "band"]).drop(
             "ingest_batch"
+        ).localCheckpoint(eager=True)
+        # Modulus for this generation: pinned, or scaled so each
+        # (band, bp) leaf holds ~docs_per_leaf documents. Pruning only
+        # pays when prefix_mod ≫ batch size (a batch touches ≤ batch
+        # distinct bp per band), and scaling mod ∝ corpus is what
+        # keeps per-batch bytes ≈ batch × docs_per_leaf × row_bytes
+        # FLAT as the corpus grows — measured in soak_gates.py
+        # --seeded.
+        if self.prefix_mod is not None:
+            mod = self.prefix_mod
+        else:
+            n_docs = max(1, merged.count() // max(1, self.bands))
+            mod = 16
+            while mod < n_docs // self.docs_per_leaf and mod < 65536:
+                mod *= 2
+        gdir = f"{self._base_path}/gen={gen}"
+        (
+            merged.withColumn(
+                "bp",
+                F.pmod(F.col("bucket"), F.lit(mod)).cast("int"),
+            )
+            # one task → one file per leaf dir (without this, every
+            # shuffle partition writes its own fragment into every
+            # leaf: bands × mod × shuffle.partitions small files)
+            .repartition("band", "bp")
+            .write.mode("overwrite")
+            .partitionBy("band", "bp")
+            .parquet(gdir)
         )
-        merged.write.mode("overwrite").parquet(
-            f"{self.index_path}/ingest_batch={gen}"
-        )
-        for name in old_dirs:
+        with open(os.path.join(gdir, "_meta.json"), "w") as f:
+            json.dump({"prefix_mod": mod}, f)
+        for name in batch_dirs:
             shutil.rmtree(
                 os.path.join(self.index_path, name), ignore_errors=True
+            )
+        for name in gen_dirs:
+            shutil.rmtree(
+                os.path.join(self._base_path, name), ignore_errors=True
             )
         # Spark caches per-path file listings; the removed directories
         # would otherwise surface as FAILED_READ_FILE on the next
         # lookup that reuses the cached FileIndex.
         self.spark.catalog.refreshByPath(self.index_path)
-        return len(old_dirs)
+        self.spark.catalog.refreshByPath(self._base_path)
+        return len(batch_dirs) + len(gen_dirs)
 
     def attach(self, doc_stream: DataFrame, survivors_path: str,
                checkpoint: str):
