@@ -917,6 +917,83 @@ def test_streaming_near_dedup_bucket_pruned_lookup(spark, tmp_path):
     assert gate2.process_batch(probe, 2).count() == 0
 
 
+def test_streaming_near_dedup_mod_rescales_across_compactions(
+    spark, tmp_path
+):
+    """The auto prefix_mod must GROW with the corpus across successive
+    compactions (mod ∝ corpus is what keeps per-batch bytes flat), and
+    a lookup spanning the re-laid-out generation stays correct."""
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    gate = StreamingNearDedup(spark, str(tmp_path / "idx"))
+    gate.docs_per_leaf = 2  # force the modulus to move at tiny scale
+
+    def batch(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"u{w}_"),
+                        F.pmod(F.xxhash64("id", F.lit(w)), F.lit(3000)),
+                    )
+                    for w in range(25)
+                ],
+            ).alias("text"),
+        )
+
+    gate.process_batch(batch(0, 20), 0)
+    gate.process_batch(batch(20, 20), 1)
+    assert gate.compact() == 2
+    mod1 = gate._gen_meta(gate._gen_dirs()[0])["prefix_mod"]
+
+    gate.process_batch(batch(40, 200), 2)
+    assert gate.compact() == 2  # 1 batch dir + 1 old gen
+    assert gate._gen_dirs() == ["gen=-2"]  # old gen superseded
+    mod2 = gate._gen_meta("gen=-2")["prefix_mod"]
+    assert mod2 > mod1, (mod1, mod2)
+
+    # a near-copy of a doc admitted BEFORE the re-layout is still
+    # caught through the rescaled base
+    orig = batch(0, 1)
+    probe = orig.select(
+        (F.col("doc_id") + 7777).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    assert gate.process_batch(probe, 3).count() == 0
+    assert gate.index().select("_id").distinct().count() == 240
+
+
+def test_streaming_gates_star_cap_identical_spam_batch(
+    spark, sf_dir, tmp_path
+):
+    """Round-7 skew guard: a batch of identical spam must collapse to
+    exactly its minimum id WITHOUT the uncapped O(f²) within-batch
+    self-join — the star cap pairs every member with the bucket
+    minimum, and identical payloads all verify against it. 600 copies
+    > the 256 cap, so this exercises the hot path in both gates."""
+    from timescale_cdc_spark.operators.ann_index import StreamingVectorDedup
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    spam = ("identical spam template body repeated across the whole "
+            "batch with enough words to shingle properly and land in "
+            "every band bucket together forever and ever")
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"), F.lit(spam).alias("text")
+    )
+    gate = StreamingNearDedup(spark, str(tmp_path / "idx"))
+    assert [r.doc_id for r in gate.process_batch(docs, 0).collect()] == [0]
+
+    em = load_table(spark, sf_dir, "embeddings")
+    one = em.filter("vec_id = 1").select("embedding")
+    vecs = spark.range(600).crossJoin(one).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    vgate = StreamingVectorDedup(spark, str(tmp_path / "vidx"))
+    assert [r.vec_id for r in vgate.process_batch(vecs, 0).collect()] == [0]
+
+
 def test_streaming_near_dedup_metaless_gen_falls_back_unpruned(
     spark, tmp_path
 ):

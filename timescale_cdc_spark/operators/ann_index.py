@@ -552,7 +552,10 @@ class LshIndex:
         return _lsh_rerank(cb, qb, k)
 
 
-class StreamingVectorDedup:
+from timescale_cdc_spark.operators.bandstore import BandedIndexStore
+
+
+class StreamingVectorDedup(BandedIndexStore):
     """Streaming embedding-dedup ingest gate: admit a vector only if
     no PREVIOUSLY admitted vector has cosine ≥ ``threshold`` — the
     embedding-space counterpart of curation.StreamingNearDedup (same
@@ -597,6 +600,7 @@ class StreamingVectorDedup:
         dim: int = 64,
         seed: int = 42,
         prefix_mod: int | None = None,
+        max_bucket: int | None = 256,
     ):
         self.spark = spark
         self.index_path = index_path.rstrip("/")
@@ -608,13 +612,38 @@ class StreamingVectorDedup:
         self.width = num_planes // chunks
         self.dim = dim
         self.seed = seed
+        # Within-batch hot-bucket star cap — see StreamingNearDedup.
+        # An identical-vector spam batch shares every band bucket;
+        # star pairs around the bucket minimum all verify at cos=1,
+        # so the whole cluster still collapses to its minimum.
+        self.max_bucket = max_bucket
         # Base-store granularity for the NEXT compact(): dirs = chunks
         # × prefix_mod; existing generations keep their own recorded
         # modulus (per-gen _meta.json). None = auto-scale with corpus
-        # size at compact time (~vecs_per_leaf vectors per leaf), like
+        # size at compact time (~rows_per_leaf vectors per leaf), like
         # StreamingNearDedup.
         self.prefix_mod = prefix_mod
-        self.vecs_per_leaf = 64
+        self.rows_per_leaf = 64
+
+    # storage/lookup layer: bandstore.BandedIndexStore hooks
+
+    ID_COL = "c_id"
+    KEY_COL = "chunk"
+    HASH_COL = "key"
+    PREFIX_COL = "kp"
+
+    def _data_fields(self):
+        from pyspark.sql import types as T
+
+        return [
+            T.StructField("c_id", T.LongType()),
+            T.StructField("c_vec", T.ArrayType(T.FloatType())),
+            T.StructField("chunk", T.IntegerType()),
+            T.StructField("key", T.LongType()),
+        ]
+
+    def _n_groups(self) -> int:
+        return self.chunks
 
     def _banded(self, df: DataFrame) -> DataFrame:
         from timescale_cdc_spark.operators.similarity import (
@@ -627,121 +656,6 @@ class StreamingVectorDedup:
             df, "c", planes, self.chunks, self.width,
             self.id_col, self.vec_col,
         )
-
-    # -- storage layout (mirrors StreamingNearDedup — see its notes) --------
-
-    @property
-    def _base_path(self) -> str:
-        return f"{self.index_path}/_base"
-
-    def _batch_dirs(self) -> list[str]:
-        import os
-
-        if not os.path.isdir(self.index_path):
-            return []
-        return sorted(
-            name for name in os.listdir(self.index_path)
-            if name.startswith("ingest_batch=")
-        )
-
-    def _gen_dirs(self) -> list[str]:
-        import os
-
-        if not os.path.isdir(self._base_path):
-            return []
-        return sorted(
-            name for name in os.listdir(self._base_path)
-            if name.startswith("gen=")
-        )
-
-    def _gen_meta(self, gen_dir: str) -> dict:
-        import json
-        import os
-
-        p = os.path.join(self._base_path, gen_dir, "_meta.json")
-        if not os.path.isfile(p):
-            return {}
-        with open(p) as f:
-            return json.load(f)
-
-    @staticmethod
-    def _batch_schema():
-        from pyspark.sql import types as T
-
-        return T.StructType(
-            [
-                T.StructField("c_id", T.LongType()),
-                T.StructField("c_vec", T.ArrayType(T.FloatType())),
-                T.StructField("chunk", T.IntegerType()),
-                T.StructField("key", T.LongType()),
-                T.StructField("ingest_batch", T.LongType()),
-            ]
-        )
-
-    @staticmethod
-    def _base_schema():
-        from pyspark.sql import types as T
-
-        return T.StructType(
-            [
-                T.StructField("c_id", T.LongType()),
-                T.StructField("c_vec", T.ArrayType(T.FloatType())),
-                T.StructField("key", T.LongType()),
-                T.StructField("gen", T.LongType()),
-                T.StructField("chunk", T.IntegerType()),
-                T.StructField("kp", T.IntegerType()),
-            ]
-        )
-
-    def _batches_df(self) -> DataFrame:
-        dirs = self._batch_dirs()
-        if not dirs:
-            return self.spark.createDataFrame([], schema=self._batch_schema())
-        return (
-            self.spark.read.option("basePath", self.index_path)
-            .schema(self._batch_schema())
-            .parquet(*[f"{self.index_path}/{d}" for d in dirs])
-        )
-
-    def _base_df(self, sigs: DataFrame | None = None) -> DataFrame:
-        """Compacted-store rows in the batch-dir schema; with ``sigs``
-        only the (chunk, kp) leaf dirs the batch touches are opened."""
-        import os
-
-        paths: list[str] = []
-        for g in self._gen_dirs():
-            gdir = f"{self._base_path}/{g}"
-            mod = self._gen_meta(g).get("prefix_mod")
-            if sigs is None or mod is None:
-                paths.append(gdir)
-                continue
-            touched = sigs.select(
-                "chunk",
-                F.pmod(F.col("key"), F.lit(mod)).cast("int").alias("kp"),
-            ).distinct().collect()
-            for r in touched:
-                leaf = f"{gdir}/chunk={r['chunk']}/kp={r['kp']}"
-                if os.path.isdir(leaf):
-                    paths.append(leaf)
-        if not paths:
-            return self.spark.createDataFrame([], schema=self._batch_schema())
-        return (
-            self.spark.read.option("basePath", self._base_path)
-            .schema(self._base_schema())
-            .parquet(*paths)
-            .select(
-                "c_id", "c_vec", "chunk", "key",
-                F.col("gen").alias("ingest_batch"),
-            )
-        )
-
-    def index(self) -> DataFrame:
-        """Every indexed banded row (batch dirs ∪ compacted base);
-        compacted rows carry their (negative) gen as ingest_batch."""
-        return self._batches_df().unionByName(self._base_df())
-
-    def _lookup_index(self, sigs: DataFrame) -> DataFrame:
-        return self._batches_df().unionByName(self._base_df(sigs))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Admit one micro-batch; returns survivors and appends their
@@ -764,20 +678,23 @@ class StreamingVectorDedup:
             .select(F.col("c_id").alias(self.id_col))
             .distinct()
         )
-        a = sigs.alias("a").hint("shuffle_hash")
-        b = sigs.alias("b").hint("shuffle_hash")
+        # Within-batch pairs via the shared star-capped candidate
+        # generator (dedup._banded_candidates) — an uncapped self-join
+        # goes O(f²) in one task on an identical-vector spam batch.
+        from timescale_cdc_spark.operators.dedup import _banded_candidates
+
         batch_drops = (
-            a.join(
-                b,
-                (F.col("a.chunk") == F.col("b.chunk"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.c_id") < F.col("b.c_id")),
+            _banded_candidates(
+                sigs.withColumnsRenamed({"c_id": "_id"}),
+                ["chunk", "key"],
+                "c_vec",
+                self.max_bucket,
             )
             .filter(
-                F.round(cosine(F.col("a.c_vec"), F.col("b.c_vec")), 4)
+                F.round(cosine(F.col("pa"), F.col("pb")), 4)
                 >= self.threshold
             )
-            .select(F.col("b.c_id").alias(self.id_col))
+            .select(F.col("id_b").alias(self.id_col))
             .distinct()
         )
         survivors = batch_df.join(
@@ -815,57 +732,5 @@ class StreamingVectorDedup:
             .start()
         )
 
-    def compact(self) -> int:
-        """Merge per-batch partitions (plus any prior generation) into
-        one new (chunk, kp)-partitioned generation — adopting the
-        bucket-pruned layout every later lookup reads; same
-        crash-safety argument as StreamingNearDedup.compact."""
-        import json
-        import os
-        import shutil
-
-        batch_dirs = self._batch_dirs()
-        gen_dirs = self._gen_dirs()
-        if len(batch_dirs) + len(gen_dirs) <= 1:
-            return 0
-        gen = min(
-            (int(d.split("=", 1)[1]) for d in gen_dirs
-             if d.split("=", 1)[1].lstrip("-").isdigit()),
-            default=0,
-        )
-        gen = min(gen, 0) - 1
-        merged = self.index().dropDuplicates(["c_id", "chunk"]).drop(
-            "ingest_batch"
-        ).localCheckpoint(eager=True)
-        if self.prefix_mod is not None:
-            mod = self.prefix_mod
-        else:
-            n_vecs = max(1, merged.count() // max(1, self.chunks))
-            mod = 16
-            while mod < n_vecs // self.vecs_per_leaf and mod < 65536:
-                mod *= 2
-        gdir = f"{self._base_path}/gen={gen}"
-        (
-            merged.withColumn(
-                "kp",
-                F.pmod(F.col("key"), F.lit(mod)).cast("int"),
-            )
-            # one file per (chunk, kp) leaf — see StreamingNearDedup
-            .repartition("chunk", "kp")
-            .write.mode("overwrite")
-            .partitionBy("chunk", "kp")
-            .parquet(gdir)
-        )
-        with open(os.path.join(gdir, "_meta.json"), "w") as f:
-            json.dump({"prefix_mod": mod}, f)
-        for name in batch_dirs:
-            shutil.rmtree(
-                os.path.join(self.index_path, name), ignore_errors=True
-            )
-        for name in gen_dirs:
-            shutil.rmtree(
-                os.path.join(self._base_path, name), ignore_errors=True
-            )
-        self.spark.catalog.refreshByPath(self.index_path)
-        self.spark.catalog.refreshByPath(self._base_path)
-        return len(batch_dirs) + len(gen_dirs)
+    # compact() is inherited from BandedIndexStore: merge per-batch
+    # dirs (+ prior gen) into one (chunk, kp)-partitioned generation.

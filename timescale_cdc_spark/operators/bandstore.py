@@ -1,0 +1,260 @@
+"""Shared persisted banded-signature storage for the streaming ingest
+gates (curation.StreamingNearDedup and ann_index.StreamingVectorDedup).
+
+Both gates persist per-batch banded sketch rows and look incoming
+batches up against the admitted corpus. The storage/lookup layer is
+IDENTICAL up to column names, so it lives here once — the round-6
+advice cycle showed exactly what diverging copies of this kind of
+directory bookkeeping cost (the IvfIndex compaction crash-recovery
+bug existed only because retention.py's correct version was
+re-implemented instead of reused).
+
+Layout (see StreamingNearDedup's docstring for the full cost model):
+
+    <index_path>/ingest_batch=<b>/          flat per-batch dirs
+        (replay contract: a batch overwrites its own dir)
+    <index_path>/_base/gen=<g>/<KEY>=<k>/<PREFIX>=<p>/
+        compacted store, bucket-pruned at lookup; the leading
+        underscore hides it from any parquet listing of <index_path>.
+        Each gen dir carries its own _meta.json ({"prefix_mod": M})
+        so a re-layout under a new modulus can never desynchronize a
+        reader mid-crash (a gen missing its meta reads unpruned).
+
+Subclasses define the column names and the data schema:
+
+- ``ID_COL``     row identity          ("_id" / "c_id")
+- ``KEY_COL``    band identifier       ("band" / "chunk")
+- ``HASH_COL``   band hash value       ("bucket" / "key")
+- ``PREFIX_COL`` partition prefix      ("bp" / "kp")
+- ``_data_fields()``  non-partition fields of a batch row, ordered
+- ``_n_groups()``     bands/chunks count (for the auto-mod divisor)
+
+plus instance attrs ``spark``, ``index_path``, ``prefix_mod``
+(None = auto-scale) and ``rows_per_leaf`` (auto-mod target).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class BandedIndexStore:
+    """Storage/lookup half of a streaming signature gate."""
+
+    ID_COL: str
+    KEY_COL: str
+    HASH_COL: str
+    PREFIX_COL: str
+
+    # -- subclass hooks ------------------------------------------------------
+
+    def _data_fields(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _n_groups(self) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # -- layout --------------------------------------------------------------
+
+    @property
+    def _base_path(self) -> str:
+        return f"{self.index_path}/_base"
+
+    def _batch_dirs(self) -> list[str]:
+        import os
+
+        if not os.path.isdir(self.index_path):
+            return []
+        return sorted(
+            name for name in os.listdir(self.index_path)
+            if name.startswith("ingest_batch=")
+        )
+
+    def _gen_dirs(self) -> list[str]:
+        import os
+
+        if not os.path.isdir(self._base_path):
+            return []
+        return sorted(
+            name for name in os.listdir(self._base_path)
+            if name.startswith("gen=")
+        )
+
+    def _gen_meta(self, gen_dir: str) -> dict:
+        import json
+        import os
+
+        p = os.path.join(self._base_path, gen_dir, "_meta.json")
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _batch_schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            list(self._data_fields())
+            + [T.StructField("ingest_batch", T.LongType())]
+        )
+
+    def _base_schema(self):
+        from pyspark.sql import types as T
+
+        part = {self.KEY_COL}
+        return T.StructType(
+            [f for f in self._data_fields() if f.name not in part]
+            + [
+                T.StructField("gen", T.LongType()),
+                next(
+                    f for f in self._data_fields() if f.name == self.KEY_COL
+                ),
+                T.StructField(self.PREFIX_COL, T.IntegerType()),
+            ]
+        )
+
+    # -- reads ---------------------------------------------------------------
+
+    def _batches_df(self) -> DataFrame:
+        dirs = self._batch_dirs()
+        if not dirs:
+            return self.spark.createDataFrame([], schema=self._batch_schema())
+        return (
+            self.spark.read.option("basePath", self.index_path)
+            .schema(self._batch_schema())
+            .parquet(*[f"{self.index_path}/{d}" for d in dirs])
+        )
+
+    def _base_df(self, sigs: DataFrame | None = None) -> DataFrame:
+        """Compacted-store rows projected to the batch-dir schema.
+        With ``sigs``, only the (KEY, PREFIX) leaf dirs the batch's
+        own hashes map into are opened — explicit paths, so both
+        bytes read and prefixes listed are bounded by the batch, not
+        the corpus. Lossless: a matching (KEY, HASH) pair always
+        lands in a touched (KEY, PREFIX)."""
+        import os
+
+        paths: list[str] = []
+        for g in self._gen_dirs():
+            gdir = f"{self._base_path}/{g}"
+            mod = self._gen_meta(g).get("prefix_mod")
+            if sigs is None or mod is None:
+                # full read (compaction path, or a crash window where
+                # the gen landed without its meta — correctness first)
+                paths.append(gdir)
+                continue
+            touched = sigs.select(
+                self.KEY_COL,
+                F.pmod(F.col(self.HASH_COL), F.lit(mod))
+                .cast("int")
+                .alias(self.PREFIX_COL),
+            ).distinct().collect()
+            for r in touched:
+                leaf = (
+                    f"{gdir}/{self.KEY_COL}={r[self.KEY_COL]}/"
+                    f"{self.PREFIX_COL}={r[self.PREFIX_COL]}"
+                )
+                if os.path.isdir(leaf):
+                    paths.append(leaf)
+        if not paths:
+            return self.spark.createDataFrame([], schema=self._batch_schema())
+        data_cols = [f.name for f in self._data_fields()]
+        return (
+            self.spark.read.option("basePath", self._base_path)
+            .schema(self._base_schema())
+            .parquet(*paths)
+            .select(*data_cols, F.col("gen").alias("ingest_batch"))
+        )
+
+    def index(self) -> DataFrame:
+        """Every indexed row (batch dirs ∪ compacted base) in the
+        batch-dir schema; compacted rows carry their (negative)
+        generation as ``ingest_batch``."""
+        return self._batches_df().unionByName(self._base_df())
+
+    def _lookup_index(self, sigs: DataFrame) -> DataFrame:
+        """The per-batch lookup view: full recent batch dirs (small —
+        bounded by compaction cadence) ∪ bucket-pruned base."""
+        return self._batches_df().unionByName(self._base_df(sigs))
+
+    # -- compaction ----------------------------------------------------------
+
+    def compact(self) -> int:
+        """Merge per-batch partitions (plus any prior generation)
+        into ONE new (KEY, PREFIX)-partitioned generation — the point
+        where the index adopts/rescales the pruned layout. Returns
+        directories removed.
+
+        Crash-safe by the lookup's semantics: the merged generation
+        is written BEFORE old directories are removed, and because
+        hit detection is existential and same-id matches are ignored,
+        duplicate rows from a crash window are harmless (a rerun also
+        dedups them). A crash before the gen's _meta.json lands
+        degrades that gen to unpruned-but-correct reads until the
+        next compaction rewrites it."""
+        import json
+        import os
+        import shutil
+
+        batch_dirs = self._batch_dirs()
+        gen_dirs = self._gen_dirs()
+        if len(batch_dirs) + len(gen_dirs) <= 1:
+            return 0
+        # Generations are NEGATIVE so a legacy flat compacted dir
+        # (pre-round-7 layout: ingest_batch=<negative>) can never
+        # collide with a stream's monotonically increasing batch ids;
+        # legacy dirs read as batch dirs and migrate here.
+        gen = min(
+            (int(d.split("=", 1)[1]) for d in gen_dirs
+             if d.split("=", 1)[1].lstrip("-").isdigit()),
+            default=0,
+        )
+        gen = min(gen, 0) - 1
+        merged = (
+            self.index()
+            .dropDuplicates([self.ID_COL, self.KEY_COL])
+            .drop("ingest_batch")
+            .localCheckpoint(eager=True)
+        )
+        # Modulus for this generation: pinned, or scaled so each leaf
+        # holds ~rows_per_leaf ids. Pruning only pays when mod ≫
+        # batch size, and mod ∝ corpus is what keeps per-batch bytes
+        # flat as the corpus grows (soak_gates.py --seeded).
+        if self.prefix_mod is not None:
+            mod = self.prefix_mod
+        else:
+            n_ids = max(1, merged.count() // max(1, self._n_groups()))
+            mod = 16
+            while mod < n_ids // self.rows_per_leaf and mod < 65536:
+                mod *= 2
+        gdir = f"{self._base_path}/gen={gen}"
+        (
+            merged.withColumn(
+                self.PREFIX_COL,
+                F.pmod(F.col(self.HASH_COL), F.lit(mod)).cast("int"),
+            )
+            # one task → one file per leaf dir (without this, every
+            # shuffle partition fragments every leaf: groups × mod ×
+            # shuffle.partitions small files)
+            .repartition(self.KEY_COL, self.PREFIX_COL)
+            .write.mode("overwrite")
+            .partitionBy(self.KEY_COL, self.PREFIX_COL)
+            .parquet(gdir)
+        )
+        with open(os.path.join(gdir, "_meta.json"), "w") as f:
+            json.dump({"prefix_mod": mod}, f)
+        for name in batch_dirs:
+            shutil.rmtree(
+                os.path.join(self.index_path, name), ignore_errors=True
+            )
+        for name in gen_dirs:
+            shutil.rmtree(
+                os.path.join(self._base_path, name), ignore_errors=True
+            )
+        # Spark caches per-path file listings; the removed directories
+        # would otherwise surface as FAILED_READ_FILE on the next
+        # lookup that reuses the cached FileIndex.
+        self.spark.catalog.refreshByPath(self.index_path)
+        self.spark.catalog.refreshByPath(self._base_path)
+        return len(batch_dirs) + len(gen_dirs)

@@ -155,7 +155,10 @@ def curation_report(curated: DataFrame) -> DataFrame:
     )
 
 
-class StreamingNearDedup:
+from timescale_cdc_spark.operators.bandstore import BandedIndexStore
+
+
+class StreamingNearDedup(BandedIndexStore):
     """Streaming near-dup ingest gate (C2 ⊕ B45/B48): drop incoming
     documents whose MinHash-estimated Jaccard against ANY previously
     admitted document reaches the threshold — the near-dup counterpart
@@ -210,6 +213,10 @@ class StreamingNearDedup:
     stays roughly constant as the corpus grows — bytes read per batch
     is touched_partitions × (corpus / (bands × prefix_mod)).
 
+    The storage/lookup layer itself lives in
+    operators/bandstore.py::BandedIndexStore, shared verbatim with
+    the embedding-space gate (ann_index.StreamingVectorDedup).
+
     Within-batch semantics: after the index check, batch-internal
     pairs are resolved keep-lowest-id (same single-pass star
     approximation as ``curate`` — documented there).
@@ -227,6 +234,7 @@ class StreamingNearDedup:
         bands: int = 16,
         transitive: bool = False,
         prefix_mod: int | None = None,
+        max_bucket: int | None = 256,
     ):
         self.spark = spark
         self.index_path = index_path.rstrip("/")
@@ -236,17 +244,24 @@ class StreamingNearDedup:
         self.shingle_n = shingle_n
         self.num_hashes = num_hashes
         self.bands = bands
+        # Hot-bucket skew guard for the WITHIN-BATCH self-join (same
+        # star-pairing trade as dedup._banded_candidates — an
+        # identical-spam batch otherwise emits O(f²) pairs in one
+        # task). The index-lookup join needs no cap: it is linear in
+        # batch × bucket members, not quadratic, and stays exact.
+        self.max_bucket = max_bucket
         # Base-store layout granularity for the NEXT compact(): dirs =
         # bands × prefix_mod; already-written generations keep the
         # modulus recorded in their own _meta.json. None (default) =
         # auto-scale the modulus with the corpus at compact time so
         # per-batch bytes stay ~flat as the corpus grows (see
-        # compact()); pass an int to pin a layout.
+        # bandstore.BandedIndexStore.compact); pass an int to pin a
+        # layout.
         self.prefix_mod = prefix_mod
         # Auto-mod target: ~this many documents per (band, bp) leaf.
         # Smaller → finer pruning; larger → bigger files. On an object
         # store raise it until leaves reach ~100 MB.
-        self.docs_per_leaf = 64
+        self.rows_per_leaf = 64
         # Within-batch group resolution: False = single-pass star
         # approximation (drop every higher-id pair member — can keep
         # two local minima of one component, e.g. pairs (5,9),(3,9)
@@ -256,6 +271,15 @@ class StreamingNearDedup:
         # — earlier-admitted docs always win.
         self.transitive = transitive
 
+    # docs_per_leaf is the documented name of the auto-mod knob here
+    @property
+    def docs_per_leaf(self) -> int:
+        return self.rows_per_leaf
+
+    @docs_per_leaf.setter
+    def docs_per_leaf(self, v: int) -> None:
+        self.rows_per_leaf = v
+
     def _banded(self, df: DataFrame) -> DataFrame:
         from timescale_cdc_spark.operators.dedup import minhash_banded
 
@@ -264,139 +288,25 @@ class StreamingNearDedup:
             self.shingle_n, self.num_hashes, self.bands,
         )
 
-    # -- storage layout ------------------------------------------------------
-    #
-    #   <index_path>/ingest_batch=<b>/          flat per-batch dirs
-    #       (replay contract: a batch overwrites its own dir)
-    #   <index_path>/_base/gen=<g>/band=<b>/bp=<p>/
-    #       compacted store, bucket-pruned at lookup; the leading
-    #       underscore hides it from any parquet listing of
-    #       <index_path> itself. Each gen dir carries its own
-    #       _meta.json ({"prefix_mod": M}) so a re-layout under a new
-    #       modulus can never desynchronize a reader mid-crash.
+    # -- storage layout: bandstore.BandedIndexStore hooks --------------------
 
-    @property
-    def _base_path(self) -> str:
-        return f"{self.index_path}/_base"
+    ID_COL = "_id"
+    KEY_COL = "band"
+    HASH_COL = "bucket"
+    PREFIX_COL = "bp"
 
-    def _batch_dirs(self) -> list[str]:
-        import os
-
-        if not os.path.isdir(self.index_path):
-            return []
-        return sorted(
-            name for name in os.listdir(self.index_path)
-            if name.startswith("ingest_batch=")
-        )
-
-    def _gen_dirs(self) -> list[str]:
-        import os
-
-        if not os.path.isdir(self._base_path):
-            return []
-        return sorted(
-            name for name in os.listdir(self._base_path)
-            if name.startswith("gen=")
-        )
-
-    def _gen_meta(self, gen_dir: str) -> dict:
-        import json
-        import os
-
-        p = os.path.join(self._base_path, gen_dir, "_meta.json")
-        if not os.path.isfile(p):
-            return {}
-        with open(p) as f:
-            return json.load(f)
-
-    @staticmethod
-    def _batch_schema():
+    def _data_fields(self):
         from pyspark.sql import types as T
 
-        return T.StructType(
-            [
-                T.StructField("_id", T.LongType()),
-                T.StructField("_sig", T.ArrayType(T.LongType())),
-                T.StructField("band", T.IntegerType()),
-                T.StructField("bucket", T.LongType()),
-                T.StructField("ingest_batch", T.LongType()),
-            ]
-        )
+        return [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_sig", T.ArrayType(T.LongType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
 
-    @staticmethod
-    def _base_schema():
-        from pyspark.sql import types as T
-
-        return T.StructType(
-            [
-                T.StructField("_id", T.LongType()),
-                T.StructField("_sig", T.ArrayType(T.LongType())),
-                T.StructField("bucket", T.LongType()),
-                T.StructField("gen", T.LongType()),
-                T.StructField("band", T.IntegerType()),
-                T.StructField("bp", T.IntegerType()),
-            ]
-        )
-
-    def _batches_df(self) -> DataFrame:
-        dirs = self._batch_dirs()
-        if not dirs:
-            return self.spark.createDataFrame([], schema=self._batch_schema())
-        return (
-            self.spark.read.option("basePath", self.index_path)
-            .schema(self._batch_schema())
-            .parquet(*[f"{self.index_path}/{d}" for d in dirs])
-        )
-
-    def _base_df(self, sigs: DataFrame | None = None) -> DataFrame:
-        """Compacted-store rows, projected to the batch-dir schema.
-        With ``sigs``, the read opens ONLY the (band, bp) leaf dirs the
-        batch's own buckets hash into — explicit paths, so both bytes
-        READ and prefixes LISTED are bounded by the batch, not the
-        corpus. Pruning is lossless: a matching (band, bucket) pair
-        always lands in a touched (band, bp)."""
-        import os
-
-        gens = self._gen_dirs()
-        paths: list[str] = []
-        for g in gens:
-            gdir = f"{self._base_path}/{g}"
-            mod = self._gen_meta(g).get("prefix_mod")
-            if sigs is None or mod is None:
-                # full read (compaction path, or a crash window where
-                # the gen landed without its meta — correctness first)
-                paths.append(gdir)
-                continue
-            touched = sigs.select(
-                "band",
-                F.pmod(F.col("bucket"), F.lit(mod)).cast("int").alias("bp"),
-            ).distinct().collect()
-            for r in touched:
-                leaf = f"{gdir}/band={r['band']}/bp={r['bp']}"
-                if os.path.isdir(leaf):
-                    paths.append(leaf)
-        if not paths:
-            return self.spark.createDataFrame([], schema=self._batch_schema())
-        return (
-            self.spark.read.option("basePath", self._base_path)
-            .schema(self._base_schema())
-            .parquet(*paths)
-            .select(
-                "_id", "_sig", "band", "bucket",
-                F.col("gen").alias("ingest_batch"),
-            )
-        )
-
-    def index(self) -> DataFrame:
-        """Every indexed signature row (batch dirs ∪ compacted base),
-        in the batch-dir schema; compacted rows carry their (negative)
-        generation as ``ingest_batch``."""
-        return self._batches_df().unionByName(self._base_df())
-
-    def _lookup_index(self, sigs: DataFrame) -> DataFrame:
-        """The per-batch lookup view: full recent batch dirs (small —
-        bounded by compaction cadence) ∪ bucket-pruned base."""
-        return self._batches_df().unionByName(self._base_df(sigs))
+    def _n_groups(self) -> int:
+        return self.bands
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Admit one micro-batch: returns the surviving docs and
@@ -437,7 +347,8 @@ class StreamingNearDedup:
             / F.lit(float(self.num_hashes))
         )
         batch_pairs = (
-            _banded_candidates(sigs, ["band", "bucket"], "_sig", None)
+            _banded_candidates(sigs, ["band", "bucket"], "_sig",
+                               self.max_bucket)
             .filter(batch_est >= self.threshold)
             .select("id_a", "id_b")
         )
@@ -475,89 +386,10 @@ class StreamingNearDedup:
         sigs.unpersist()
         return survivors
 
-    def compact(self) -> int:
-        """Merge the accumulated per-batch partitions (plus any prior
-        base generation) into ONE new bucket-partitioned generation —
-        a 5 s-trigger deployment creates ~17k partitions a day, and
-        file listing (not data volume) becomes the per-batch lookup
-        cost. This is also where the index ADOPTS the pruned layout:
-        the merged corpus lands under ``_base/gen=<g>/band=<b>/bp=<p>``
-        so every subsequent lookup is partition-pruned (see class
-        docstring). Returns the number of directories removed.
-
-        Crash-safe by the lookup's semantics: the merged generation is
-        written BEFORE old directories are removed, and because hit
-        detection is existential and same-id matches are ignored,
-        duplicate signature rows from a crash window are harmless (a
-        rerun of compact() also dedups them via the (_id, band)
-        dropDuplicates). A crash before the gen's _meta.json lands
-        degrades that gen to unpruned-but-correct reads until the next
-        compaction rewrites it."""
-        import json
-        import os
-        import shutil
-
-        batch_dirs = self._batch_dirs()
-        gen_dirs = self._gen_dirs()
-        if len(batch_dirs) + len(gen_dirs) <= 1:
-            return 0
-        # Generations are NEGATIVE so a legacy flat compacted dir
-        # (pre-round-7 layout: ingest_batch=<negative>) can never
-        # collide with a stream's monotonically increasing batch ids;
-        # legacy dirs read as batch dirs and migrate here.
-        gen = min(
-            (int(d.split("=", 1)[1]) for d in gen_dirs
-             if d.split("=", 1)[1].lstrip("-").isdigit()),
-            default=0,
-        )
-        gen = min(gen, 0) - 1
-        merged = self.index().dropDuplicates(["_id", "band"]).drop(
-            "ingest_batch"
-        ).localCheckpoint(eager=True)
-        # Modulus for this generation: pinned, or scaled so each
-        # (band, bp) leaf holds ~docs_per_leaf documents. Pruning only
-        # pays when prefix_mod ≫ batch size (a batch touches ≤ batch
-        # distinct bp per band), and scaling mod ∝ corpus is what
-        # keeps per-batch bytes ≈ batch × docs_per_leaf × row_bytes
-        # FLAT as the corpus grows — measured in soak_gates.py
-        # --seeded.
-        if self.prefix_mod is not None:
-            mod = self.prefix_mod
-        else:
-            n_docs = max(1, merged.count() // max(1, self.bands))
-            mod = 16
-            while mod < n_docs // self.docs_per_leaf and mod < 65536:
-                mod *= 2
-        gdir = f"{self._base_path}/gen={gen}"
-        (
-            merged.withColumn(
-                "bp",
-                F.pmod(F.col("bucket"), F.lit(mod)).cast("int"),
-            )
-            # one task → one file per leaf dir (without this, every
-            # shuffle partition writes its own fragment into every
-            # leaf: bands × mod × shuffle.partitions small files)
-            .repartition("band", "bp")
-            .write.mode("overwrite")
-            .partitionBy("band", "bp")
-            .parquet(gdir)
-        )
-        with open(os.path.join(gdir, "_meta.json"), "w") as f:
-            json.dump({"prefix_mod": mod}, f)
-        for name in batch_dirs:
-            shutil.rmtree(
-                os.path.join(self.index_path, name), ignore_errors=True
-            )
-        for name in gen_dirs:
-            shutil.rmtree(
-                os.path.join(self._base_path, name), ignore_errors=True
-            )
-        # Spark caches per-path file listings; the removed directories
-        # would otherwise surface as FAILED_READ_FILE on the next
-        # lookup that reuses the cached FileIndex.
-        self.spark.catalog.refreshByPath(self.index_path)
-        self.spark.catalog.refreshByPath(self._base_path)
-        return len(batch_dirs) + len(gen_dirs)
+    # compact() is inherited from BandedIndexStore: merge per-batch
+    # dirs (+ prior gen) into one (band, bp)-partitioned generation —
+    # a 5 s-trigger deployment creates ~17k partitions a day, and file
+    # listing (not data volume) becomes the per-batch lookup cost.
 
     def attach(self, doc_stream: DataFrame, survivors_path: str,
                checkpoint: str):
