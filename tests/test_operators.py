@@ -916,6 +916,12 @@ def test_streaming_near_dedup_bucket_pruned_lookup(spark, tmp_path):
     # and the pruned lookup still catches the dup
     assert gate2.process_batch(probe, 2).count() == 0
 
+    # bulk-ingest guard: a batch touching most of the layout falls
+    # back to the full-gen read (collect stays bounded) — same files
+    # as the unpruned path, same admissions either way
+    bulk_sigs = gate2._banded(corpus)
+    assert set(gate2._base_df(bulk_sigs).inputFiles()) == set(full_files)
+
 
 def test_streaming_near_dedup_mod_rescales_across_compactions(
     spark, tmp_path

@@ -144,12 +144,22 @@ class BandedIndexStore:
                 # the gen landed without its meta — correctness first)
                 paths.append(gdir)
                 continue
+            # Bulk-ingest guard: a batch touching most of the layout
+            # (backfill replays, initial loads) gains nothing from
+            # pruning, and collecting ~groups × mod touched rows to
+            # probe ~as many leaf paths costs more than one tree
+            # listing. The limit bounds the collect itself; spilling
+            # past it → full-gen read. One job either way.
+            cap = min(int(0.5 * self._n_groups() * mod), 32768)
             touched = sigs.select(
                 self.KEY_COL,
                 F.pmod(F.col(self.HASH_COL), F.lit(mod))
                 .cast("int")
                 .alias(self.PREFIX_COL),
-            ).distinct().collect()
+            ).distinct().limit(cap + 1).collect()
+            if len(touched) > cap:
+                paths.append(gdir)
+                continue
             for r in touched:
                 leaf = (
                     f"{gdir}/{self.KEY_COL}={r[self.KEY_COL]}/"
