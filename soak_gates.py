@@ -108,6 +108,11 @@ def seeded_main(seed_multiple: int, batch_docs: int) -> None:
                  "batch_docs": batch_docs, "text": {}, "vec": {}}
 
     def measure(gate, synth, mult: int) -> dict:
+        """Two compaction cycles: bulk seed → compact (the observed
+        bulk batches keep the layout COARSE — full scans stay cheap),
+        then a few trigger-sized batches → compact again (median
+        batch est drops, layout goes FINE, pruning kicks in). The
+        probe measurement reads the adapted fine layout."""
         r: dict = {"seed_docs": mult * batch_docs}
         half = mult * batch_docs // 2
         t0 = time.time()
@@ -116,11 +121,19 @@ def seeded_main(seed_multiple: int, batch_docs: int) -> None:
         r["seed_sec"] = round(time.time() - t0, 2)
         t0 = time.time()
         gate.compact()
-        r["compact_sec"] = round(time.time() - t0, 2)
+        r["compact1_sec"] = round(time.time() - t0, 2)
+        r["mod_after_bulk"] = gate._gen_meta(gate._gen_dirs()[0]).get(
+            "prefix_mod"
+        )
+        for b in (2, 3, 4):  # steady-state batches re-train the estimate
+            gate.process_batch(synth(spark, batch_docs, b), b).count()
+        t0 = time.time()
+        gate.compact()
+        r["compact2_sec"] = round(time.time() - t0, 2)
         r["prefix_mod"] = gate._gen_meta(gate._gen_dirs()[0]).get(
             "prefix_mod"
         )
-        batch = synth(spark, batch_docs, 2)
+        batch = synth(spark, batch_docs, 5)
         sigs = gate._banded(batch).persist()
         r["pruned_files"], r["pruned_bytes"] = _scan_stats(
             gate._base_df(sigs).inputFiles()
@@ -130,7 +143,7 @@ def seeded_main(seed_multiple: int, batch_docs: int) -> None:
         )
         sigs.unpersist()
         t0 = time.time()
-        r["admitted"] = gate.process_batch(batch, 2).count()
+        r["admitted"] = gate.process_batch(batch, 5).count()
         r["batch_sec"] = round(time.time() - t0, 2)
         assert r["pruned_bytes"] <= r["full_bytes"]
         return r

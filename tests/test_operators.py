@@ -892,7 +892,7 @@ def test_streaming_near_dedup_bucket_pruned_lookup(spark, tmp_path):
     gate2.process_batch(corpus.filter("doc_id >= 100"), 1).count()
     assert gate2.compact() == 2
     assert gate2._gen_dirs() == ["gen=-1"]
-    assert gate2._gen_meta("gen=-1") == {"prefix_mod": 16}
+    assert gate2._gen_meta("gen=-1")["prefix_mod"] == 16
 
     # one-doc batch: a near-copy of doc 0 (cross-batch dup)
     probe = corpus.filter("doc_id = 0").select(
@@ -949,13 +949,15 @@ def test_streaming_near_dedup_mod_rescales_across_compactions(
             ).alias("text"),
         )
 
-    gate.process_batch(batch(0, 20), 0)
-    gate.process_batch(batch(20, 20), 1)
-    assert gate.compact() == 2
+    for b in range(4):  # 4 × 10-doc batches: median batch est = 10
+        gate.process_batch(batch(b * 10, 10), b)
+    assert gate.compact() == 4
     mod1 = gate._gen_meta(gate._gen_dirs()[0])["prefix_mod"]
+    assert mod1 > 16  # corpus 40 / leaf 2 supports fine layout
 
-    gate.process_batch(batch(40, 200), 2)
-    assert gate.compact() == 2  # 1 batch dir + 1 old gen
+    for b in range(4):  # grow the corpus: 4 × 50-doc batches
+        gate.process_batch(batch(40 + b * 50, 50), 4 + b)
+    assert gate.compact() == 5  # 4 batch dirs + 1 old gen
     assert gate._gen_dirs() == ["gen=-2"]  # old gen superseded
     mod2 = gate._gen_meta("gen=-2")["prefix_mod"]
     assert mod2 > mod1, (mod1, mod2)
@@ -967,8 +969,16 @@ def test_streaming_near_dedup_mod_rescales_across_compactions(
         (F.col("doc_id") + 7777).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
-    assert gate.process_batch(probe, 3).count() == 0
+    assert gate.process_batch(probe, 8).count() == 0
     assert gate.index().select("_id").distinct().count() == 240
+
+    # bulk-workload adaptation: when observed batches are LARGER than
+    # the corpus can support useful pruning for, the next compaction
+    # drops back to the coarse layout (bounded file count — full
+    # scans stay cheap) instead of a fine layout no lookup can prune
+    gate.process_batch(batch(10000, 500), 9)
+    assert gate.compact() == 3  # probe dir + bulk dir + old gen
+    assert gate._gen_meta("gen=-3")["prefix_mod"] == 16
 
 
 def test_streaming_gates_star_cap_identical_spam_batch(
@@ -1050,7 +1060,7 @@ def test_streaming_vector_dedup_bucket_pruned_lookup(spark, sf_dir, tmp_path):
         em.filter("vec_id >= 100 AND vec_id < 200"), 1
     ).count()
     assert gate.compact() == 2
-    assert gate._gen_meta("gen=-1") == {"prefix_mod": 16}
+    assert gate._gen_meta("gen=-1")["prefix_mod"] == 16
 
     probe = em.filter("vec_id = 3").withColumn(
         "vec_id", F.lit(9000).cast("long")

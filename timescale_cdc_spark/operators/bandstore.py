@@ -31,6 +31,14 @@ Subclasses define the column names and the data schema:
 
 plus instance attrs ``spark``, ``index_path``, ``prefix_mod``
 (None = auto-scale) and ``rows_per_leaf`` (auto-mod target).
+
+Single-writer contract (like all maintenance in this repo):
+``compact()`` must not run concurrently with ``process_batch`` — the
+directory listing a lookup takes could otherwise race the removal of
+a just-merged batch dir. Run compaction from the stream's own
+foreachBatch cadence or from the maintenance runner while the stream
+is paused; on an object store the migration shape is the
+manifest-commit pattern (SCALE.md, single-node artifacts §4).
 """
 
 from __future__ import annotations
@@ -215,22 +223,48 @@ class BandedIndexStore:
         # (pre-round-7 layout: ingest_batch=<negative>) can never
         # collide with a stream's monotonically increasing batch ids;
         # legacy dirs read as batch dirs and migrate here.
-        gen = min(
-            (int(d.split("=", 1)[1]) for d in gen_dirs
-             if d.split("=", 1)[1].lstrip("-").isdigit()),
-            default=0,
+        gen_ids = [
+            int(d.split("=", 1)[1]) for d in gen_dirs
+            if d.split("=", 1)[1].lstrip("-").isdigit()
+        ]
+        gen = min(min(gen_ids, default=0), 0) - 1
+        # Steady-state batch size estimate: median docs per CURRENT
+        # batch dir (legacy negative dirs excluded), carried forward
+        # via the newest gen's meta when this compaction merges no
+        # batch dirs. Drives the fine-vs-coarse layout decision below.
+        sizes = sorted(
+            r["docs"]
+            for r in self._batches_df()
+            .filter(F.col("ingest_batch") >= 0)
+            .groupBy("ingest_batch")
+            .agg((F.count("*") / self._n_groups()).alias("docs"))
+            .collect()
         )
-        gen = min(gen, 0) - 1
+        if sizes:
+            batch_est = float(sizes[len(sizes) // 2])
+        elif gen_ids:
+            newest = f"gen={min(gen_ids)}"
+            batch_est = self._gen_meta(newest).get("batch_est")
+        else:
+            batch_est = None
         merged = (
             self.index()
             .dropDuplicates([self.ID_COL, self.KEY_COL])
             .drop("ingest_batch")
             .localCheckpoint(eager=True)
         )
-        # Modulus for this generation: pinned, or scaled so each leaf
-        # holds ~rows_per_leaf ids. Pruning only pays when mod ≫
-        # batch size, and mod ∝ corpus is what keeps per-batch bytes
-        # flat as the corpus grows (soak_gates.py --seeded).
+        # Modulus for this generation: pinned, or chosen from BOTH the
+        # corpus and the observed batch size. Fine granularity (mod ∝
+        # corpus, ~rows_per_leaf ids per leaf) is what keeps per-batch
+        # PRUNED bytes flat as the corpus grows — but every leaf is a
+        # file, full scans cost ~2 ms/file locally, and pruning only
+        # pays when mod ≫ batch (a batch touches ≤ batch distinct
+        # prefixes per band). So when the corpus cannot support at
+        # least 2× the observed batch size in leaves, stay COARSE
+        # (mod 16): bulk-batch lookups read a few hundred files
+        # instead of tens of thousands, and the next compaction after
+        # the workload shifts to small batches re-adopts the fine
+        # layout automatically (both directions tested/soaked).
         if self.prefix_mod is not None:
             mod = self.prefix_mod
         else:
@@ -238,6 +272,8 @@ class BandedIndexStore:
             mod = 16
             while mod < n_ids // self.rows_per_leaf and mod < 65536:
                 mod *= 2
+            if batch_est is not None and mod < 2 * batch_est:
+                mod = 16
         gdir = f"{self._base_path}/gen={gen}"
         (
             merged.withColumn(
@@ -252,8 +288,11 @@ class BandedIndexStore:
             .partitionBy(self.KEY_COL, self.PREFIX_COL)
             .parquet(gdir)
         )
+        meta: dict = {"prefix_mod": mod}
+        if batch_est is not None:
+            meta["batch_est"] = batch_est
         with open(os.path.join(gdir, "_meta.json"), "w") as f:
-            json.dump({"prefix_mod": mod}, f)
+            json.dump(meta, f)
         for name in batch_dirs:
             shutil.rmtree(
                 os.path.join(self.index_path, name), ignore_errors=True
