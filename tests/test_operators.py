@@ -1010,6 +1010,82 @@ def test_streaming_gates_star_cap_identical_spam_batch(
     assert [r.vec_id for r in vgate.process_batch(vecs, 0).collect()] == [0]
 
 
+def test_gate_layout_estimator_sees_incoming_not_admitted(spark, tmp_path):
+    """The fine-vs-coarse layout decision must be driven by what
+    lookups PROBE (incoming batch size), not what survived dedup — a
+    high-duplicate stream admits few docs per large batch, and an
+    admitted-rows estimate would pick a fine layout whose bulk
+    lookups all degrade to full scans."""
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    gate = StreamingNearDedup(spark, str(tmp_path / "idx"))
+
+    def mk(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"q{w}_"),
+                        F.pmod(F.xxhash64("id", F.lit(w)), F.lit(2000)),
+                    )
+                    for w in range(20)
+                ],
+            ).alias("text"),
+        )
+
+    seed = mk(0, 30)
+    assert gate.process_batch(seed, 0).count() == 30
+    # re-crawl: the same 30 docs under new ids + 2 genuinely new
+    recrawl = seed.withColumn("doc_id", F.col("doc_id") + 5000).unionByName(
+        mk(100, 2)
+    )
+    assert gate.process_batch(recrawl, 1).count() == 2  # 30 rejected
+    assert gate._batch_sizes() == [30.0, 32.0]  # incoming, not admitted
+
+
+def test_streaming_near_dedup_duplicate_gen_crash_window(spark, tmp_path):
+    """Crash window the compact() docstring claims is harmless: the
+    new generation landed but the old dirs were not removed. The
+    lookup unions both (duplicate signature rows are harmless —
+    existential hit detection, same-id ignored) and the next
+    compact() merges everything back to one generation."""
+    import shutil
+
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    doc = ("a long enough sentence about tidal pools sheltering "
+           "anemones and hermit crabs between the barnacled rocks "
+           "while gulls argue over the receding waterline")
+    gate = StreamingNearDedup(spark, str(tmp_path / "idx"), prefix_mod=16)
+    gate.process_batch(
+        spark.createDataFrame([(1, doc)], "doc_id long, text string"), 0
+    )
+    gate.process_batch(
+        spark.createDataFrame(
+            [(2, "unrelated words about branch prediction pipelines "
+              "and speculative execution hazards in modern cores")],
+            "doc_id long, text string"), 1
+    )
+    assert gate.compact() == 2
+    # simulate the torn compaction: an undead older generation with
+    # the same content
+    shutil.copytree(
+        f"{gate._base_path}/gen=-1", f"{gate._base_path}/gen=-9"
+    )
+    assert gate.index().select("_id").distinct().count() == 2
+    probe = spark.createDataFrame(
+        [(7, doc.replace("gulls", "terns"))], "doc_id long, text string"
+    )
+    assert gate.process_batch(probe, 2).count() == 0  # still rejected
+    # rerun heals: both gens + the (empty) probe dir merge to one
+    assert gate.compact() == 3
+    assert gate._gen_dirs() == ["gen=-10"]
+    assert gate.index().select("_id").distinct().count() == 2
+    assert gate.index().count() == 2 * gate.bands  # rows deduped too
+
+
 def test_streaming_near_dedup_metaless_gen_falls_back_unpruned(
     spark, tmp_path
 ):

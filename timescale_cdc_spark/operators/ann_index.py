@@ -663,8 +663,10 @@ class StreamingVectorDedup(BandedIndexStore):
         from timescale_cdc_spark.operators.similarity import cosine
 
         # One sketch pass per batch (touched-collect, lookup, pairing
-        # and the index write all reuse it).
+        # and the index write all reuse it; the count fills the cache
+        # and yields the incoming size for the layout estimator).
         sigs = self._banded(batch_df).persist()
+        n_in = sigs.count() // max(1, self.chunks)
         idx = self._lookup_index(sigs).withColumnsRenamed(
             {"c_id": "s_id", "c_vec": "s_vec"}
         )
@@ -711,6 +713,7 @@ class StreamingVectorDedup(BandedIndexStore):
             .write.mode("overwrite")
             .parquet(f"{self.index_path}/ingest_batch={batch_id}")
         )
+        self._write_batch_meta(batch_id, n_in)
         sigs.unpersist()
         return survivors
 

@@ -122,6 +122,47 @@ class BandedIndexStore:
             ]
         )
 
+    def _write_batch_meta(self, batch_id: int, n_docs: int) -> None:
+        """Record the INCOMING batch size beside the batch's admitted
+        rows. The layout estimator must see what lookups probe, not
+        what survived — a high-duplicate stream admits few docs per
+        large batch, and estimating from admitted rows would pick a
+        fine layout whose every bulk lookup degrades to a full scan."""
+        import json
+        import os
+
+        d = os.path.join(self.index_path, f"ingest_batch={batch_id}")
+        if os.path.isdir(d):
+            with open(os.path.join(d, "_meta.json"), "w") as f:
+                json.dump({"batch_docs": n_docs}, f)
+
+    def _batch_sizes(self) -> list[float]:
+        """Incoming docs per current batch dir (recorded meta;
+        admitted-rows fallback for dirs predating the meta)."""
+        import json
+        import os
+
+        sizes: list[float] = []
+        fallback_dirs = []
+        for name in self._batch_dirs():
+            p = os.path.join(self.index_path, name, "_meta.json")
+            if os.path.isfile(p):
+                with open(p) as f:
+                    sizes.append(float(json.load(f)["batch_docs"]))
+            else:
+                fallback_dirs.append(name)
+        if fallback_dirs:
+            sizes.extend(
+                float(r["docs"])
+                for r in self._batches_df()
+                .filter(F.col("ingest_batch") >= 0)
+                .groupBy("ingest_batch")
+                .agg((F.count("*") / self._n_groups()).alias("docs"))
+                .collect()
+                if f"ingest_batch={r['ingest_batch']}" in fallback_dirs
+            )
+        return sorted(sizes)
+
     # -- reads ---------------------------------------------------------------
 
     def _batches_df(self) -> DataFrame:
@@ -228,18 +269,12 @@ class BandedIndexStore:
             if d.split("=", 1)[1].lstrip("-").isdigit()
         ]
         gen = min(min(gen_ids, default=0), 0) - 1
-        # Steady-state batch size estimate: median docs per CURRENT
-        # batch dir (legacy negative dirs excluded), carried forward
-        # via the newest gen's meta when this compaction merges no
-        # batch dirs. Drives the fine-vs-coarse layout decision below.
-        sizes = sorted(
-            r["docs"]
-            for r in self._batches_df()
-            .filter(F.col("ingest_batch") >= 0)
-            .groupBy("ingest_batch")
-            .agg((F.count("*") / self._n_groups()).alias("docs"))
-            .collect()
-        )
+        # Steady-state batch size estimate: median INCOMING docs per
+        # CURRENT batch dir (per-dir meta written by the gate; legacy
+        # dirs fall back to admitted rows), carried forward via the
+        # newest gen's meta when this compaction merges no batch
+        # dirs. Drives the fine-vs-coarse layout decision below.
+        sizes = self._batch_sizes()
         if sizes:
             batch_est = float(sizes[len(sizes) // 2])
         elif gen_ids:

@@ -316,8 +316,11 @@ class StreamingNearDedup(BandedIndexStore):
 
         # One sketch pass per batch: the touched-partition collect, the
         # index lookup, the within-batch pairing, and the index write
-        # below all reuse this cached sketch.
+        # below all reuse this cached sketch (the count materializes
+        # the cache and yields the incoming size the layout estimator
+        # records — sigs has exactly bands rows per doc).
         sigs = self._banded(batch_df).persist()
+        n_in = sigs.count() // max(1, self.bands)
         idx = self._lookup_index(sigs).withColumnsRenamed(
             {"_id": "_seen_id", "_sig": "_seen_sig"}
         )
@@ -383,6 +386,7 @@ class StreamingNearDedup(BandedIndexStore):
             .write.mode("overwrite")
             .parquet(f"{self.index_path}/ingest_batch={batch_id}")
         )
+        self._write_batch_meta(batch_id, n_in)
         sigs.unpersist()
         return survivors
 
