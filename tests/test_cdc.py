@@ -290,9 +290,14 @@ def test_maintenance_runner(spark, log, tmp_path):
     assert report["ann_index"]["rebuild_recommended"] is False
     assert report["near_dedup_index_dirs_compacted"] == 2
     assert report["vec_dedup_index_dirs_compacted"] == 2
-    # compaction adopted the bucket-pruned base layout (round 7)
+    # compaction adopted the bucket-pruned base layout (round 7) and
+    # the report carries the structural gate state
     assert gate._gen_dirs() and vgate._gen_dirs()
     assert "prefix_mod" in gate._gen_meta(gate._gen_dirs()[0])
+    for k in ("near_dedup_index", "vec_dedup_index"):
+        st = report[k]
+        assert st["batch_dirs"] == 0 and st["generations"] == 1
+        assert st["prefix_mod"] >= 16 and st["batch_est"] is not None
 
     # ADVICE r6: pointing the runner at an UNBUILT index must not
     # raise after retention/compaction already ran — the report

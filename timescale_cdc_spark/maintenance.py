@@ -95,17 +95,17 @@ def run_maintenance(
     if near_dedup_index_path:
         from timescale_cdc_spark.operators.curation import StreamingNearDedup
 
-        report["near_dedup_index_dirs_compacted"] = StreamingNearDedup(
-            spark, near_dedup_index_path
-        ).compact()
+        gate = StreamingNearDedup(spark, near_dedup_index_path)
+        report["near_dedup_index_dirs_compacted"] = gate.compact()
+        report["near_dedup_index"] = gate.stats()
     if vec_dedup_index_path:
         from timescale_cdc_spark.operators.ann_index import (
             StreamingVectorDedup,
         )
 
-        report["vec_dedup_index_dirs_compacted"] = StreamingVectorDedup(
-            spark, vec_dedup_index_path
-        ).compact()
+        vgate = StreamingVectorDedup(spark, vec_dedup_index_path)
+        report["vec_dedup_index_dirs_compacted"] = vgate.compact()
+        report["vec_dedup_index"] = vgate.stats()
     return report
 
 

@@ -237,6 +237,27 @@ class BandedIndexStore:
         bounded by compaction cadence) ∪ bucket-pruned base."""
         return self._batches_df().unionByName(self._base_df(sigs))
 
+    def stats(self) -> dict:
+        """Structural index state for the maintenance report — no data
+        scan. ``batch_dirs`` is the compaction-cadence signal (listing
+        cost per lookup grows with it); ``prefix_mod``/``batch_est``
+        show the layout the last compaction chose and the workload it
+        observed."""
+        gens = self._gen_dirs()
+        newest = None
+        ids = [
+            int(g.split("=", 1)[1]) for g in gens
+            if g.split("=", 1)[1].lstrip("-").isdigit()
+        ]
+        if ids:
+            newest = self._gen_meta(f"gen={min(ids)}")
+        return {
+            "batch_dirs": len(self._batch_dirs()),
+            "generations": len(gens),
+            "prefix_mod": (newest or {}).get("prefix_mod"),
+            "batch_est": (newest or {}).get("batch_est"),
+        }
+
     # -- compaction ----------------------------------------------------------
 
     def compact(self) -> int:
