@@ -1,0 +1,118 @@
+"""Semantic tests for the Timescale hyperfunction analogs
+(functions/hyper.py): dense gapfill grid, LOCF, linear interpolation,
+LOCF time-weighted average, first/last-by-time. Oracle hash-parity is
+covered by test_oracle_parity (ts_gapfill_hyperfunctions); these pin
+the SEMANTICS on a hand-built frame where every expected value is
+derivable by eye.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.functions.hyper import time_bucket_gapfill
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    """One series, observations in hours 0, 1, and 4 — hours 2-3 are
+    gaps. Hour 0 has two points for avg/first/last/twa checks."""
+    rows = [
+        (1, _ts(0, 0), "a", 10.0),
+        (2, _ts(0, 30), "a", 20.0),
+        (3, _ts(1, 15), "a", 30.0),
+        (4, _ts(4, 0), "a", 50.0),
+        # second series: single observation at hour 2
+        (5, _ts(2, 0), "b", 7.0),
+    ]
+    return spark.createDataFrame(rows, "id long, ts timestamp, k string, v double")
+
+
+@pytest.fixture(scope="module")
+def filled(tiny):
+    out = time_bucket_gapfill(tiny, "1 hour", "ts", ["k"], "v", "id")
+    return {
+        (r["k"], r["bucket"].hour): r for r in out.collect()
+    }, out.count()
+
+
+def test_dense_grid_covers_global_range_per_key(filled):
+    rows, n = filled
+    # global range hour 0..4 → 5 buckets × 2 keys
+    assert n == 10
+    assert {(k, h) for k, h in rows} == {
+        (k, h) for k in ("a", "b") for h in range(5)
+    }
+
+
+def test_gap_rows_have_null_raw_aggregates(filled):
+    rows, _ = filled
+    for k, h in [("a", 2), ("a", 3), ("b", 0), ("b", 4)]:
+        r = rows[(k, h)]
+        assert r["n_events"] is None
+        assert r["avg_value"] is None
+        assert r["twa"] is None
+        assert r["first_val"] is None
+
+
+def test_bucket_aggregates(filled):
+    rows, _ = filled
+    a0 = rows[("a", 0)]
+    assert a0["n_events"] == 2
+    assert a0["avg_value"] == pytest.approx(15.0)
+    assert a0["first_val"] == 10.0
+    assert a0["last_val"] == 20.0
+    assert a0["delta"] == pytest.approx(10.0)
+    # LOCF TWA in hour 0: 10.0 holds 00:00→00:30, 20.0 holds
+    # 00:30→01:00 → (10*30 + 20*30)/60 = 15.0
+    assert a0["twa"] == pytest.approx(15.0)
+    # single-event bucket: twa == the value (holds to bucket end)
+    b2 = rows[("b", 2)]
+    assert b2["twa"] == pytest.approx(7.0)
+    assert b2["delta"] == pytest.approx(0.0)
+
+
+def test_locf_carries_last_observation(filled):
+    rows, _ = filled
+    # a: avg hour1 = 30 → hours 2,3 LOCF = 30; hour 4 has data again
+    assert rows[("a", 2)]["locf_avg"] == pytest.approx(30.0)
+    assert rows[("a", 3)]["locf_avg"] == pytest.approx(30.0)
+    assert rows[("a", 4)]["locf_avg"] == pytest.approx(50.0)
+    # b: nothing before hour 2 → LOCF null at 0,1; carried at 3,4
+    assert rows[("b", 0)]["locf_avg"] is None
+    assert rows[("b", 1)]["locf_avg"] is None
+    assert rows[("b", 3)]["locf_avg"] == pytest.approx(7.0)
+
+
+def test_interpolate_linear_between_known_null_at_edges(filled):
+    rows, _ = filled
+    # a: between hour1 (30) and hour4 (50): hour2 = 30 + 20*(1/3),
+    # hour3 = 30 + 20*(2/3)
+    assert rows[("a", 2)]["interp_avg"] == pytest.approx(36.666667, abs=1e-6)
+    assert rows[("a", 3)]["interp_avg"] == pytest.approx(43.333333, abs=1e-6)
+    # data rows keep their own value
+    assert rows[("a", 1)]["interp_avg"] == pytest.approx(30.0)
+    # b: before first / after last observation → null
+    assert rows[("b", 0)]["interp_avg"] is None
+    assert rows[("b", 4)]["interp_avg"] is None
+
+
+def test_single_shuffle_bucket_aggregation(tiny):
+    """The per-bucket windows (lead/row_number) and the groupBy must
+    share ONE exchange of the fact table — the windows partition on
+    the same (key, bucket) keys the aggregate groups on."""
+    from timescale_cdc_spark.functions.hyper import bucketed_hyperaggs
+
+    plan = bucketed_hyperaggs(
+        tiny, "1 hour", "ts", ["k"], "v", "id"
+    )._jdf.queryExecution().executedPlan().toString()
+    # exchanges: exactly one hashpartitioning exchange over the facts
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan

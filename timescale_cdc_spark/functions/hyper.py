@@ -1,0 +1,217 @@
+"""Timescale hyperfunction analogs over hypertable-shaped data:
+``time_bucket_gapfill`` + ``locf`` + ``interpolate``, per-bucket
+time-weighted average, and first/last-by-time — the standard
+TimescaleDB query patterns over the hypertables the reference creates
+(init.sql:69-72; readme.md:220 motivates hypertables precisely for
+this bucketed time-series querying).
+
+Everything is plain DataFrame/window composition — no UDFs, no
+collect. The dense bucket grid is keys × sequence(min..max bucket),
+built from a one-row global-bounds aggregate broadcast into a cross
+join (O(1) rows on the build side at any scale); gap filling is a
+left join onto that grid; LOCF/interpolation are ignore-nulls window
+functions riding one per-key exchange.
+
+Determinism (driver hash-parity) follows queries/base.py conventions:
+value sums go through DECIMAL (exact), time weights are exact integer
+microseconds, and each final double is produced by one IEEE op on
+identical operands in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.functions.time import bucket_seconds
+
+
+def epoch_bucket(ts: Column | str, width: str) -> Column:
+    """Epoch-aligned bucket start as a LONG epoch-second value
+    (``time_bucket`` minus the timestamp conversion — the join/series
+    key for gapfill grids)."""
+    col = F.col(ts) if isinstance(ts, str) else ts
+    secs = bucket_seconds(width)
+    return (F.floor(F.unix_timestamp(col) / secs).cast("long") * secs).alias(
+        "_eb"
+    )
+
+
+def dense_grid(
+    df: DataFrame, width: str, ts_col: str, key_cols: list[str]
+) -> DataFrame:
+    """Dense (key..., _eb) grid: every key × every ``width`` bucket
+    between the GLOBAL min and max observed bucket (Timescale
+    ``time_bucket_gapfill`` with the default whole-range bounds).
+
+    Scale shape: the bounds aggregate is one row (broadcast into the
+    cross join); the grid itself is |keys| × |buckets| rows generated
+    by ``sequence`` + ``explode`` — never a shuffle of the fact table.
+    """
+    secs = bucket_seconds(width)
+    eb = epoch_bucket(ts_col, width)
+    bounds = df.select(eb).agg(
+        F.min("_eb").alias("_mn"), F.max("_eb").alias("_mx")
+    )
+    keys = df.select(*key_cols).distinct()
+    return (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.lit(secs))
+            ).alias("_eb"),
+        )
+    )
+
+
+def locf(value: Column | str, key_cols: list[str], order_col: str) -> Column:
+    """Last-observation-carried-forward (Timescale ``locf()``): the
+    most recent non-null value at or before this row, per key. Null
+    until the first observation."""
+    col = F.col(value) if isinstance(value, str) else value
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return F.last(col, ignorenulls=True).over(w)
+
+
+def interpolate(
+    value: str, key_cols: list[str], epoch_col: str
+) -> Column:
+    """Linear interpolation across gaps (Timescale ``interpolate()``):
+    rows with a value keep it; gap rows get the straight line between
+    the surrounding observations; rows before the first / after the
+    last observation stay null.
+
+    ``epoch_col`` must be a numeric (epoch-seconds) bucket column so
+    the interpolation fractions are exact integer differences cast to
+    double — one IEEE multiply+add per row, identical cross-engine.
+    """
+    v = F.col(value)
+    e = F.col(epoch_col)
+    wp = (
+        Window.partitionBy(*key_cols)
+        .orderBy(epoch_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy(*key_cols)
+        .orderBy(epoch_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pe = F.last(F.when(v.isNotNull(), e), ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    ne = F.first(F.when(v.isNotNull(), e), ignorenulls=True).over(wn)
+    frac = (e - pe).cast("double") / (ne - pe).cast("double")
+    return F.when(v.isNotNull(), v).otherwise(pv + (nv - pv) * frac)
+
+
+def bucketed_hyperaggs(
+    df: DataFrame,
+    width: str,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per (key, bucket) hyperfunction aggregates in ONE shuffle:
+
+    - ``n_events`` — plain count;
+    - ``avg_value`` — exact DECIMAL sum / count (base.py convention);
+    - ``twa`` — LOCF time-weighted average within the bucket
+      (Timescale ``time_weight('LOCF')``): each observation's value
+      holds until the next observation (or the bucket end), weights
+      are exact integer microseconds, numerator an exact decimal sum;
+    - ``first_val`` / ``last_val`` — value at the earliest/latest
+      ``(ts, id)`` in the bucket (Timescale ``first()``/``last()``);
+    - ``delta`` — ``last_val - first_val`` (counter-delta style).
+
+    The lead/first/last window functions ride the exact exchange the
+    groupBy needs (same partitioning keys), so the whole thing is one
+    shuffle of the fact table — the 100 TB shape.
+    """
+    secs = bucket_seconds(width)
+    eb = epoch_bucket(ts_col, width)
+    base = df.select(
+        *key_cols,
+        eb,
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+        # fixture ts is TIMESTAMP_NTZ; cast is identity under the
+        # session's UTC timezone and unix_micros requires TIMESTAMP
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    wb = Window.partitionBy(*key_cols, "_eb").orderBy("_ts", "_id")
+    end_us = (F.col("_eb") + F.lit(secs)) * F.lit(1_000_000)
+    dec_v = F.col("_v").cast("decimal(18,2)")
+    annotated = base.select(
+        *key_cols,
+        "_eb",
+        "_v",
+        dec_v.alias("_dv"),
+        (F.coalesce(F.lead("_us").over(wb), end_us) - F.col("_us")).alias(
+            "_w_us"
+        ),
+        F.row_number().over(wb).alias("_rn"),
+        F.row_number()
+        .over(
+            Window.partitionBy(*key_cols, "_eb").orderBy(
+                F.desc("_ts"), F.desc("_id")
+            )
+        )
+        .alias("_rn_desc"),
+    )
+    num = F.sum(F.col("_dv") * F.col("_w_us"))
+    den = F.sum("_w_us")
+    first_v = F.min(F.when(F.col("_rn") == 1, F.col("_v")))
+    last_v = F.min(F.when(F.col("_rn_desc") == 1, F.col("_v")))
+    return annotated.groupBy(*key_cols, "_eb").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum("_dv").cast("double") / F.count("*")
+        ).alias("avg_value"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("twa"),
+        first_v.alias("first_val"),
+        last_v.alias("last_val"),
+        (last_v - first_v).alias("delta"),
+    )
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    width: str,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The composed hyperfunction surface: bucketed aggregates on a
+    DENSE per-key bucket grid (``time_bucket_gapfill``), with
+    ``locf_avg`` and ``interp_avg`` filled across the gaps.
+
+    Returns one row per (key, bucket) for every bucket in the global
+    observed range — gap rows carry null raw aggregates, LOCF'd and
+    interpolated averages where defined.
+    """
+    agged = bucketed_hyperaggs(df, width, ts_col, key_cols, value_col, id_col)
+    grid = dense_grid(df, width, ts_col, key_cols)
+    dense = grid.join(agged, [*key_cols, "_eb"], "left")
+    return dense.select(
+        *key_cols,
+        F.timestamp_seconds("_eb").alias("bucket"),
+        "n_events",
+        "avg_value",
+        locf("avg_value", key_cols, "_eb").alias("locf_avg"),
+        F.round(interpolate("avg_value", key_cols, "_eb"), 6).alias(
+            "interp_avg"
+        ),
+        "twa",
+        "first_val",
+        "last_val",
+        "delta",
+    )

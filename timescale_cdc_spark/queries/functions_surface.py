@@ -185,7 +185,7 @@ def b33_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b34_datetime_time_bucket",
+    "b34_b35_datetime_math_fns",
     """
     SELECT event_id,
            date_trunc('hour', ts) AS hour_ts,
@@ -196,37 +196,7 @@ def b33_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ts AS DATE) + 7 AS week_later,
            make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS bucket_15m,
            ts - INTERVAL 1 HOUR AS ts_minus_1h,
-           ts + INTERVAL 20 MINUTE AS ts_plus_20m
-    FROM events
-    """,
-)
-def b34_datetime_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time functions + time_bucket + interval arithmetic (B34 and
-    A18 in one pass): date_trunc / extract / epoch / date_add, the
-    Timescale-signature time_bucket (functions/time.py — epoch-floor
-    15-minute buckets, the hypertable bucketing init.sql:70), and
-    NOW() - INTERVAL arithmetic (init.sql:130-136, readme.md:114).
-    The aggregated-bucket form (GROUP BY time_bucket) is b43's shape;
-    here the bucket rides as a per-row column."""
-    ev = t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.date_trunc("hour", "ts").alias("hour_ts"),
-        F.hour("ts").cast("int").alias("hh"),
-        F.dayofmonth("ts").cast("int").alias("dd"),
-        F.dayofweek("ts").cast("int").alias("dow"),
-        F.unix_timestamp("ts").alias("epoch_s"),
-        F.date_add(F.col("ts").cast("date"), 7).alias("week_later"),
-        time_bucket("15 minutes", "ts").alias("bucket_15m"),
-        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts_minus_1h"),
-        (F.col("ts") + F.expr("INTERVAL 20 MINUTE")).alias("ts_plus_20m"),
-    )
-
-
-@register(
-    "b35_math_fns",
-    """
-    SELECT event_id,
+           ts + INTERVAL 20 MINUTE AS ts_plus_20m,
            round(value, 1) AS value_r1,
            abs(value - 100.0) AS dist_100,
            CAST(ceil(value) AS BIGINT) AS value_ceil,
@@ -244,15 +214,35 @@ def b34_datetime_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
 )
-def b35_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math functions (B35, full family in one pass): round/abs/ceil/
-    floor/sqrt (IEEE-exact cross-engine), exp/ln/log10/fractional
-    power (transcendental → pinned at 4-6 decimals), sign/mod/
-    greatest/least. The explicit round before the bigint cast matters:
-    Spark's double→bigint cast truncates while DuckDB's rounds."""
+def b34_b35_datetime_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time + math function families (B34, B35, A18) in one
+    per-row pass over events — merged in round 7 to free a registry
+    slot for ts_gapfill_hyperfunctions while keeping every column of
+    both former entries hash-checked.
+
+    Date/time half: date_trunc / extract / epoch / date_add, the
+    Timescale-signature time_bucket (functions/time.py — epoch-floor
+    15-minute buckets, the hypertable bucketing init.sql:70), and
+    NOW() - INTERVAL arithmetic (init.sql:130-136, readme.md:114).
+    The aggregated-bucket form (GROUP BY time_bucket) is b43's shape.
+
+    Math half: round/abs/ceil/floor/sqrt (IEEE-exact cross-engine),
+    exp/ln/log10/fractional power (transcendental → pinned at 4-6
+    decimals), sign/mod/greatest/least. The explicit round before the
+    bigint cast matters: Spark's double→bigint cast truncates while
+    DuckDB's rounds."""
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.hour("ts").cast("int").alias("hh"),
+        F.dayofmonth("ts").cast("int").alias("dd"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_add(F.col("ts").cast("date"), 7).alias("week_later"),
+        time_bucket("15 minutes", "ts").alias("bucket_15m"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts_minus_1h"),
+        (F.col("ts") + F.expr("INTERVAL 20 MINUTE")).alias("ts_plus_20m"),
         F.round("value", 1).alias("value_r1"),
         F.abs(F.col("value") - 100.0).alias("dist_100"),
         F.ceil("value").cast("bigint").alias("value_ceil"),
@@ -267,6 +257,105 @@ def b35_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("value"), 100.0 - F.col("value")).alias("min_side"),
         F.round(F.pow(F.col("value"), 0.5), 6).alias("value_pow_half"),
         F.round(F.log10(F.col("value") + 1.0), 6).alias("value_log10"),
+    )
+
+
+@register(
+    "ts_gapfill_hyperfunctions",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS _eb,
+             ts, value, event_id,
+             epoch_us(ts) AS _us
+      FROM events
+    ),
+    ann AS (
+      SELECT event_type, _eb, value,
+             CAST(value AS DECIMAL(18,2)) AS _dv,
+             coalesce(lead(_us) OVER w, (_eb + 3600) * 1000000) - _us AS _w_us,
+             row_number() OVER w AS _rn,
+             row_number() OVER (PARTITION BY event_type, _eb
+                                ORDER BY ts DESC, event_id DESC) AS _rn_desc
+      FROM base
+      WINDOW w AS (PARTITION BY event_type, _eb ORDER BY ts, event_id)
+    ),
+    agged AS (
+      SELECT event_type, _eb,
+             COUNT(*) AS n_events,
+             CAST(sum(_dv) AS DOUBLE) / COUNT(*) AS avg_value,
+             round(CAST(sum(_dv * _w_us) AS DOUBLE)
+                   / CAST(sum(_w_us) AS DOUBLE), 6) AS twa,
+             min(CASE WHEN _rn = 1 THEN value END) AS first_val,
+             min(CASE WHEN _rn_desc = 1 THEN value END) AS last_val,
+             min(CASE WHEN _rn_desc = 1 THEN value END)
+               - min(CASE WHEN _rn = 1 THEN value END) AS delta
+      FROM ann GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(_eb) AS _mn, max(_eb) AS _mx FROM base),
+    grid AS (
+      SELECT k.event_type, g.g AS _eb
+      FROM (SELECT DISTINCT event_type FROM events) k, bounds b,
+           UNNEST(generate_series(b._mn, b._mx, 3600)) AS g(g)
+    ),
+    dense AS (
+      SELECT g.event_type, g._eb, a.n_events, a.avg_value,
+             a.twa, a.first_val, a.last_val, a.delta
+      FROM grid g LEFT JOIN agged a
+        ON a.event_type = g.event_type AND a._eb = g._eb
+    ),
+    filled AS (
+      SELECT event_type, _eb, n_events, avg_value,
+             last_value(avg_value IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY _eb
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg,
+             last_value(avg_value IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN avg_value IS NOT NULL THEN _eb END
+                        IGNORE NULLS) OVER wp AS pe,
+             first_value(avg_value IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN avg_value IS NOT NULL THEN _eb END
+                         IGNORE NULLS) OVER wn AS ne,
+             twa, first_val, last_val, delta
+      FROM dense
+      WINDOW wp AS (PARTITION BY event_type ORDER BY _eb
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY _eb
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           make_timestamp(_eb * 1000000) AS bucket,
+           n_events, avg_value, locf_avg,
+           round(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                      ELSE pv + (nv - pv) * (CAST(_eb - pe AS DOUBLE)
+                                             / CAST(ne - pe AS DOUBLE))
+                 END, 6) AS interp_avg,
+           twa, first_val, last_val, delta
+    FROM filled
+    """,
+)
+def ts_gapfill_hyperfunctions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timescale hyperfunction surface (functions/hyper.py), new in
+    round 7: ``time_bucket_gapfill`` over hourly buckets per
+    event_type — DENSE bucket grid across the observed range with gap
+    rows — plus ``locf`` and linear ``interpolate`` of the bucket
+    average, LOCF time-weighted average (``time_weight('LOCF')``
+    semantics, exact integer-microsecond weights, decimal-exact
+    numerator), ``first()``/``last()`` by (ts, event_id), and the
+    counter-style per-bucket delta. These are the canonical TimescaleDB
+    query patterns over the hypertables the reference creates
+    (init.sql:69-72; readme.md:220).
+
+    100 TB shape: one shuffle of the fact table (the per-bucket window
+    functions ride the same (key, bucket) exchange the aggregate
+    needs); the dense grid is keys × sequence() off a broadcast 1-row
+    bounds aggregate — never a second pass over the facts; LOCF/
+    interpolation windows partition on the series key, so state per
+    task is one series' buckets."""
+    from timescale_cdc_spark.functions.hyper import time_bucket_gapfill
+
+    ev = t(spark, sf_dir, "events")
+    return time_bucket_gapfill(
+        ev, "1 hour", "ts", ["event_type"], "value", "event_id"
     )
 
 
