@@ -1,0 +1,169 @@
+"""ContinuousAggregate (cdc/caggs.py) — the Timescale
+continuous-aggregate analog. The load-bearing invariant, checked at
+every step of an incremental scenario: ``query(source)`` (real-time
+view) equals the full one-shot aggregation of the CURRENT source,
+regardless of how much has been materialized or when.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.cdc.caggs import ContinuousAggregate
+
+
+def _rows(day: int, hours: list[int], key: str = "a", v: float = 1.0):
+    return [
+        (key, dt.datetime(2024, 1, day, h), float(v + h))
+        for h in hours
+    ]
+
+
+def _aggs():
+    return [
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    ]
+
+
+def _full(df):
+    eb = (F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600)
+    return (
+        df.withColumn("_eb", eb)
+        .groupBy("k", "_eb")
+        .agg(*_aggs())
+        .withColumn("bucket", F.timestamp_seconds("_eb"))
+        .drop("_eb")
+    )
+
+
+def _sorted_rows(df):
+    return sorted(
+        tuple(r) for r in df.select("k", "bucket", "n", "sum_v", "min_v", "max_v").collect()
+    )
+
+
+@pytest.fixture()
+def cagg(spark, tmp_path):
+    return ContinuousAggregate(
+        spark,
+        str(tmp_path / "cagg"),
+        "1 hour",
+        "ts",
+        ["k"],
+        _aggs,
+    )
+
+
+SCHEMA = "k string, ts timestamp, v double"
+
+
+def test_refresh_then_query_equals_full_recompute(spark, cagg):
+    src = spark.createDataFrame(
+        _rows(1, [0, 1, 1, 5]) + _rows(2, [3, 4], key="b"), SCHEMA
+    )
+    cagg.refresh(src)
+    assert _sorted_rows(cagg.query(src)) == _sorted_rows(_full(src))
+    # fully materialized → tail empty, materialized alone matches too
+    assert _sorted_rows(cagg.materialized()) == _sorted_rows(_full(src))
+
+
+def test_incremental_refresh_parity_and_realtime_tail(spark, cagg):
+    d1 = spark.createDataFrame(_rows(1, [0, 2, 2]), SCHEMA)
+    cagg.refresh(d1)
+    wm1 = cagg.watermark_s()
+    # new data arrives AFTER the watermark; do NOT refresh yet
+    d2 = d1.unionByName(
+        spark.createDataFrame(_rows(3, [1, 1, 7], key="b"), SCHEMA)
+    )
+    # real-time view is already exact (tail aggregated on the fly)
+    assert _sorted_rows(cagg.query(d2)) == _sorted_rows(_full(d2))
+    # incremental refresh of just the new window
+    cagg.refresh(d2, start_s=wm1)
+    assert cagg.watermark_s() > wm1
+    assert _sorted_rows(cagg.materialized()) == _sorted_rows(_full(d2))
+    # the window starts mid-day-1 (at wm1), so day-1 is rewritten with
+    # its pre-window buckets carried forward; day-3 is new in gen 2;
+    # day-2 (no data, no region) stays absent
+    man = json.load(open(os.path.join(cagg.path, "_MANIFEST.json")))
+    assert man["regions"]["2024-01-01"] == "v_000002"
+    assert man["regions"]["2024-01-03"] == "v_000002"
+    assert "2024-01-02" not in man["regions"]
+
+
+def test_day_aligned_incremental_refresh_leaves_old_regions_untouched(
+    spark, cagg
+):
+    """The production pattern: refresh on DAY-aligned windows (the
+    source's chunk granularity) — prior day regions are carried in the
+    manifest without any rewrite."""
+    d1 = spark.createDataFrame(_rows(1, [0, 2]), SCHEMA)
+    day2 = int(dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc).timestamp())
+    cagg.refresh(d1, end_s=day2)  # aligned to day boundary
+    d2 = d1.unionByName(spark.createDataFrame(_rows(2, [4]), SCHEMA))
+    cagg.refresh(d2, start_s=day2)
+    man = json.load(open(os.path.join(cagg.path, "_MANIFEST.json")))
+    assert man["regions"]["2024-01-01"] == "v_000001"  # untouched
+    assert man["regions"]["2024-01-02"] == "v_000002"
+    assert _sorted_rows(cagg.materialized()) == _sorted_rows(_full(d2))
+
+
+def test_refresh_idempotent_and_backfill_replaces_buckets(spark, cagg):
+    src = spark.createDataFrame(_rows(1, [0, 1]) + _rows(2, [2]), SCHEMA)
+    cagg.refresh(src)
+    before = _sorted_rows(cagg.materialized())
+    wm = cagg.watermark_s()
+    # replaying the same refresh changes nothing
+    cagg.refresh(src)
+    assert _sorted_rows(cagg.materialized()) == before
+    # late data lands in day 1 (below the watermark) → backfill window
+    late = src.unionByName(
+        spark.createDataFrame(_rows(1, [1, 1], v=100.0), SCHEMA)
+    )
+    day1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    cagg.refresh(late, start_s=day1, end_s=day1 + 86400)
+    assert cagg.watermark_s() == wm  # backfill does not move the watermark
+    assert _sorted_rows(cagg.materialized()) == _sorted_rows(_full(late))
+
+
+def test_crash_orphan_is_replaced_and_gcd(spark, cagg):
+    src = spark.createDataFrame(_rows(1, [0]), SCHEMA)
+    cagg.refresh(src)
+    # simulate a crashed gen-2 refresh: uncommitted version dir +
+    # leftover staging, manifest still at gen 1
+    orphan = os.path.join(cagg.path, "d=2024-01-01", "v_000002")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "junk"), "w").write("x")
+    os.makedirs(os.path.join(cagg.path, "_staging_v_000002"))
+    before = _sorted_rows(cagg.materialized())
+    assert _sorted_rows(cagg.materialized()) == before  # reader unaffected
+    # the retry (same generation number) replaces the orphan cleanly
+    cagg.refresh(src)
+    assert _sorted_rows(cagg.materialized()) == before
+    assert not os.path.exists(os.path.join(cagg.path, "_staging_v_000002"))
+    # gen-1 dir retained (history), nothing else
+    days = os.listdir(os.path.join(cagg.path, "d=2024-01-01"))
+    assert sorted(days) == ["v_000001", "v_000002"]
+
+
+def test_query_before_any_refresh_is_plain_aggregate(spark, cagg):
+    src = spark.createDataFrame(_rows(1, [0, 1]), SCHEMA)
+    assert _sorted_rows(cagg.query(src)) == _sorted_rows(_full(src))
+    assert not cagg.exists()
+
+
+def test_superseded_region_retained_one_generation(spark, cagg):
+    src = spark.createDataFrame(_rows(1, [0, 1]), SCHEMA)
+    cagg.refresh(src)
+    cagg.refresh(src)  # gen 2 supersedes day-1 region
+    ddir = os.path.join(cagg.path, "d=2024-01-01")
+    assert sorted(os.listdir(ddir)) == ["v_000001", "v_000002"]
+    cagg.refresh(src)  # gen 3: v1 now unreferenced by current+history
+    assert sorted(os.listdir(ddir)) == ["v_000002", "v_000003"]

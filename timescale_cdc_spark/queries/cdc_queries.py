@@ -395,3 +395,62 @@ def b30_latest_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "cdc_continuous_aggregate",
+    """
+    SELECT event_type,
+           make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                          * 3600 * 1000000) AS bucket,
+           COUNT(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (cdc/caggs.py — the TimescaleDB
+    continuous-aggregate analog over the hypertables the reference
+    creates, init.sql:69-72) driven end-to-end: hourly per-event-type
+    aggregates are REFRESHED (materialized to the versioned,
+    manifest-committed store) for everything before 2024-01-20, the
+    remaining days stay unmaterialized, and the returned result is the
+    REAL-TIME view — materialized buckets ∪ on-the-fly aggregation of
+    the post-watermark tail (Timescale ``materialized_only=false``).
+
+    The oracle is the plain one-shot bucketed aggregate: the real-time
+    view must be EXACT at any refresh lag — that equivalence is the
+    continuous-aggregate contract, and the driver hash-checks it every
+    round through the full refresh → manifest → union path."""
+    import os
+    import shutil
+    import tempfile
+
+    from timescale_cdc_spark.cdc.caggs import ContinuousAggregate
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        tempfile.gettempdir(), "timescale_cdc_spark_io", tag, "cagg"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+    def aggs():
+        return [
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        ]
+
+    ev = t(spark, sf_dir, "events")
+    cagg = ContinuousAggregate(
+        spark, path, "1 hour", "ts", ["event_type"], aggs
+    )
+    # materialize through 2024-01-19 inclusive; tail stays real-time
+    split_s = 1705708800  # 2024-01-20T00:00:00Z
+    cagg.refresh(ev, end_s=split_s)
+    return cagg.query(ev)

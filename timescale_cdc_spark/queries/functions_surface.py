@@ -388,7 +388,7 @@ def b36_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b37_array_posexplode",
+    "b37_b38_collection_fns",
     """
     WITH e AS (
       SELECT vec_id,
@@ -399,25 +399,48 @@ def b36_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
              len(list_filter(embedding, x -> x > 0)) AS n_pos
       FROM embeddings
+    ),
+    arr AS (
+      SELECT 'array' AS variant, vec_id AS id,
+             CAST(generate_subscripts(emb[1:3], 1) - 1 AS STRING) AS key,
+             round(unnest(emb[1:3]), 6) AS val,
+             dim, norm2, first_elem, n_pos,
+             CAST(NULL AS BIGINT) AS n
+      FROM e
+    ),
+    mp AS (
+      SELECT 'map' AS variant, user_id AS id, event_type AS key,
+             CAST(NULL AS DOUBLE) AS val,
+             CAST(NULL AS BIGINT) AS dim, CAST(NULL AS DOUBLE) AS norm2,
+             CAST(NULL AS DOUBLE) AS first_elem, CAST(NULL AS BIGINT) AS n_pos,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
     )
-    SELECT vec_id, dim, norm2, first_elem, n_pos,
-           generate_subscripts(emb[1:3], 1) - 1 AS pos,
-           round(unnest(emb[1:3]), 6) AS elem
-    FROM e
+    SELECT * FROM arr UNION ALL SELECT * FROM mp
     """,
 )
-def b37_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array functions + posexplode (B37, whole family): transform /
+def b37_b38_collection_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + map function families (B37, B38) as one variant-tagged
+    result — merged in round 7 (same pattern as b27) to free a registry
+    slot for cdc_continuous_aggregate while keeping every row of both
+    former entries hash-checked.
+
+    variant='array' (former b37_array_posexplode): transform /
     aggregate / filter over embedding vectors — the JVM-side (codegen)
     path for vector math, no Python UDF (the 100 TB-safe form of C3's
     dot products) — then posexplode of the leading slice flattens with
     ordinal positions (Spark pos is 0-based; the oracle aligns via
-    generate_subscripts - 1)."""
+    generate_subscripts - 1).
+
+    variant='map' (former b38_map_fns): build a per-user map of
+    event-type counts (map_from_entries over sorted struct entries),
+    then explode it back to rows — the props-map access pattern. The
+    oracle is the flat group-by the round-trip must reproduce."""
     em = t(spark, sf_dir, "embeddings")
     stats = em.select(
         "vec_id",
         F.col("embedding").alias("emb"),
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.round(
             F.expr(
                 "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
@@ -425,9 +448,9 @@ def b37_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("norm2"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
-        F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_pos"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).cast("bigint").alias("n_pos"),
     )
-    return stats.select(
+    arr = stats.select(
         "vec_id",
         "dim",
         "norm2",
@@ -437,30 +460,16 @@ def b37_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "raw_elem"
         ),
     ).select(
-        "vec_id",
+        F.lit("array").alias("variant"),
+        F.col("vec_id").alias("id"),
+        F.col("pos").cast("string").alias("key"),
+        F.round("raw_elem", 6).alias("val"),
         "dim",
         "norm2",
         "first_elem",
         "n_pos",
-        "pos",
-        F.round("raw_elem", 6).alias("elem"),
+        F.lit(None).cast("bigint").alias("n"),
     )
-
-
-@register(
-    "b38_map_fns",
-    """
-    SELECT user_id, event_type, n FROM (
-      SELECT user_id, event_type, COUNT(*) AS n
-      FROM events GROUP BY user_id, event_type
-    )
-    """,
-)
-def b38_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map functions (B38): build a per-user map of event-type counts
-    (map_from_entries over sorted struct entries), then explode it back
-    to rows — the props-map access pattern. The oracle is the flat
-    group-by the round-trip must reproduce."""
     ev = t(spark, sf_dir, "events")
     per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     mapped = per.groupBy("user_id").agg(
@@ -468,9 +477,20 @@ def b38_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("event_type", "n")))
         ).alias("type_counts")
     )
-    return mapped.select(
+    mp = mapped.select(
         "user_id", F.explode("type_counts").alias("event_type", "n")
+    ).select(
+        F.lit("map").alias("variant"),
+        F.col("user_id").alias("id"),
+        F.col("event_type").alias("key"),
+        F.lit(None).cast("double").alias("val"),
+        F.lit(None).cast("bigint").alias("dim"),
+        F.lit(None).cast("double").alias("norm2"),
+        F.lit(None).cast("double").alias("first_elem"),
+        F.lit(None).cast("bigint").alias("n_pos"),
+        "n",
     )
+    return arr.unionByName(mp)
 
 
 @register(
