@@ -167,3 +167,61 @@ def test_superseded_region_retained_one_generation(spark, cagg):
     assert sorted(os.listdir(ddir)) == ["v_000001", "v_000002"]
     cagg.refresh(src)  # gen 3: v1 now unreferenced by current+history
     assert sorted(os.listdir(ddir)) == ["v_000002", "v_000003"]
+
+
+# -- streaming refresh policy ------------------------------------------
+
+
+def test_refresh_for_batch_in_order_and_late(spark, cagg, tmp_path):
+    """Invalidation-driven refresh: in-order batches refresh the tail;
+    a late batch widens the window back; replays are idempotent. The
+    invariant at every step: materialized == full recompute of the
+    accumulated source."""
+    src_dir = str(tmp_path / "src")
+    batches = [
+        _rows(1, [0, 1]),                       # in-order
+        _rows(2, [3], key="b"),                 # in-order, new day
+        _rows(1, [1, 5], v=50.0),               # LATE rows into day 1
+    ]
+    for bid, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, SCHEMA)
+        bdf.write.mode("overwrite").parquet(f"{src_dir}/ingest_batch={bid}")
+        source = spark.read.parquet(src_dir)
+        cagg.refresh_for_batch(bdf, source)
+        assert _sorted_rows(cagg.materialized()) == _sorted_rows(
+            _full(source)
+        )
+    # replay the LAST batch (at-least-once delivery): same content
+    bdf = spark.createDataFrame(batches[-1], SCHEMA)
+    bdf.write.mode("overwrite").parquet(f"{src_dir}/ingest_batch=2")
+    source = spark.read.parquet(src_dir)
+    cagg.refresh_for_batch(bdf, source)
+    assert _sorted_rows(cagg.materialized()) == _sorted_rows(_full(source))
+    # late batch did NOT advance the watermark past the tail
+    assert cagg.watermark_s() == int(
+        dt.datetime(2024, 1, 2, 4, tzinfo=dt.timezone.utc).timestamp()
+    )
+
+
+def test_attach_streaming_end_to_end(spark, cagg, tmp_path):
+    """attach(): a real file-source stream lands batches and refreshes
+    touched windows; the materialized aggregate converges to the full
+    recompute of everything that arrived."""
+    in_dir = str(tmp_path / "incoming")
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    d1 = spark.createDataFrame(_rows(1, [0, 2]), SCHEMA)
+    d1.write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    q = cagg.attach(stream, src_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        d2 = spark.createDataFrame(_rows(2, [4, 4], key="b"), SCHEMA)
+        d2.write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    source = spark.read.parquet(src_dir)
+    assert source.count() == 4
+    assert _sorted_rows(cagg.materialized()) == _sorted_rows(_full(source))

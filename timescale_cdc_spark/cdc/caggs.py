@@ -306,6 +306,49 @@ class ContinuousAggregate:
             raise ValueError(f"continuous aggregate at {self.path} is empty")
         return self.spark.read.parquet(*paths).drop("_d")
 
+    # -- streaming refresh policy ------------------------------------
+
+    def refresh_for_batch(
+        self, batch_df: DataFrame, source: DataFrame
+    ) -> None:
+        """Invalidation-driven refresh (the Timescale refresh-policy /
+        invalidation-log analog): refresh exactly the bucket span this
+        batch touches, from ``source`` (which must already contain the
+        batch). A batch of in-order data refreshes one tail window; a
+        batch carrying late rows automatically widens the window back
+        to the oldest touched bucket — the invalidation semantics,
+        derived from the data instead of a trigger-maintained log."""
+        bounds = (
+            batch_df.select(self._eb().alias("_e"))
+            .agg(F.min("_e").alias("lo"), F.max("_e").alias("hi"))
+            .first()
+        )
+        if bounds["lo"] is None:
+            return
+        self.refresh(source, start_s=bounds["lo"],
+                     end_s=bounds["hi"] + self.secs)
+
+    def attach(self, stream: DataFrame, source_path: str, checkpoint: str):
+        """Wire the aggregate into a stream: each micro-batch lands in
+        ``source_path`` under a per-batch partition (idempotent replace
+        on replay — the gate-sink convention), then the touched bucket
+        windows are refreshed from the updated source. Replays are
+        harmless end-to-end: the batch rewrite is a same-content
+        replace and ``refresh`` is idempotent."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{source_path}/ingest_batch={batch_id}"
+            )
+            source = self.spark.read.parquet(source_path)
+            self.refresh_for_batch(batch_df, source)
+
+        return (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
     def query(self, source: DataFrame) -> DataFrame:
         """Real-time aggregate (Timescale ``materialized_only=false``):
         materialized buckets strictly below the watermark ∪ on-the-fly
