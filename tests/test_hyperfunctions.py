@@ -116,3 +116,54 @@ def test_single_shuffle_bucket_aggregation(tiny):
     # exchanges: exactly one hashpartitioning exchange over the facts
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+def test_counter_delta_reset_aware(spark):
+    """Counter 10→25→3→9 in one bucket: growth 15, reset, then the
+    restart counts 3 (reset restarts near 0) + growth 6 → delta 24;
+    one reset. Plain last-first would say -1."""
+    from timescale_cdc_spark.functions.hyper import counter_delta
+
+    rows = [
+        ("a", _ts(0, 0), 10.0, 1),
+        ("a", _ts(0, 10), 25.0, 2),
+        ("a", _ts(0, 20), 3.0, 3),
+        ("a", _ts(0, 30), 9.0, 4),
+        # second key: monotone, no resets
+        ("b", _ts(0, 5), 100.0, 5),
+        ("b", _ts(0, 15), 250.0, 6),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, id long")
+    out = {
+        r["k"]: r
+        for r in counter_delta(df, "ts", ["k"], "v", "id").collect()
+    }
+    assert out["a"]["delta"] == pytest.approx(15.0 + 3.0 + 6.0)
+    assert out["a"]["n_resets"] == 1
+    assert out["b"]["delta"] == pytest.approx(150.0)
+    assert out["b"]["n_resets"] == 0
+
+    # bucketed form: each bucket's first obs contributes nothing
+    rows2 = [
+        ("a", _ts(0, 0), 10.0, 1),
+        ("a", _ts(0, 30), 40.0, 2),   # hour 0: delta 30
+        ("a", _ts(1, 0), 50.0, 3),    # hour 1 first obs: no contribution
+        ("a", _ts(1, 30), 55.0, 4),   # hour 1: delta 5
+    ]
+    df2 = spark.createDataFrame(rows2, "k string, ts timestamp, v double, id long")
+    out2 = {
+        r["bucket"].hour: r["delta"]
+        for r in counter_delta(df2, "ts", ["k"], "v", "id", width="1 hour").collect()
+    }
+    assert out2[0] == pytest.approx(30.0)
+    assert out2[1] == pytest.approx(5.0)
+
+
+def test_histogram_under_over_flow(spark):
+    from timescale_cdc_spark.functions.hyper import histogram
+
+    rows = [("a", v) for v in [-5.0, 0.0, 2.5, 5.0, 7.5, 9.99, 10.0, 42.0]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    [r] = histogram(df, "v", ["k"], 0.0, 10.0, 4).collect()
+    # buckets: underflow | [0,2.5) [2.5,5) [5,7.5) [7.5,10) | overflow
+    assert r["counts"] == [1, 1, 1, 1, 2, 2]

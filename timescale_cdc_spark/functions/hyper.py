@@ -215,3 +215,94 @@ def time_bucket_gapfill(
         "last_val",
         "delta",
     )
+
+
+def counter_delta(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    width: str | None = None,
+) -> DataFrame:
+    """Reset-aware counter delta (Timescale ``counter_agg`` →
+    ``delta()``): for a monotonically-increasing counter that may
+    RESET (restart from ~0 — process restarts, rollovers), the true
+    increase over a period is Σ over consecutive observations of
+    ``v_i - v_{i-1}`` when the counter grew, and ``v_i`` after a reset
+    (the counter restarted below the previous reading, so everything
+    up to ``v_i`` is new growth). A plain ``max - min`` or
+    ``last - first`` under-counts across resets.
+
+    With ``width`` the delta is per (key, bucket) — each bucket's
+    first observation contributes nothing (no prior reading inside the
+    bucket, Timescale's non-interpolated bucket semantics); without
+    it, one row per key over the whole frame.
+
+    One shuffle: the lag window and the aggregate share the same
+    partitioning keys.
+    """
+    parts: list = list(key_cols)
+    if width is not None:
+        df = df.withColumn("_eb", epoch_bucket(ts_col, width))
+        parts = [*key_cols, "_eb"]
+    w = Window.partitionBy(*parts).orderBy(ts_col, id_col)
+    v = F.col(value_col)
+    annotated = df.withColumn("_prev", F.lag(value_col).over(w))
+    prev = F.col("_prev")
+    contrib = F.when(prev.isNull(), F.lit(0.0)).when(
+        v >= prev, v - prev
+    ).otherwise(v)
+    out = (
+        annotated.withColumn("_contrib", contrib)
+        .withColumn("_reset", (v < prev).cast("int"))
+        .groupBy(*parts)
+        .agg(
+            F.sum("_contrib").alias("delta"),
+            F.coalesce(F.sum("_reset"), F.lit(0)).alias("n_resets"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+    if width is not None:
+        out = out.withColumn("bucket", F.timestamp_seconds("_eb")).drop("_eb")
+    return out
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    lo: float,
+    hi: float,
+    nbuckets: int,
+) -> DataFrame:
+    """Per-key value histogram (Timescale ``histogram(value, lo, hi,
+    nbuckets)``): an array of ``nbuckets + 2`` counts — index 0 is the
+    underflow bucket (< lo), indexes 1..nbuckets the equi-width
+    buckets over [lo, hi), index nbuckets+1 the overflow (>= hi).
+
+    Shape: one count-aggregate shuffle on (keys, bucket-index), then a
+    per-key map assembly densified over the full index range — no
+    pivot, no second pass over the facts.
+    """
+    v = F.col(value_col)
+    idx = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(nbuckets + 1))
+        .otherwise(
+            (F.floor((v - lo) / ((hi - lo) / nbuckets)) + 1).cast("int")
+        )
+    )
+    counts = (
+        df.withColumn("_hb", idx)
+        .groupBy(*key_cols, "_hb")
+        .agg(F.count("*").alias("_c"))
+    )
+    sparse = counts.groupBy(*key_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("_hb", "_c"))).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(nbuckets + 1)),
+        lambda i: F.coalesce(F.element_at("_m", i), F.lit(0)),
+    )
+    return sparse.select(*key_cols, dense.alias("counts"))
