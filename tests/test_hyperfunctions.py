@@ -167,3 +167,27 @@ def test_histogram_under_over_flow(spark):
     [r] = histogram(df, "v", ["k"], 0.0, 10.0, 4).collect()
     # buckets: underflow | [0,2.5) [2.5,5) [5,7.5) [7.5,10) | overflow
     assert r["counts"] == [1, 1, 1, 1, 2, 2]
+
+
+def test_sql_time_bucket_matches_helper(spark, sf_dir):
+    """time_bucket registered as a Spark SQL-defined function (EP3
+    SQL surface): identical output to the Python helper on the events
+    fixture, for every width unit the helper accepts — and it inlines
+    as a pure expression (no Python evaluation in the plan)."""
+    from timescale_cdc_spark.catalog import register_views
+    from timescale_cdc_spark.functions.time import time_bucket
+
+    register_views(spark, sf_dir)
+    for width in ["90 seconds", "15 minutes", "2 hours", "1 day"]:
+        via_sql = spark.sql(
+            f"SELECT event_id, time_bucket('{width}', ts) AS b FROM events"
+        )
+        via_helper = spark.sql("SELECT event_id, ts FROM events").select(
+            "event_id", time_bucket(width, "ts").alias("b")
+        )
+        assert via_sql.exceptAll(via_helper).count() == 0
+        assert via_helper.exceptAll(via_sql).count() == 0
+    plan = spark.sql(
+        "SELECT time_bucket('15 minutes', ts) FROM events"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -59,4 +59,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = load_table(spark, sf_dir, name)  # nanos-safe for events
             df.createOrReplaceTempView(name)
             frames[name] = df
+    # SQL-callable Timescale functions ride along with the views so
+    # the EP3 surface accepts time_bucket() in pasted SQL.
+    from timescale_cdc_spark.functions.time import register_sql_functions
+
+    register_sql_functions(spark)
     return frames

@@ -41,3 +41,38 @@ def time_bucket(width: str, ts: Column | str) -> Column:
     return F.timestamp_seconds(
         F.floor(F.unix_timestamp(col) / secs).cast("long") * secs
     )
+
+
+#: SQL-text width→seconds fragment shared by the SQL time_bucket
+#: (must accept exactly what bucket_seconds() accepts).
+_SQL_WIDTH_SECS = """
+  (CAST(split_part({w}, ' ', 1) AS INT) *
+   CASE lower(split_part({w}, ' ', 2))
+     WHEN 'second' THEN 1 WHEN 'seconds' THEN 1
+     WHEN 'minute' THEN 60 WHEN 'minutes' THEN 60
+     WHEN 'hour' THEN 3600 WHEN 'hours' THEN 3600
+     WHEN 'day' THEN 86400 WHEN 'days' THEN 86400
+   END)
+"""
+
+
+def register_sql_functions(spark) -> None:
+    """Make ``time_bucket(width, ts)`` callable from ``spark.sql`` —
+    the Timescale SQL UX over the EP3 entry point (readme.md:107-121's
+    'use your favorite client' surface; the reference's ad-hoc SQL can
+    then be pasted near-verbatim).
+
+    Registered as a Spark SQL-defined function (``CREATE TEMPORARY
+    FUNCTION ... RETURN <expr>``): pure expression, inlined by
+    Catalyst into whole-stage codegen — NOT a Python UDF, zero
+    serialization cost."""
+    secs = _SQL_WIDTH_SECS.format(w="width")
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION time_bucket(
+            width STRING, ts TIMESTAMP)
+        RETURNS TIMESTAMP
+        RETURN timestamp_seconds(
+            CAST(floor(unix_timestamp(ts) / {secs}) AS BIGINT) * {secs})
+        """
+    )
