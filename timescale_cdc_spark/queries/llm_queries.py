@@ -365,6 +365,11 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     - method='ivf': IVF-Flat (FAISS-style) — KMeans coarse quantizer,
       probe 4/16 cells, exact re-rank; centroids ride in a broadcast
       frame so plan size is O(1) in cluster count.
+    - method='pq': product quantization (operators/pq.py, new in
+      round 7) — m=8 subquantizers × 16 codes, ADC candidate scoring
+      as pure JVM lookup-sum expressions, exact-cosine re-rank of the
+      ADC top-50; the billion-vector compression standard (Jégou et
+      al., TPAMI 2011), recall-gated like the other families.
     - method='vec_gate': the streaming vector-dedup ingest gate
       (operators/ann_index.py::StreamingVectorDedup) driven over the
       planted vector corpus as three micro-batches — one row per
@@ -388,6 +393,12 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate and all gate rows vanish. The driver's rows-only count
     is therefore a recall AND invariant signal, not just \"ran without
     error\". Per-family shape is pinned in tests/test_operators.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from timescale_cdc_spark.operators.pq import PqIndex
+
     em = t(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < 10)
     lsh = hyperplane_lsh_topk(em, q, k=5).select(
@@ -396,7 +407,18 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk(em, q, k=5).select(
         F.lit("ivf").alias("method"), "q_id", "c_id", "cos", "rank"
     )
-    approx = lsh.unionByName(ivf)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    pq_path = os.path.join(
+        tempfile.gettempdir(), "timescale_cdc_spark_io", tag, "pq_idx"
+    )
+    shutil.rmtree(pq_path, ignore_errors=True)
+    pq = (
+        PqIndex(spark, pq_path)
+        .build(em, m=8, k_sub=16)
+        .topk(q, k=5, rerank=50)
+        .select(F.lit("pq").alias("method"), "q_id", "c_id", "cos", "rank")
+    )
+    approx = lsh.unionByName(ivf).unionByName(pq)
     exact = brute_force_topk(em, q, k=5).select(
         "q_id", "c_id", F.lit(1).alias("_hit")
     )
