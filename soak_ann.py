@@ -143,6 +143,28 @@ def main() -> None:
         t_pq_query = time.time() - t0
         recall_pq = len(exact & approx) / len(exact)
 
+    # IVF-PQ (residual encoding): coarse cells + PQ over residuals —
+    # the probed scan reads n_probe/n_cells of the ALREADY-32×-
+    # compressed codes (the two reductions multiply at scale).
+    from timescale_cdc_spark.operators.pq import IvfPqIndex
+
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.time()
+        ivfpq = IvfPqIndex(spark, f"{d}/ivfpq").build(
+            vecs, n_cells=256, m=8, k_sub=16,
+            sample_fraction=min(1.0, 50_000 / max(n, 1)),
+        )
+        t_ivfpq_build = time.time() - t0
+        t0 = time.time()
+        approx = {
+            (r.q_id, r.c_id)
+            for r in ivfpq.topk(
+                queries, k=5, n_probe=8, rerank=200
+            ).collect()
+        }
+        t_ivfpq_query = time.time() - t0
+        recall_ivfpq = len(exact & approx) / len(exact)
+
     print(
         json.dumps(
             {
@@ -159,6 +181,13 @@ def main() -> None:
                 "pq_build_sec": round(t_pq_build, 2),
                 "pq_query_sec": round(t_pq_query, 2),
                 "pq_recall_at_5": recall_pq,
+                "ivfpq_config": {
+                    "n_cells": 256, "m": 8, "k_sub": 16,
+                    "n_probe": 8, "rerank": 200,
+                },
+                "ivfpq_build_sec": round(t_ivfpq_build, 2),
+                "ivfpq_query_sec": round(t_ivfpq_query, 2),
+                "ivfpq_recall_at_5": recall_ivfpq,
             }
         )
     )

@@ -132,3 +132,76 @@ def test_query_path_is_jvm_only(pq_idx):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+# -- IVF-PQ (residual encoding) -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_idx(spark, sf_dir, tmp_path_factory):
+    from timescale_cdc_spark.operators.pq import IvfPqIndex
+
+    em = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    return (
+        IvfPqIndex(spark, path).build(em, n_cells=16, m=8, k_sub=16),
+        em,
+    )
+
+
+def test_ivfpq_codes_partitioned_and_scan_pruned(ivfpq_idx):
+    """Codes live under _cell= partitions and the probed query scan
+    partition-prunes — n_probe/n_cells of an already-32×-compressed
+    corpus is the IVF-PQ scale story."""
+    idx, em = ivfpq_idx
+    assert idx.codes().count() == em.count()
+    q = em.filter(F.col("vec_id") < 3)
+    out = idx.topk(q, k=5, n_probe=4, rerank=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan
+    # shapes: codes carry m=8 ints; cell dirs exist on disk
+    row = idx.codes().select(F.min(F.size("_code"))).first()
+    assert row[0] == 8
+    cells = [
+        n for n in os.listdir(idx._codes_path) if n.startswith("_cell=")
+    ]
+    assert len(cells) == 16
+
+
+def test_ivfpq_residuals_beat_plain_pq_shortlist(spark, sf_dir, tmp_path):
+    """At the SAME code budget and shortlist, residual ADC ordering
+    must be at least as good as plain PQ's on the fixture (measured
+    0.66 vs 0.48 at 100k clustered, SCALE.md; here: no worse)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    from timescale_cdc_spark.operators.pq import IvfPqIndex
+
+    exact = {
+        (r.q_id, r.c_id)
+        for r in brute_force_topk(em, queries, k=5).collect()
+    }
+    ivfpq = IvfPqIndex(spark, str(tmp_path / "i")).build(
+        em, n_cells=16, m=8, k_sub=16
+    )
+    # probe ALL cells to isolate the residual-ADC ordering from probe
+    # recall (cell misses are IVF's separate, tunable error source)
+    ap = {
+        (r.q_id, r.c_id)
+        for r in ivfpq.topk(queries, k=5, n_probe=16, rerank=50).collect()
+    }
+    recall = len(exact & ap) / len(exact)
+    assert recall >= 0.6, f"IVF-PQ residual recall too low: {recall}"
+
+
+def test_ivfpq_query_path_jvm_only(ivfpq_idx):
+    idx, em = ivfpq_idx
+    q = em.filter(F.col("vec_id") < 3)
+    plan = (
+        idx.topk(q, k=5, n_probe=4, rerank=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
