@@ -48,8 +48,6 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         plan = formatted_plan(joined)
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, "bucketed join must not shuffle"
-        # result sanity: same count as the plain join
-        plain = load_table(spark, "/root/testdata/sf0.001", "orders")
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -191,3 +191,94 @@ def test_sql_time_bucket_matches_helper(spark, sf_dir):
         "SELECT time_bucket('15 minutes', ts) FROM events"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stats_agg_semantics_hand_derived(spark):
+    """y = 2x + 1 exactly over x=0..3 in one key: slope 2, intercept
+    1, r2 = corr = 1; avg_y = 4, var_y = sample var of {1,3,5,7} =
+    20/3. A second key with constant y pins the degenerate branch
+    (zero variance -> null corr/r2, slope 0)."""
+    from timescale_cdc_spark.functions.hyper import stats_agg
+
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(4)]
+    rows += [("b", float(x), 5.0) for x in range(3)]
+    df = spark.createDataFrame(rows, "k string, x double, y double").withColumn(
+        "ts", F.lit(dt.datetime(2024, 1, 1))
+    )
+    out = {
+        r["k"]: r
+        for r in stats_agg(df, "ts", ["k"], "y", x_col="x").collect()
+    }
+    a = out["a"]
+    assert a["n"] == 4
+    assert a["avg_y"] == pytest.approx(4.0)
+    assert a["var_y"] == pytest.approx(20.0 / 3.0)
+    assert a["slope"] == pytest.approx(2.0)
+    assert a["intercept"] == pytest.approx(1.0)
+    assert a["r2"] == pytest.approx(1.0)
+    assert a["corr_xy"] == pytest.approx(1.0)
+    b = out["b"]
+    assert b["slope"] == pytest.approx(0.0)
+    assert b["corr_xy"] is None  # zero y-variance: correlation undefined
+
+
+def test_stats_agg_duckdb_parity(spark, sf_dir):
+    """Per (event_type, 1-day bucket) regression of value against
+    time over the real events fixture must match DuckDB's identically
+    named aggregates to float tolerance (not hash-exact: the two
+    engines legitimately sum moments in different orders)."""
+    import duckdb
+
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import stats_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r["event_type"], str(r["bucket"])): r
+        for r in stats_agg(
+            ev, "ts", ["event_type"], "value", width="1 day"
+        ).collect()
+    }
+    want = duckdb.sql(
+        f"""
+        SELECT event_type,
+               to_timestamp(floor(epoch(ts) / 86400) * 86400) AS bucket,
+               count(value) AS n,
+               avg(value) AS avg_y,
+               stddev_samp(value) AS stddev_y,
+               var_samp(value) AS var_y,
+               covar_samp(epoch(ts), value) AS covar_xy,
+               corr(epoch(ts), value) AS corr_xy,
+               regr_slope(value, epoch(ts)) AS slope,
+               regr_intercept(value, epoch(ts)) AS intercept,
+               regr_r2(value, epoch(ts)) AS r2
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert len(want) == len(got)
+    cols = ["n", "avg_y", "stddev_y", "var_y", "covar_xy", "corr_xy",
+            "slope", "intercept", "r2"]
+    for row in want:
+        key = (row[0], str(row[1].replace(tzinfo=None)))
+        g = got[key]
+        for i, c in enumerate(cols, start=2):
+            assert g[c] == pytest.approx(row[i], rel=1e-6, abs=1e-9), (
+                key, c, g[c], row[i]
+            )
+
+
+def test_stats_agg_single_shuffle(spark):
+    """stats_agg must plan as partial-agg -> ONE exchange -> final-agg
+    (every statistic is a declarative JVM aggregate), with no window
+    and no Python evaluation."""
+    from timescale_cdc_spark.functions.hyper import stats_agg
+
+    rows = [("a", dt.datetime(2024, 1, 1, h), float(h)) for h in range(6)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    plan = stats_agg(
+        df, "ts", ["k"], "v", width="1 hour"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -268,6 +268,99 @@ def counter_delta(
     return out
 
 
+def stats_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    y_col: str,
+    width: str | None = None,
+    x_col: str | None = None,
+) -> DataFrame:
+    """Timescale ``stats_agg`` analog: per-key (optionally per
+    time-bucket) 1-D and 2-D statistical aggregates in ONE hash
+    aggregate —
+
+    - 1-D over ``y``: ``n``, ``avg_y``, ``stddev_y`` (sample),
+      ``var_y`` (sample);
+    - 2-D over ``(x, y)``: ``covar_xy`` (sample), ``corr_xy``,
+      ``slope`` / ``intercept`` / ``r2`` (least-squares ``y ~ x``) —
+      the toolkit's ``slope()/intercept()/determination_coeff()``
+      accessors.
+
+    ``x`` defaults to the observation time in epoch seconds
+    (fractional), the toolkit's own default for trend-over-time
+    regression; pass ``x_col`` for value-vs-value regression.
+
+    Every statistic rides built-in JVM declarative moment aggregates
+    (``var_pop``/``covar_pop`` & co. — numerically-stable Welford
+    co-moments with map-side partial aggregation), so the plan is
+    partial-agg → one shuffle on (keys, bucket) → final-agg: the same
+    map-side-combine shape as a plain count at 100 TB, with no window,
+    no second pass, and no Python. Mergeability of the underlying
+    moment sketches is exactly why the toolkit stores stats_agg
+    partials in continuous aggregates; Spark's partial aggregation is
+    the same algebra.
+
+    corr/slope/intercept/r2 are derived from the co-moments in a
+    post-aggregate projection rather than via ``F.corr``/``F.regr_*``
+    directly: under Spark 4's default ANSI mode those raise
+    DIVIDE_BY_ZERO on zero-variance groups, where the SQL-standard
+    (and Timescale/DuckDB/Postgres) answer is NULL — except
+    ``regr_r2``, which is 1.0 for a perfectly-fit constant ``y`` over
+    varying ``x`` (the Postgres ``syy == 0`` special case).
+    """
+    if x_col is None:
+        # unix_micros (exact long) / 1e6 — one IEEE division, avoids
+        # unix_timestamp's second truncation
+        x = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    else:
+        x = F.col(x_col).cast("double")
+    parts: list = list(key_cols)
+    base = df.withColumn("_x", x).withColumn(
+        "_y", F.col(y_col).cast("double")
+    )
+    if width is not None:
+        base = base.withColumn("_eb", epoch_bucket(ts_col, width))
+        parts = [*key_cols, "_eb"]
+    agg = base.groupBy(*parts).agg(
+        F.count("_y").alias("n"),
+        F.avg("_y").alias("avg_y"),
+        F.avg("_x").alias("_avg_x"),
+        F.stddev_samp("_y").alias("stddev_y"),
+        F.var_samp("_y").alias("var_y"),
+        F.covar_samp("_x", "_y").alias("covar_xy"),
+        F.var_pop("_x").alias("_vpx"),
+        F.var_pop("_y").alias("_vpy"),
+        F.covar_pop("_x", "_y").alias("_cpxy"),
+    )
+    vpx, vpy, cpxy = F.col("_vpx"), F.col("_vpy"), F.col("_cpxy")
+    slope = F.when(vpx > 0, cpxy / vpx)
+    corr = F.when(
+        (vpx > 0) & (vpy > 0), cpxy / F.sqrt(vpx * vpy)
+    )
+    r2 = (
+        F.when((vpx > 0) & (vpy > 0), F.pow(cpxy, 2) / (vpx * vpy))
+        .when((vpx > 0) & (vpy == 0), F.lit(1.0))
+    )
+    out = agg.select(
+        *parts,
+        "n",
+        "avg_y",
+        "stddev_y",
+        "var_y",
+        "covar_xy",
+        corr.alias("corr_xy"),
+        slope.alias("slope"),
+        F.when(
+            vpx > 0, F.col("avg_y") - (cpxy / vpx) * F.col("_avg_x")
+        ).alias("intercept"),
+        r2.alias("r2"),
+    )
+    if width is not None:
+        out = out.withColumn("bucket", F.timestamp_seconds("_eb")).drop("_eb")
+    return out
+
+
 def histogram(
     df: DataFrame,
     value_col: str,
