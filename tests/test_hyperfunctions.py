@@ -282,3 +282,96 @@ def test_stats_agg_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_percentile_agg_exact_and_approx(spark):
+    """1..100 in one key: exact p50 = 50.5, p90 = 90.1 (linear
+    interpolation). The approx sketch at accuracy 10000 is exact at
+    this n (rank error n/2e4 < 1), and max_err_rank reports the
+    bound."""
+    from timescale_cdc_spark.functions.hyper import percentile_agg
+
+    rows = [("a", dt.datetime(2024, 1, 1), float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    [ex] = percentile_agg(
+        df, "ts", ["k"], "v", [0.5, 0.9], exact=True
+    ).collect()
+    assert ex["n"] == 100
+    assert ex["quantiles"][0] == pytest.approx(50.5)
+    assert ex["quantiles"][1] == pytest.approx(90.1)
+    assert ex["max_err_rank"] == 0.0
+    [ap] = percentile_agg(df, "ts", ["k"], "v", [0.5, 0.9]).collect()
+    # GK sketch returns an observed value within rank-error of the target
+    assert abs(ap["quantiles"][0] - 50.5) <= 1.0
+    assert abs(ap["quantiles"][1] - 90.1) <= 1.0
+    assert ap["max_err_rank"] == pytest.approx(100 / 20000.0)
+
+
+def test_percentile_agg_exact_duckdb_parity(spark, sf_dir):
+    """exact=True must match DuckDB quantile_cont per (event_type,
+    1-day bucket) on the real events fixture (both linear-interpolate)."""
+    import duckdb
+
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import percentile_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r["event_type"], str(r["bucket"])): r["quantiles"]
+        for r in percentile_agg(
+            ev, "ts", ["event_type"], "value", [0.25, 0.5, 0.95],
+            width="1 day", exact=True,
+        ).collect()
+    }
+    want = duckdb.sql(
+        f"""
+        SELECT event_type,
+               to_timestamp(floor(epoch(ts) / 86400) * 86400) AS bucket,
+               quantile_cont(value, [0.25, 0.5, 0.95]) AS qs
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert len(want) == len(got)
+    for et, bucket, qs in want:
+        g = got[(et, str(bucket.replace(tzinfo=None)))]
+        for a, b in zip(g, qs):
+            assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_candlestick_agg_semantics(spark):
+    """Hour-0 series 10 → 30 → 5 → 20 (by ts, id tie-break): open 10,
+    high 30, low 5, close 20, volume 4."""
+    from timescale_cdc_spark.functions.hyper import candlestick_agg
+
+    rows = [
+        (1, _ts(0, 0), "a", 10.0),
+        (2, _ts(0, 10), "a", 30.0),
+        (3, _ts(0, 20), "a", 5.0),
+        (4, _ts(0, 30), "a", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, k string, v double")
+    [r] = candlestick_agg(df, "ts", ["k"], "v", "id", "1 hour").collect()
+    assert (r["open"], r["high"], r["low"], r["close"]) == (10.0, 30.0, 5.0, 20.0)
+    assert r["volume"] == 4
+    assert r["open_time"] == _ts(0, 0) and r["close_time"] == _ts(0, 30)
+
+
+def test_percentile_and_candlestick_single_shuffle(spark):
+    """Both new hyperaggs must plan as ONE exchange with no window and
+    no Python evaluation (mergeable sketch / min_by declarative aggs)."""
+    from timescale_cdc_spark.functions.hyper import (
+        candlestick_agg,
+        percentile_agg,
+    )
+
+    rows = [(1, dt.datetime(2024, 1, 1, h), "a", float(h)) for h in range(6)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, k string, v double")
+    for out in (
+        percentile_agg(df, "ts", ["k"], "v", [0.5], width="1 hour"),
+        candlestick_agg(df, "ts", ["k"], "v", "id", "1 hour"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -361,6 +361,92 @@ def stats_agg(
     return out
 
 
+def percentile_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    percentiles: list[float],
+    width: str | None = None,
+    accuracy: int = 10000,
+    exact: bool = False,
+) -> DataFrame:
+    """Timescale ``percentile_agg`` → ``approx_percentile()`` analog:
+    per-key (optionally per time-bucket) quantiles of ``value`` as an
+    array column ``quantiles`` aligned with ``percentiles``, plus
+    ``n`` and ``max_err_rank`` (the sketch's rank-error bound,
+    n/(2·accuracy) — the analog of uddsketch's published error).
+
+    Default is Spark's ``approx_percentile`` — an internal
+    QuantileSummaries (Greenwald-Khanna) sketch that is MERGEABLE
+    across partitions, the same reason the toolkit stores uddsketch
+    partials in continuous aggregates: partial-agg → one shuffle →
+    final merge, bounded memory per group at any corpus size.
+    ``exact=True`` swaps in the exact ``percentile`` aggregate
+    (linear-interpolated, matches DuckDB ``quantile_cont``) — it
+    buffers each group's values, so reserve it for small groups.
+    """
+    parts: list = list(key_cols)
+    base = df
+    if width is not None:
+        base = base.withColumn("_eb", epoch_bucket(ts_col, width))
+        parts = [*key_cols, "_eb"]
+    ps = F.array(*[F.lit(float(p)) for p in percentiles])
+    v = F.col(value_col).cast("double")
+    if exact:
+        q = F.percentile(v, ps)
+    else:
+        q = F.percentile_approx(v, ps, F.lit(accuracy))
+    out = base.groupBy(*parts).agg(
+        F.count(v).alias("n"),
+        q.alias("quantiles"),
+    ).withColumn(
+        "max_err_rank",
+        F.lit(0.0) if exact else (F.col("n") / F.lit(2.0 * accuracy)),
+    )
+    if width is not None:
+        out = out.withColumn("bucket", F.timestamp_seconds("_eb")).drop("_eb")
+    return out
+
+
+def candlestick_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    width: str,
+) -> DataFrame:
+    """Timescale ``candlestick_agg`` analog: per-(key, bucket) OHLC —
+    ``open``/``close`` are the values at the earliest/latest
+    ``(ts, id)`` in the bucket, ``high``/``low`` the extremes, plus
+    ``open_time``/``close_time`` and ``volume`` (count).
+
+    open/close ride ``min_by``/``max_by`` over a ``(ts, id)`` struct
+    key — declarative JVM aggregates, so the whole candle is ONE
+    partial-aggregated hash aggregate with no window and no second
+    pass (``bucketed_hyperaggs`` needs the window form because TWA
+    weights are positional; a candle does not).
+    """
+    key = F.struct(F.col(ts_col), F.col(id_col))
+    v = F.col(value_col)
+    return (
+        df.withColumn("_eb", epoch_bucket(ts_col, width))
+        .groupBy(*key_cols, "_eb")
+        .agg(
+            F.min_by(v, key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, key).alias("close"),
+            F.min(ts_col).alias("open_time"),
+            F.max(ts_col).alias("close_time"),
+            F.count("*").alias("volume"),
+        )
+        .withColumn("bucket", F.timestamp_seconds("_eb"))
+        .drop("_eb")
+    )
+
+
 def histogram(
     df: DataFrame,
     value_col: str,
