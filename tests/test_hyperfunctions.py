@@ -375,3 +375,129 @@ def test_percentile_and_candlestick_single_shuffle(spark):
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "Window" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stats_rollup_matches_direct_daily(spark, sf_dir):
+    """Timescale rollup(stats_agg): hourly partials merged to daily
+    must reproduce stats_agg computed directly at daily granularity —
+    the two-step aggregation never re-reads facts, only the Chan
+    pairwise merge of stored (n, mean, M2, co-moment) state."""
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import (
+        stats_agg,
+        stats_agg_partials,
+        stats_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = stats_agg_partials(ev, "ts", ["event_type"], "value", "1 hour")
+    rolled = {
+        (r["event_type"], str(r["bucket"])): r
+        for r in stats_rollup(hourly, ["event_type"], width="1 day").collect()
+    }
+    direct = stats_agg(ev, "ts", ["event_type"], "value", width="1 day")
+    cols = ["n", "avg_y", "stddev_y", "var_y", "covar_xy", "corr_xy",
+            "slope", "intercept", "r2"]
+    n_checked = 0
+    for d in direct.collect():
+        g = rolled[(d["event_type"], str(d["bucket"]))]
+        for c in cols:
+            if d[c] is None:
+                assert g[c] is None, (c, g[c])
+            else:
+                assert g[c] == pytest.approx(d[c], rel=1e-6, abs=1e-9), (
+                    d["event_type"], str(d["bucket"]), c, g[c], d[c]
+                )
+        n_checked += 1
+    assert n_checked == len(rolled) and n_checked > 0
+
+
+def test_stats_rollup_grand_total_and_degenerate(spark):
+    """width=None merges ALL of a key's partials into one row; a
+    single-observation bucket (n=1, zero moments) merges losslessly
+    and a constant-y key keeps the degenerate semantics (null corr,
+    r2=1 over varying x)."""
+    from timescale_cdc_spark.functions.hyper import (
+        stats_agg,
+        stats_agg_partials,
+        stats_rollup,
+    )
+
+    rows = [("a", dt.datetime(2024, 1, 1, h, m), float(h) * 2 + 1.0)
+            for h in range(3) for m in ([0, 30] if h < 2 else [0])]
+    rows += [("b", dt.datetime(2024, 1, 1, h), 5.0) for h in range(3)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    hourly = stats_agg_partials(df, "ts", ["k"], "v", "1 hour")
+    rolled = {r["k"]: r for r in stats_rollup(hourly, ["k"]).collect()}
+    direct = {
+        r["k"]: r for r in stats_agg(df, "ts", ["k"], "v").collect()
+    }
+    for k in ("a", "b"):
+        for c in ("n", "avg_y", "var_y", "slope", "intercept", "r2"):
+            d, g = direct[k][c], rolled[k][c]
+            if d is None:
+                assert g is None, (k, c, g)
+            else:
+                assert g == pytest.approx(d, rel=1e-9, abs=1e-12), (k, c, g, d)
+    assert rolled["b"]["corr_xy"] is None
+    assert rolled["b"]["r2"] == pytest.approx(1.0)
+
+
+def test_stats_rollup_plan_jvm_fold_one_exchange(spark):
+    """The rollup must be ONE hash-aggregate exchange whose merge is a
+    codegen'd higher-order fold — no Python eval, no window, no second
+    shuffle."""
+    from timescale_cdc_spark.functions.hyper import (
+        stats_agg_partials,
+        stats_rollup,
+    )
+
+    rows = [("a", dt.datetime(2024, 1, 1, h), float(h)) for h in range(6)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    hourly = stats_agg_partials(df, "ts", ["k"], "v", "1 hour")
+    plan = stats_rollup(
+        hourly, ["k"], width="1 day"
+    )._jdf.queryExecution().executedPlan().toString()
+    # two aggregations (partials + rollup) -> two exchanges total, but
+    # the ROLLUP stage itself adds exactly one
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stats_partials_in_continuous_aggregate(spark, sf_dir, tmp_path):
+    """The cagg two-step story end-to-end: a ContinuousAggregate whose
+    agg_builder stores stats partials per (event_type, hour); querying
+    daily stats via stats_rollup over the MATERIALIZED rows (facts
+    never re-read) matches stats_agg straight over the source."""
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.cdc.caggs import ContinuousAggregate
+    from timescale_cdc_spark.functions.hyper import (
+        stats_agg,
+        stats_partial_columns,
+        stats_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cagg = ContinuousAggregate(
+        spark,
+        str(tmp_path / "stats_cagg"),
+        "1 hour",
+        "ts",
+        ["event_type"],
+        lambda: stats_partial_columns("ts", "value"),
+    )
+    cagg.refresh(ev)
+    mat = cagg.materialized().select(
+        "event_type", "bucket", "n", "mx", "my", "m2x", "m2y", "cxy"
+    )
+    rolled = {
+        (r["event_type"], str(r["bucket"])): r
+        for r in stats_rollup(mat, ["event_type"], width="1 day").collect()
+    }
+    direct = stats_agg(ev, "ts", ["event_type"], "value", width="1 day")
+    for d in direct.collect():
+        g = rolled[(d["event_type"], str(d["bucket"]))]
+        assert g["n"] == d["n"]
+        assert g["slope"] == pytest.approx(d["slope"], rel=1e-6)
+        assert g["avg_y"] == pytest.approx(d["avg_y"], rel=1e-9)

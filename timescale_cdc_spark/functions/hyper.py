@@ -361,6 +361,139 @@ def stats_agg(
     return out
 
 
+def stats_partial_columns(
+    ts_col: str, y_col: str, x_col: str | None = None
+) -> list[Column]:
+    """The MERGEABLE partial state behind :func:`stats_agg`, as
+    aggregate Columns for use inside any (keys, bucket) groupBy — in
+    particular as a `ContinuousAggregate` agg_builder, which is
+    exactly Timescale's two-step-aggregation story: store ``stats_agg``
+    partials in the cagg, ``rollup()`` them to coarser buckets later
+    without re-reading facts.
+
+    State per group: ``n``, means ``mx``/``my``, centered second
+    moments ``m2x``/``m2y`` (= var_pop·n) and co-moment ``cxy``
+    (= covar_pop·n) — the Welford/Chan summary. Centered moments, not
+    raw power sums: raw Σx² of epoch-second x is ~3e18 and subtracting
+    it to recover a within-bucket variance of ~1e8 would lose ~10
+    significant digits to cancellation; the centered form keeps every
+    stored quantity at the scale of the data's spread.
+    """
+    if x_col is None:
+        x = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    else:
+        x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    n = F.count(y)
+    return [
+        n.alias("n"),
+        F.avg(x).alias("mx"),
+        F.avg(y).alias("my"),
+        (F.var_pop(x) * n).alias("m2x"),
+        (F.var_pop(y) * n).alias("m2y"),
+        (F.covar_pop(x, y) * n).alias("cxy"),
+    ]
+
+
+def stats_agg_partials(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    y_col: str,
+    width: str,
+    x_col: str | None = None,
+) -> DataFrame:
+    """Per-(key, bucket) mergeable stats partials (see
+    :func:`stats_partial_columns`) with a ``bucket`` timestamp column
+    — the storable form that :func:`stats_rollup` re-aggregates."""
+    out = (
+        df.withColumn("_eb", epoch_bucket(ts_col, width))
+        .groupBy(*key_cols, "_eb")
+        .agg(*stats_partial_columns(ts_col, y_col, x_col))
+    )
+    return out.withColumn("bucket", F.timestamp_seconds("_eb")).drop("_eb")
+
+
+def stats_rollup(
+    partials: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+    width: str | None = None,
+) -> DataFrame:
+    """Timescale ``rollup(stats_agg)``: merge stored per-bucket stats
+    partials to coarser buckets (``width``) or one row per key
+    (``width=None``), producing the SAME output schema as
+    :func:`stats_agg` — without touching the fact table.
+
+    Merging uses the exact Chan et al. pairwise-combination formulas,
+    applied as a deterministic JVM fold (``aggregate`` over an
+    ``array_sort``-ed ``collect_list`` of partial structs — a
+    whole-stage-codegen higher-order expression, no Python, no
+    window). The per-group list is bounded by fine-buckets-per-coarse-
+    bucket (24 for hour→day, 60 for minute→hour), NOT by fact rows —
+    at 100 TB the rollup input is the cagg's |keys| × |buckets| rows,
+    so the collect is a few hundred bytes per output row and the whole
+    rollup is one |groups|-sized shuffle.
+    """
+    parts: list = list(key_cols)
+    df = partials
+    if width is not None:
+        df = df.withColumn("_ceb", epoch_bucket(bucket_col, width))
+        parts = [*key_cols, "_ceb"]
+    st = F.struct("n", "mx", "my", "m2x", "m2y", "cxy")
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        *[F.lit(0.0).alias(c) for c in ("mx", "my", "m2x", "m2y", "cxy")],
+    )
+
+    def _merge(acc, e):
+        nt = acc["n"] + e["n"]
+        dx = e["mx"] - acc["mx"]
+        dy = e["my"] - acc["my"]
+        w = acc["n"].cast("double") * e["n"] / nt
+        return F.struct(
+            nt.alias("n"),
+            (acc["mx"] + dx * e["n"] / nt).alias("mx"),
+            (acc["my"] + dy * e["n"] / nt).alias("my"),
+            (acc["m2x"] + e["m2x"] + dx * dx * w).alias("m2x"),
+            (acc["m2y"] + e["m2y"] + dy * dy * w).alias("m2y"),
+            (acc["cxy"] + e["cxy"] + dx * dy * w).alias("cxy"),
+        )
+
+    merged = df.groupBy(*parts).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(st)), zero, _merge
+        ).alias("_s")
+    )
+    s = F.col("_s")
+    n = s["n"]
+    nd = n.cast("double")
+    m2x, m2y, cxy = s["m2x"], s["m2y"], s["cxy"]
+    var_y = F.when(n > 1, m2y / (nd - 1))
+    slope = F.when(m2x > 0, cxy / m2x)
+    out = merged.select(
+        *parts,
+        n.alias("n"),
+        s["my"].alias("avg_y"),
+        F.sqrt(var_y).alias("stddev_y"),
+        var_y.alias("var_y"),
+        F.when(n > 1, cxy / (nd - 1)).alias("covar_xy"),
+        F.when((m2x > 0) & (m2y > 0), cxy / F.sqrt(m2x * m2y)).alias(
+            "corr_xy"
+        ),
+        slope.alias("slope"),
+        F.when(m2x > 0, s["my"] - (cxy / m2x) * s["mx"]).alias("intercept"),
+        F.when((m2x > 0) & (m2y > 0), F.pow(cxy, 2) / (m2x * m2y))
+        .when((m2x > 0) & (m2y == 0), F.lit(1.0))
+        .alias("r2"),
+    )
+    if width is not None:
+        out = out.withColumn("bucket", F.timestamp_seconds("_ceb")).drop(
+            "_ceb"
+        )
+    return out
+
+
 def percentile_agg(
     df: DataFrame,
     ts_col: str,
