@@ -501,3 +501,33 @@ def test_stats_partials_in_continuous_aggregate(spark, sf_dir, tmp_path):
         assert g["n"] == d["n"]
         assert g["slope"] == pytest.approx(d["slope"], rel=1e-6)
         assert g["avg_y"] == pytest.approx(d["avg_y"], rel=1e-9)
+
+
+def test_candlestick_rollup_matches_direct_daily(spark, sf_dir):
+    """rollup(candlestick_agg): hourly candles merged to daily must
+    equal candlestick_agg computed directly at daily granularity, and
+    width=None must yield the whole-range candle per key."""
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import (
+        candlestick_agg,
+        candlestick_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = candlestick_agg(ev, "ts", ["event_type"], "value", "event_id",
+                             "1 hour")
+    rolled = candlestick_rollup(hourly, ["event_type"], width="1 day")
+    direct = candlestick_agg(ev, "ts", ["event_type"], "value", "event_id",
+                             "1 day")
+    cols = ["event_type", "bucket", "open", "high", "low", "close",
+            "open_time", "close_time", "volume"]
+    assert rolled.select(*cols).exceptAll(direct.select(*cols)).count() == 0
+    assert direct.select(*cols).exceptAll(rolled.select(*cols)).count() == 0
+    total = {r["event_type"]: r
+             for r in candlestick_rollup(hourly, ["event_type"]).collect()}
+    n_types = ev.select("event_type").distinct().count()
+    assert len(total) == n_types
+    for r in total.values():
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["open_time"] <= r["close_time"]

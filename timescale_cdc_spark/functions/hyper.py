@@ -580,6 +580,42 @@ def candlestick_agg(
     )
 
 
+def candlestick_rollup(
+    candles: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+    width: str | None = None,
+) -> DataFrame:
+    """Timescale ``rollup(candlestick_agg)``: merge stored fine-bucket
+    candles to coarser buckets (or one candle per key) without
+    re-reading facts. Candles merge associatively — open follows the
+    earliest ``open_time`` (``min_by``), close the latest
+    ``close_time`` (``max_by``), high/low/volume are max/min/sum — so
+    the rollup is one partial-aggregated hash aggregate over the
+    cagg-sized candle table, same declarative shape as
+    :func:`candlestick_agg` itself.
+    """
+    parts: list = list(key_cols)
+    df = candles
+    if width is not None:
+        df = df.withColumn("_ceb", epoch_bucket(bucket_col, width))
+        parts = [*key_cols, "_ceb"]
+    out = df.groupBy(*parts).agg(
+        F.min_by("open", "open_time").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "close_time").alias("close"),
+        F.min("open_time").alias("open_time"),
+        F.max("close_time").alias("close_time"),
+        F.sum("volume").alias("volume"),
+    )
+    if width is not None:
+        out = out.withColumn("bucket", F.timestamp_seconds("_ceb")).drop(
+            "_ceb"
+        )
+    return out
+
+
 def histogram(
     df: DataFrame,
     value_col: str,
