@@ -531,3 +531,67 @@ def test_candlestick_rollup_matches_direct_daily(spark, sf_dir):
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
         assert r["open_time"] <= r["close_time"]
+
+
+def test_hll_rollup_distinct_counts(spark, sf_dir):
+    """rollup(hyperloglog): hourly HLL sketches of user_id unioned to
+    daily must estimate within the sketch's error of the exact daily
+    distinct count, and the rollup estimate must EQUAL the estimate
+    of a sketch built directly at daily granularity (HLL union at the
+    same lg_k is deterministic)."""
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import (
+        approx_distinct_agg,
+        hll_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = approx_distinct_agg(ev, "ts", ["event_type"], "user_id",
+                                 "1 hour")
+    rolled = {
+        (r["event_type"], str(r["bucket"])): r
+        for r in hll_rollup(hourly, ["event_type"], width="1 day").collect()
+    }
+    direct = {
+        (r["event_type"], str(r["bucket"])): r
+        for r in approx_distinct_agg(ev, "ts", ["event_type"], "user_id",
+                                     "1 day").collect()
+    }
+    exact = {
+        (r["event_type"], str(r["bucket"])): r["d"]
+        for r in ev.withColumn(
+            "bucket",
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+            ),
+        ).groupBy("event_type", "bucket").agg(
+            F.countDistinct("user_id").alias("d")
+        ).collect()
+    }
+    assert set(rolled) == set(direct) == set(exact) and len(exact) > 0
+    for k, r in rolled.items():
+        # union-of-hourly == direct daily sketch, estimate-for-estimate
+        assert r["distinct_est"] == pytest.approx(
+            direct[k]["distinct_est"], rel=1e-12
+        ), k
+        # and within ~5x the 1.6% nominal error of the exact count
+        assert abs(r["distinct_est"] - exact[k]) <= max(
+            0.08 * exact[k], 3
+        ), (k, r["distinct_est"], exact[k])
+        assert r["n_rows"] == direct[k]["n_rows"]
+
+
+def test_hll_rollup_plan_single_exchange(spark):
+    from timescale_cdc_spark.functions.hyper import (
+        approx_distinct_agg,
+        hll_rollup,
+    )
+
+    rows = [("a", dt.datetime(2024, 1, 1, h), h % 3) for h in range(6)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, u long")
+    hourly = approx_distinct_agg(df, "ts", ["k"], "u", "1 hour")
+    plan = hll_rollup(
+        hourly, ["k"], width="1 day"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan  # build + rollup
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
