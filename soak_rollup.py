@@ -37,8 +37,10 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from timescale_cdc_spark.functions.hyper import (  # noqa: E402
+    approx_distinct_agg,
     candlestick_agg,
     candlestick_rollup,
+    hll_rollup,
     stats_agg,
     stats_agg_partials,
     stats_rollup,
@@ -118,6 +120,49 @@ def main() -> None:
     t_roll_total, n_total = timed(stats_rollup(hourly, ["k"]))
     assert n_total == n_keys
 
+    # HLL family: hourly sketches of a repeating id-space column,
+    # unioned to daily vs a direct daily sketch vs the exact count.
+    card_col = (F.col("event_id") % 50_000).alias("uid")
+    srcu = src.withColumn("uid", card_col)
+    t_build_hll, _ = timed(
+        approx_distinct_agg(srcu, "ts", ["k"], "uid", "1 hour")
+    )
+    hll_hourly = approx_distinct_agg(srcu, "ts", ["k"], "uid", "1 hour")
+    hll_hourly.write.mode("overwrite").parquet("/tmp/soak_rollup_hll")
+    hll_hourly = spark.read.parquet("/tmp/soak_rollup_hll")
+    t_roll_hll, _ = timed(hll_rollup(hll_hourly, ["k"], width="1 day"))
+    t_direct_hll, _ = timed(
+        approx_distinct_agg(srcu, "ts", ["k"], "uid", "1 day")
+    )
+    rolled_hll = {
+        (r["k"], str(r["bucket"])): r["distinct_est"]
+        for r in hll_rollup(hll_hourly, ["k"], width="1 day").collect()
+    }
+    direct_hll = {
+        (r["k"], str(r["bucket"])): r["distinct_est"]
+        for r in approx_distinct_agg(
+            srcu, "ts", ["k"], "uid", "1 day"
+        ).collect()
+    }
+    exact_hll = {
+        (r["k"], str(r["bucket"])): r["d"]
+        for r in srcu.withColumn(
+            "bucket",
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+            ),
+        ).groupBy("k", "bucket").agg(
+            F.countDistinct("uid").alias("d")
+        ).collect()
+    }
+    worst_hll = 0.0
+    for key, est in rolled_hll.items():
+        assert est == direct_hll[key], key  # union is deterministic
+        worst_hll = max(
+            worst_hll, abs(est - exact_hll[key]) / max(exact_hll[key], 1)
+        )
+    assert worst_hll <= 0.08, worst_hll
+
     # Correctness: candles exact, stats to 1e-6 relative.
     rc = candlestick_rollup(candles, ["k"], width="1 day")
     dc = candlestick_agg(src, "ts", ["k"], "v", "event_id", "1 day")
@@ -160,6 +205,11 @@ def main() -> None:
             t_direct_candle / max(t_roll_candle, 1e-9), 1
         ),
         "worst_stats_rel_err": worst,
+        "build_hourly_hll_s": round(t_build_hll, 2),
+        "daily_hll_rollup_s": round(t_roll_hll, 2),
+        "daily_hll_direct_s": round(t_direct_hll, 2),
+        "hll_speedup": round(t_direct_hll / max(t_roll_hll, 1e-9), 1),
+        "worst_hll_rel_err": round(worst_hll, 4),
     }))
 
 
