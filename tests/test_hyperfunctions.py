@@ -595,3 +595,43 @@ def test_hll_rollup_plan_single_exchange(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan  # build + rollup
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_candlestick_duckdb_parity(spark, sf_dir):
+    """Hourly candles over the real events fixture must match DuckDB's
+    arg_min/arg_max formulation exactly (timestamps are unique in the
+    fixture, so the (ts, id) tie-break never engages and plain
+    ts-keyed arg_min/arg_max is the same candle)."""
+    import duckdb
+
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import candlestick_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r["event_type"], str(r["bucket"])): r
+        for r in candlestick_agg(
+            ev, "ts", ["event_type"], "value", "event_id", "1 hour"
+        ).collect()
+    }
+    want = duckdb.sql(
+        f"""
+        SELECT event_type,
+               to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               min(ts) AS open_time,
+               max(ts) AS close_time,
+               count(*) AS volume
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert len(want) == len(got) > 0
+    for et, bucket, o, h, lo, c, ot, ct, vol in want:
+        g = got[(et, str(bucket.replace(tzinfo=None)))]
+        assert (g["open"], g["high"], g["low"], g["close"]) == (o, h, lo, c)
+        assert g["open_time"] == ot and g["close_time"] == ct
+        assert g["volume"] == vol
