@@ -635,3 +635,69 @@ def test_candlestick_duckdb_parity(spark, sf_dir):
         assert (g["open"], g["high"], g["low"], g["close"]) == (o, h, lo, c)
         assert g["open_time"] == ot and g["close_time"] == ct
         assert g["volume"] == vol
+
+
+def test_twa_rollup_matches_direct_daily(spark, sf_dir):
+    """rollup(time_weight): hourly LOCF-TWA partials merged to daily
+    must reproduce the TWA computed directly at daily width — the
+    merge adds the cross-boundary last_val x gap terms (including
+    across EMPTY hours) and the tail extension to the coarse bucket
+    end that the stored per-hour numerators cannot contain."""
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import (
+        bucketed_hyperaggs,
+        twa_partials,
+        twa_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = twa_partials(ev, "ts", ["event_type"], "value", "event_id",
+                          "1 hour")
+    rolled = {
+        (r["event_type"], str(r["bucket"])): r
+        for r in twa_rollup(hourly, ["event_type"], "1 day").collect()
+    }
+    direct = bucketed_hyperaggs(ev, "1 day", "ts", ["event_type"], "value",
+                                "event_id")
+    n = 0
+    for d in direct.collect():
+        g = rolled[(d["event_type"], str(
+            dt.datetime.fromtimestamp(d["_eb"], dt.timezone.utc)
+            .replace(tzinfo=None)))]
+        assert g["n"] == d["n_events"]
+        assert g["twa"] == pytest.approx(d["twa"], abs=2e-5), (
+            d["event_type"], d["_eb"], g["twa"], d["twa"]
+        )
+        n += 1
+    assert n == len(rolled) > 0
+
+
+def test_twa_rollup_gap_and_tail_hand_derived(spark):
+    """Hour buckets with an EMPTY hour between them: obs 10.0 at
+    0:00 and 40.0 at 2:30. Hourly partials: hour0 (num 10x60m,
+    end 1:00, last 10) and hour2 (num 40x30m, first 2:30, last 40).
+    Day rollup: 10 holds 0:00->2:30 (150m, spanning the empty hour 1),
+    40 holds 2:30->24:00 (1290m) -> twa = (10x150 + 40x1290)/1440."""
+    from timescale_cdc_spark.functions.hyper import twa_partials, twa_rollup
+
+    rows = [(1, _ts(0, 0), "a", 10.0), (2, _ts(2, 30), "a", 40.0)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, k string, v double")
+    hourly = twa_partials(df, "ts", ["k"], "v", "id", "1 hour")
+    assert hourly.count() == 2  # empty hour 1 stores nothing
+    [r] = twa_rollup(hourly, ["k"], "1 day").collect()
+    expected = (10.0 * 150 + 40.0 * 1290) / 1440.0
+    assert r["twa"] == pytest.approx(expected, abs=1e-6)
+    assert r["n"] == 2
+
+
+def test_twa_rollup_plan_jvm_fold(spark):
+    from timescale_cdc_spark.functions.hyper import twa_partials, twa_rollup
+
+    rows = [(i, dt.datetime(2024, 1, 1, i), "a", float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, k string, v double")
+    plan = twa_rollup(
+        twa_partials(df, "ts", ["k"], "v", "id", "1 hour"), ["k"], "1 day"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial build (window+agg share one) + rollup agg = 2 exchanges
+    assert plan.count("Exchange hashpartitioning") == 2, plan

@@ -217,6 +217,143 @@ def time_bucket_gapfill(
     )
 
 
+def twa_partials(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    width: str,
+) -> DataFrame:
+    """Timescale ``time_weight('LOCF')`` partial state per (key,
+    bucket), mergeable by :func:`twa_rollup`: LOCF numerator ``num_us``
+    (Σ value × microseconds-held, each observation held to the next
+    observation or the bucket end), covered duration ``den_us``
+    (bucket end − first observation), the boundary data a cross-bucket
+    merge needs (``first_us``, ``end_us``, ``last_val``), and ``n``.
+
+    Same one-shuffle shape as ``bucketed_hyperaggs``: the lead window
+    rides the exact exchange the groupBy needs.
+    """
+    secs = bucket_seconds(width)
+    eb = epoch_bucket(ts_col, width)
+    base = df.select(
+        *key_cols,
+        eb,
+        F.col(value_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    wb = Window.partitionBy(*key_cols, "_eb").orderBy("_us", "_id")
+    end_us = (F.col("_eb") + F.lit(secs)) * F.lit(1_000_000)
+    annotated = base.select(
+        *key_cols,
+        "_eb",
+        "_v",
+        "_us",
+        (F.coalesce(F.lead("_us").over(wb), end_us) - F.col("_us")).alias(
+            "_w_us"
+        ),
+        F.row_number()
+        .over(
+            Window.partitionBy(*key_cols, "_eb").orderBy(
+                F.desc("_us"), F.desc("_id")
+            )
+        )
+        .alias("_rn_desc"),
+    )
+    out = annotated.groupBy(*key_cols, "_eb").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_v") * F.col("_w_us")).alias("num_us"),
+        F.sum("_w_us").alias("den_us"),
+        F.min("_us").alias("first_us"),
+        F.min(F.when(F.col("_rn_desc") == 1, F.col("_v"))).alias("last_val"),
+    ).withColumn(
+        "end_us", (F.col("_eb") + F.lit(secs)) * F.lit(1_000_000)
+    )
+    return out.withColumn("bucket", F.timestamp_seconds("_eb")).drop("_eb")
+
+
+def twa_rollup(
+    partials: DataFrame,
+    key_cols: list[str],
+    width: str,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Timescale ``rollup(time_weight)``: merge stored per-bucket LOCF
+    TWA partials (:func:`twa_partials`) to coarser buckets without
+    re-reading facts — the one rollup in this module that is NOT a
+    plain sum, because LOCF carries value ACROSS bucket boundaries:
+
+    - between one partial's bucket end and the next partial's first
+      observation (including across empty buckets), the previous
+      bucket's last value holds — a ``last_val × gap`` term the
+      stored numerators cannot contain;
+    - after the final partial's bucket end, its last value holds to
+      the COARSE bucket end (matching the to-bucket-end semantics a
+      direct computation at the coarse width would produce).
+
+    The merge is the same deterministic JVM fold as
+    :func:`stats_rollup` (aggregate over an array_sort'ed
+    collect_list, chronological because ``first_us`` leads the
+    struct), with the list bounded by fine-buckets-per-coarse-bucket.
+    Output matches ``bucketed_hyperaggs``'s ``twa`` exactly when the
+    observations are identical — pinned by test.
+    """
+    secs = bucket_seconds(width)
+    df = partials.withColumn("_ceb", epoch_bucket(bucket_col, width))
+    st = F.struct(
+        "first_us", "end_us", "num_us", "den_us", "last_val", "n"
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("first_us"),
+        F.lit(0).cast("long").alias("end_us"),
+        F.lit(0.0).alias("num_us"),
+        F.lit(0).cast("long").alias("den_us"),
+        F.lit(0.0).alias("last_val"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def _merge(acc, p):
+        gap = (p["first_us"] - acc["end_us"]).cast("long")
+        first_merge = acc["n"] == 0
+        return F.struct(
+            F.when(first_merge, p["first_us"])
+            .otherwise(acc["first_us"])
+            .alias("first_us"),
+            p["end_us"].alias("end_us"),
+            (
+                F.when(first_merge, p["num_us"]).otherwise(
+                    acc["num_us"] + acc["last_val"] * gap + p["num_us"]
+                )
+            ).alias("num_us"),
+            (
+                F.when(first_merge, p["den_us"]).otherwise(
+                    acc["den_us"] + gap + p["den_us"]
+                )
+            ).alias("den_us"),
+            p["last_val"].alias("last_val"),
+            (acc["n"] + p["n"]).alias("n"),
+        )
+
+    merged = df.groupBy(*key_cols, "_ceb").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(st)), zero, _merge
+        ).alias("_s")
+    )
+    s = F.col("_s")
+    coarse_end_us = (F.col("_ceb") + F.lit(secs)) * F.lit(1_000_000)
+    tail_us = (coarse_end_us - s["end_us"]).cast("long")
+    num = s["num_us"] + s["last_val"] * tail_us
+    den = s["den_us"] + tail_us
+    return merged.select(
+        *key_cols,
+        F.timestamp_seconds("_ceb").alias("bucket"),
+        s["n"].alias("n"),
+        F.round(num / den.cast("double"), 6).alias("twa"),
+    )
+
+
 def counter_delta(
     df: DataFrame,
     ts_col: str,
