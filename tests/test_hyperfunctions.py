@@ -701,3 +701,64 @@ def test_twa_rollup_plan_jvm_fold(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # partial build (window+agg share one) + rollup agg = 2 exchanges
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_counter_rollup_matches_direct(spark, sf_dir):
+    """rollup(counter_agg): hourly counter partials merged per key
+    must reproduce counter_delta computed directly over the whole
+    frame — boundary pairs between buckets contribute growth or a
+    reset exactly as the direct lag chain does."""
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import (
+        counter_delta,
+        counter_partials,
+        counter_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = counter_partials(ev, "ts", ["event_type"], "value", "event_id",
+                              "1 hour")
+    rolled = {
+        r["event_type"]: r
+        for r in counter_rollup(hourly, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r
+        for r in counter_delta(
+            ev, "ts", ["event_type"], "value", "event_id"
+        ).collect()
+    }
+    assert set(rolled) == set(direct) and len(direct) > 0
+    for k, d in direct.items():
+        g = rolled[k]
+        assert g["n_obs"] == d["n_obs"]
+        assert g["n_resets"] == d["n_resets"], k
+        assert g["delta"] == pytest.approx(d["delta"], rel=1e-9), k
+
+
+def test_counter_rollup_boundary_reset_hand_derived(spark):
+    """Counter 10->40 in hour 0, restarts at 3 in hour 2 (empty hour 1
+    between): within-hour deltas 30 and 6 (3->9), boundary 40->3 is a
+    reset contributing 3. Total delta 30+3+6=39, one reset — a plain
+    sum of bucket deltas would say 36 and zero resets."""
+    from timescale_cdc_spark.functions.hyper import (
+        counter_partials,
+        counter_rollup,
+    )
+
+    rows = [
+        (1, _ts(0, 0), "a", 10.0),
+        (2, _ts(0, 30), "a", 40.0),
+        (3, _ts(2, 0), "a", 3.0),
+        (4, _ts(2, 30), "a", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, k string, v double")
+    hourly = counter_partials(df, "ts", ["k"], "v", "id", "1 hour")
+    assert hourly.count() == 2
+    [r] = counter_rollup(hourly, ["k"]).collect()
+    assert r["delta"] == pytest.approx(39.0)
+    assert r["n_resets"] == 1
+    assert r["n_obs"] == 4
+    # daily width keeps the same numbers in one bucket
+    [rd] = counter_rollup(hourly, ["k"], width="1 day").collect()
+    assert rd["delta"] == pytest.approx(39.0) and rd["n_resets"] == 1

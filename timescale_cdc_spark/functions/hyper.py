@@ -818,6 +818,142 @@ def hll_rollup(
     return out
 
 
+def counter_partials(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    width: str,
+) -> DataFrame:
+    """Timescale ``counter_agg`` partial state per (key, bucket),
+    mergeable by :func:`counter_rollup`: the within-bucket reset-aware
+    ``delta``/``n_resets`` (exactly :func:`counter_delta`'s bucketed
+    output) plus the boundary readings a cross-bucket merge needs —
+    ``first_val``/``last_val`` at the earliest/latest ``(ts, id)`` —
+    and ``first_us`` to order the fold."""
+    eb = epoch_bucket(ts_col, width)
+    base = df.select(
+        *key_cols,
+        eb,
+        F.col(value_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    w = Window.partitionBy(*key_cols, "_eb").orderBy("_us", "_id")
+    v = F.col("_v")
+    prev = F.lag("_v").over(w)
+    contrib = F.when(prev.isNull(), F.lit(0.0)).when(
+        v >= prev, v - prev
+    ).otherwise(v)
+    annotated = base.select(
+        *key_cols,
+        "_eb",
+        "_v",
+        "_us",
+        contrib.alias("_contrib"),
+        (v < prev).cast("int").alias("_reset"),
+        F.row_number().over(w).alias("_rn"),
+        F.row_number()
+        .over(
+            Window.partitionBy(*key_cols, "_eb").orderBy(
+                F.desc("_us"), F.desc("_id")
+            )
+        )
+        .alias("_rn_desc"),
+    )
+    out = annotated.groupBy(*key_cols, "_eb").agg(
+        F.count("*").alias("n"),
+        F.sum("_contrib").alias("delta"),
+        F.coalesce(F.sum("_reset"), F.lit(0)).cast("long").alias("n_resets"),
+        F.min("_us").alias("first_us"),
+        F.min(F.when(F.col("_rn") == 1, F.col("_v"))).alias("first_val"),
+        F.min(F.when(F.col("_rn_desc") == 1, F.col("_v"))).alias("last_val"),
+    )
+    return out.withColumn("bucket", F.timestamp_seconds("_eb")).drop("_eb")
+
+
+def counter_rollup(
+    partials: DataFrame,
+    key_cols: list[str],
+    width: str | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Timescale ``rollup(counter_agg)``: merge stored per-bucket
+    counter partials to coarser buckets (or one row per key) without
+    re-reading facts. Within-bucket deltas sum, but each BOUNDARY
+    between consecutive partials contributes like one more counter
+    reading pair: if the next bucket opens at or above the previous
+    bucket's closing reading the counter grew by the difference,
+    otherwise it reset and everything up to the opening reading is new
+    growth. This reproduces :func:`counter_delta` computed directly at
+    the coarse width exactly (same observation chain, same reset
+    rule) — pinned by test. Same deterministic JVM fold shape as the
+    other rollups; list bounded by fine-buckets-per-coarse-bucket.
+    """
+    parts: list = list(key_cols)
+    df = partials
+    if width is not None:
+        df = df.withColumn("_ceb", epoch_bucket(bucket_col, width))
+        parts = [*key_cols, "_ceb"]
+    st = F.struct(
+        "first_us", "first_val", "last_val", "delta", "n_resets", "n"
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("first_us"),
+        F.lit(0.0).alias("first_val"),
+        F.lit(0.0).alias("last_val"),
+        F.lit(0.0).alias("delta"),
+        F.lit(0).cast("long").alias("n_resets"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def _merge(acc, p):
+        first_merge = acc["n"] == 0
+        grew = p["first_val"] >= acc["last_val"]
+        boundary = F.when(
+            grew, p["first_val"] - acc["last_val"]
+        ).otherwise(p["first_val"])
+        return F.struct(
+            F.when(first_merge, p["first_us"])
+            .otherwise(acc["first_us"])
+            .alias("first_us"),
+            F.when(first_merge, p["first_val"])
+            .otherwise(acc["first_val"])
+            .alias("first_val"),
+            p["last_val"].alias("last_val"),
+            (
+                F.when(first_merge, p["delta"]).otherwise(
+                    acc["delta"] + boundary + p["delta"]
+                )
+            ).alias("delta"),
+            (
+                acc["n_resets"]
+                + p["n_resets"]
+                + F.when(first_merge | grew, F.lit(0)).otherwise(F.lit(1))
+            ).alias("n_resets"),
+            (acc["n"] + p["n"]).alias("n"),
+        )
+
+    merged = df.groupBy(*parts).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(st)), zero, _merge
+        ).alias("_s")
+    )
+    s = F.col("_s")
+    out = merged.select(
+        *parts,
+        s["delta"].alias("delta"),
+        s["n_resets"].alias("n_resets"),
+        s["n"].alias("n_obs"),
+    )
+    if width is not None:
+        out = out.withColumn("bucket", F.timestamp_seconds("_ceb")).drop(
+            "_ceb"
+        )
+    return out
+
+
 def histogram(
     df: DataFrame,
     value_col: str,
