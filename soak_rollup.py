@@ -38,12 +38,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from timescale_cdc_spark.functions.hyper import (  # noqa: E402
     approx_distinct_agg,
+    bucketed_hyperaggs,
     candlestick_agg,
     candlestick_rollup,
+    counter_delta,
+    counter_partials,
+    counter_rollup,
     hll_rollup,
     stats_agg,
     stats_agg_partials,
     stats_rollup,
+    twa_partials,
+    twa_rollup,
 )
 from timescale_cdc_spark.session import get_spark  # noqa: E402
 
@@ -63,10 +69,14 @@ def facts(spark, days: int, rows_per_day: int, n_keys: int):
             F.lit(DAY0)
             + (F.col("id") % (days * 86400))
         ).alias("ts"),
-        (
+        # 2-dp values, matching the fixtures' money convention —
+        # bucketed_hyperaggs' decimal(18,2) numerator is lossless on
+        # these, so the TWA rollup-vs-direct comparison is exact
+        F.round(
             (F.col("id") % n_keys + 1).cast("double")
             * ((F.col("id") % 86400) / 8640.0)
-            + (F.xxhash64("id") % 1000) / 100.0
+            + (F.xxhash64("id") % 1000) / 100.0,
+            2,
         ).alias("v"),
     )
 
@@ -163,6 +173,55 @@ def main() -> None:
         )
     assert worst_hll <= 0.08, worst_hll
 
+    # TWA family: hourly LOCF partials -> daily, vs the direct daily
+    # window computation.
+    twa_hourly = twa_partials(src, "ts", ["k"], "v", "event_id", "1 hour")
+    twa_hourly.write.mode("overwrite").parquet("/tmp/soak_rollup_twa")
+    twa_hourly = spark.read.parquet("/tmp/soak_rollup_twa")
+    t_roll_twa, _ = timed(twa_rollup(twa_hourly, ["k"], "1 day"))
+    t_direct_twa, _ = timed(
+        bucketed_hyperaggs(src, "1 day", "ts", ["k"], "v", "event_id")
+    )
+    rolled_twa = {
+        (r["k"], str(r["bucket"])): r["twa"]
+        for r in twa_rollup(twa_hourly, ["k"], "1 day").collect()
+    }
+    worst_twa = 0.0
+    n_twa = 0
+    for d in bucketed_hyperaggs(
+        src, "1 day", "ts", ["k"], "v", "event_id"
+    ).collect():
+        import datetime as _dt
+
+        key = (d["k"], str(_dt.datetime.fromtimestamp(
+            d["_eb"], _dt.timezone.utc).replace(tzinfo=None)))
+        g = rolled_twa[key]
+        worst_twa = max(worst_twa, abs(g - d["twa"]) / max(abs(d["twa"]), 1))
+        n_twa += 1
+    assert n_twa == len(rolled_twa) > 0
+    assert worst_twa <= 1e-5, worst_twa
+
+    # Counter family: hourly reset-aware partials -> per-key totals,
+    # vs the direct lag chain over all facts.
+    ctr_hourly = counter_partials(src, "ts", ["k"], "v", "event_id",
+                                  "1 hour")
+    ctr_hourly.write.mode("overwrite").parquet("/tmp/soak_rollup_ctr")
+    ctr_hourly = spark.read.parquet("/tmp/soak_rollup_ctr")
+    t_roll_ctr, _ = timed(counter_rollup(ctr_hourly, ["k"]))
+    t_direct_ctr, _ = timed(
+        counter_delta(src, "ts", ["k"], "v", "event_id")
+    )
+    rolled_ctr = {
+        r["k"]: r for r in counter_rollup(ctr_hourly, ["k"]).collect()
+    }
+    for d in counter_delta(src, "ts", ["k"], "v", "event_id").collect():
+        g = rolled_ctr[d["k"]]
+        assert g["n_resets"] == d["n_resets"], d["k"]
+        assert g["n_obs"] == d["n_obs"], d["k"]
+        assert abs(g["delta"] - d["delta"]) <= max(
+            1e-9 * abs(d["delta"]), 1e-6
+        ), d["k"]
+
     # Correctness: candles exact, stats to 1e-6 relative.
     rc = candlestick_rollup(candles, ["k"], width="1 day")
     dc = candlestick_agg(src, "ts", ["k"], "v", "event_id", "1 day")
@@ -210,6 +269,11 @@ def main() -> None:
         "daily_hll_direct_s": round(t_direct_hll, 2),
         "hll_speedup": round(t_direct_hll / max(t_roll_hll, 1e-9), 1),
         "worst_hll_rel_err": round(worst_hll, 4),
+        "daily_twa_rollup_s": round(t_roll_twa, 2),
+        "daily_twa_direct_s": round(t_direct_twa, 2),
+        "worst_twa_rel_err": worst_twa,
+        "total_counter_rollup_s": round(t_roll_ctr, 2),
+        "total_counter_direct_s": round(t_direct_ctr, 2),
     }))
 
 
