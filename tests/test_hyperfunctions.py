@@ -762,3 +762,89 @@ def test_counter_rollup_boundary_reset_hand_derived(spark):
     # daily width keeps the same numbers in one bucket
     [rd] = counter_rollup(hourly, ["k"], width="1 day").collect()
     assert rd["delta"] == pytest.approx(39.0) and rd["n_resets"] == 1
+
+
+def test_uddsketch_rollup_bit_identical_and_error_bounded(spark, sf_dir):
+    """rollup(percentile_agg) via UDDSketch: hourly log-bucketed count
+    arrays summed to daily must be IDENTICAL to sketches built
+    directly at daily width (vector addition is loss-free), and every
+    quantile read off the rolled sketch must be within the sketch's
+    alpha relative-error bound of the exact percentile."""
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import (
+        uddsketch_partials,
+        uddsketch_quantiles,
+        uddsketch_rollup,
+    )
+
+    alpha = 0.01
+    ev = load_table(spark, sf_dir, "events")
+    hourly = uddsketch_partials(ev, "ts", ["event_type"], "value",
+                                "1 hour", lo=0.01, hi=1e6, alpha=alpha)
+    rolled = uddsketch_rollup(hourly, ["event_type"], width="1 day")
+    direct = uddsketch_partials(ev, "ts", ["event_type"], "value",
+                                "1 day", lo=0.01, hi=1e6, alpha=alpha)
+    r = {
+        (x["event_type"], str(x["bucket"])): x
+        for x in rolled.collect()
+    }
+    d = {
+        (x["event_type"], str(x["bucket"])): x
+        for x in direct.collect()
+    }
+    assert set(r) == set(d) and len(d) > 0
+    for k in d:
+        assert r[k]["counts"] == d[k]["counts"], k  # bit-identical merge
+        assert r[k]["n"] == d[k]["n"] and r[k]["n_nonpos"] == d[k]["n_nonpos"]
+
+    ps = [0.1, 0.5, 0.9, 0.99]
+    ests = {
+        (x["event_type"], str(x["bucket"])): x["quantiles"]
+        for x in uddsketch_quantiles(rolled, ps).collect()
+    }
+    # reference = the DISCRETE rank the sketch targets (smallest value
+    # whose cumulative count reaches ceil(p*n)) — an interpolating
+    # percentile is a different estimator and diverges arbitrarily at
+    # tiny n (e.g. n=4 with values 0.6/21.9/78.7/288.6: p10 discrete
+    # is 0.6 but interpolated is 6.98)
+    import math
+
+    groups = {}
+    for x in ev.withColumn(
+        "bucket",
+        F.timestamp_seconds(
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+        ),
+    ).select("event_type", "bucket", "value").collect():
+        groups.setdefault(
+            (x["event_type"], str(x["bucket"])), []
+        ).append(x["value"])
+    for k, qs in ests.items():
+        vals = sorted(groups[k])
+        for p, got in zip(ps, qs):
+            want = vals[max(1, math.ceil(p * len(vals))) - 1]
+            # bucket-midpoint read: relative error bounded by ~alpha
+            assert abs(got - want) <= 2 * alpha * want, (k, p, got, want)
+
+
+def test_uddsketch_whole_range_and_plan(spark, sf_dir):
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import (
+        uddsketch_partials,
+        uddsketch_quantiles,
+        uddsketch_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = uddsketch_partials(ev, "ts", ["event_type"], "value", "1 hour",
+                                lo=0.01, hi=1e6, alpha=0.01)
+    total = uddsketch_rollup(hourly, ["event_type"])
+    out = uddsketch_quantiles(total, [0.5])
+    rows = out.collect()
+    n_types = ev.select("event_type").distinct().count()
+    assert len(rows) == n_types
+    [med_all] = ev.agg(F.percentile("value", F.lit(0.5))).first()
+    for r in rows:
+        assert r["quantiles"][0] == pytest.approx(med_all, rel=0.25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -753,6 +753,161 @@ def candlestick_rollup(
     return out
 
 
+def uddsketch_partials(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    width: str,
+    lo: float = 1e-6,
+    hi: float = 1e9,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Timescale ``percentile_agg``'s ACTUAL sketch — UDDSketch — as a
+    storable, vector-addition-mergeable partial per (key, bucket):
+    a log-bucketed count array where positive value ``v`` lands in bin
+    ``floor(log(v / lo) / log(gamma))``, ``gamma = (1+alpha)/(1-alpha)``,
+    so any quantile read from the array has relative error ≤ ~alpha.
+    Non-positive values count in ``n_nonpos`` and are read back as 0
+    (the fixtures' measure columns are positive; Timescale's own
+    sketch splits signs the same way).
+
+    Unlike the Greenwald-Khanna state inside ``approx_percentile``
+    (not exposed for merging), these partials are PLAIN DATA: rollup
+    is element-wise array addition — deterministic, associative,
+    loss-free — so a coarse sketch rolled up from fine buckets is
+    IDENTICAL to one built directly at the coarse width (pinned by
+    test, a stronger property than HLL's deterministic union).
+
+    Shape: one count shuffle on (keys, bucket, bin) then a dense-array
+    assembly per group (the :func:`histogram` pattern); the stored
+    array is ``nbins`` longs (~log(hi/lo)/alpha ≈ 1.7k bins at the
+    defaults, ~14 KB per group) — cagg-partial sized, not fact sized.
+    """
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    nbins = int(math.ceil(math.log(hi / lo) / math.log(gamma)))
+    v = F.col(value_col).cast("double")
+    idx = F.least(
+        F.greatest(
+            F.floor(F.log(v / F.lit(lo)) / F.lit(math.log(gamma))),
+            F.lit(0),
+        ),
+        F.lit(nbins - 1),
+    ).cast("int")
+    base = df.withColumn("_eb", epoch_bucket(ts_col, width)).withColumn(
+        "_bin", F.when(v > 0, idx)
+    )
+    counts = base.groupBy(*key_cols, "_eb", "_bin").agg(
+        F.count("*").alias("_c")
+    )
+    sparse = counts.groupBy(*key_cols, "_eb").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.coalesce("_bin", F.lit(-1)).alias("b"), "_c")
+            )
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(nbins - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0)),
+    )
+    out = sparse.select(
+        *key_cols,
+        "_eb",
+        dense.alias("counts"),
+        F.coalesce(F.element_at("_m", -1), F.lit(0)).alias("n_nonpos"),
+        F.lit(float(lo)).alias("lo"),
+        F.lit(float(gamma)).alias("gamma"),
+    ).withColumn(
+        "n",
+        F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x)
+        + F.col("n_nonpos"),
+    )
+    return out.withColumn("bucket", F.timestamp_seconds("_eb")).drop("_eb")
+
+
+def uddsketch_rollup(
+    partials: DataFrame,
+    key_cols: list[str],
+    width: str | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Timescale ``rollup(percentile_agg)``: element-wise sum of
+    stored UDDSketch count arrays to coarser buckets (or one sketch
+    per key). Pure vector addition in a JVM fold — the merged sketch
+    is bit-identical to one built directly at the coarse width."""
+    parts: list = list(key_cols)
+    df = partials
+    if width is not None:
+        df = df.withColumn("_ceb", epoch_bucket(bucket_col, width))
+        parts = [*key_cols, "_ceb"]
+    merged = df.groupBy(*parts).agg(
+        F.aggregate(
+            F.collect_list("counts"),
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.first("counts"))),
+                lambda _: F.lit(0).cast("long"),
+            ),
+            lambda acc, e: F.zip_with(acc, e, lambda a, b: a + b),
+        ).alias("counts"),
+        F.sum("n_nonpos").alias("n_nonpos"),
+        F.sum("n").alias("n"),
+        F.first("lo").alias("lo"),
+        F.first("gamma").alias("gamma"),
+    )
+    if width is not None:
+        merged = merged.withColumn(
+            "bucket", F.timestamp_seconds("_ceb")
+        ).drop("_ceb")
+    return merged
+
+
+def uddsketch_quantiles(
+    sketch: DataFrame, percentiles: list[float]
+) -> DataFrame:
+    """Read quantile estimates off UDDSketch rows (from
+    :func:`uddsketch_partials` or :func:`uddsketch_rollup`): adds a
+    ``quantiles`` array aligned with ``percentiles``, each value the
+    log-space bucket midpoint ``lo * gamma^(bin + 0.5)`` (relative
+    error ≤ ~alpha), or 0.0 when the rank falls in the non-positive
+    mass. Pure higher-order expressions — estimating off a stored
+    sketch touches no facts and no Python."""
+    idxed = F.zip_with(
+        F.col("counts"),
+        F.sequence(F.lit(0), F.size("counts") - 1),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+
+    def est(p):
+        rank = F.greatest(F.ceil(F.lit(p) * F.col("n")), F.lit(1))
+        walk = F.aggregate(
+            idxed,
+            F.struct(
+                F.col("n_nonpos").cast("long").alias("cum"),
+                F.lit(-1).cast("long").alias("found"),
+            ),
+            lambda acc, e: F.struct(
+                (acc["cum"] + e["c"]).alias("cum"),
+                F.when(acc["found"] >= 0, acc["found"])
+                .when(acc["cum"] + e["c"] >= rank, e["i"].cast("long"))
+                .otherwise(F.lit(-1).cast("long"))
+                .alias("found"),
+            ),
+        )
+        return F.when(
+            F.col("n_nonpos") >= rank, F.lit(0.0)
+        ).otherwise(
+            F.col("lo")
+            * F.pow(F.col("gamma"), walk["found"].cast("double") + 0.5)
+        )
+
+    return sketch.withColumn(
+        "quantiles", F.array(*[est(p) for p in percentiles])
+    )
+
+
 def hll_partial_columns(count_col: str, lg_k: int = 12) -> list[Column]:
     """Timescale ``hyperloglog(value)`` partial state: a DataSketches
     HLL sketch (binary) of ``count_col`` plus the raw row count, as
