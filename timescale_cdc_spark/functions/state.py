@@ -1,0 +1,571 @@
+"""Timescale toolkit state/liveness hyperfunction analogs:
+``state_agg`` (time-in-state with LOCF semantics), ``state_timeline``
+(compact run-length transition list), and ``heartbeat_agg``
+(liveness islands from a heartbeat stream) — the toolkit families a
+user of the reference's hypertables (init.sql:69-72) reaches for to
+answer "how long was each device in each state" and "what fraction of
+the hour was this service alive".
+
+Same engineering rules as functions/hyper.py:
+
+- everything is DataFrame/window composition; no Python UDFs, no
+  collect — every function here keeps the plan inside whole-stage
+  codegen;
+- per-bucket partials are MERGEABLE: ``state_rollup`` /
+  ``heartbeat_rollup`` reproduce the direct computation at a coarser
+  width exactly (integer microseconds end to end, so equality is
+  bit-exact, pinned by tests);
+- one exchange per family: the annotate window rides the same
+  (key, bucket) hash exchange the groupBy needs, and the rollup is a
+  single groupBy over stored partials with a deterministic JVM fold
+  (``aggregate`` over a comparator-sorted ``collect_list``).
+
+Boundary semantics (mirrors twa_partials/twa_rollup): a state holds
+from its observation to the NEXT observation or the bucket end
+(LOCF-to-bucket-end). The rollup re-attributes the seam: the gap
+between one partial's bucket end and the next partial's first
+observation — including across empty buckets — belongs to the
+previous partial's last state, and the tail after the final partial's
+bucket end belongs to its last state, so rollup(fine) == direct
+(coarse) exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.functions.hyper import epoch_bucket
+from timescale_cdc_spark.functions.time import bucket_seconds
+
+_LONG0 = "cast(0 as long)"
+
+
+def _map_sum(m1: Column, m2: Column) -> Column:
+    """Element-wise sum of two map<string,long> (key union)."""
+    zero = F.lit(0).cast("long")
+    return F.map_zip_with(
+        m1, m2, lambda _k, a, b: F.coalesce(a, zero) + F.coalesce(b, zero)
+    )
+
+
+def state_partials(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    state_col: str,
+    id_col: str,
+    width: str,
+) -> DataFrame:
+    """Timescale ``state_agg`` partial per (key, bucket), mergeable by
+    :func:`state_rollup`: ``durs`` (map state → microseconds held
+    inside the bucket, each observation held to the next observation
+    or the bucket end), within-bucket ``n_transitions`` (state !=
+    previous state), and the seam data a cross-bucket merge needs
+    (``first_us``/``end_us``/``first_state``/``last_state``).
+
+    One shuffle: the lead/lag window rides the exact (key, bucket)
+    exchange the two-level groupBy needs (the inner groupBy adds
+    ``state`` — a superset of the clustering, so no new exchange).
+    """
+    secs = bucket_seconds(width)
+    eb = epoch_bucket(ts_col, width)
+    base = df.select(
+        *key_cols,
+        eb,
+        F.col(state_col).alias("_st"),
+        F.col(id_col).alias("_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    wb = Window.partitionBy(*key_cols, "_eb").orderBy("_us", "_id")
+    end_us = (F.col("_eb") + F.lit(secs)) * F.lit(1_000_000)
+    annotated = base.select(
+        *key_cols,
+        "_eb",
+        "_st",
+        "_us",
+        (F.coalesce(F.lead("_us").over(wb), end_us) - F.col("_us")).alias(
+            "_held_us"
+        ),
+        (F.lag("_st").over(wb) != F.col("_st"))
+        .cast("long")
+        .alias("_is_transition"),
+        F.row_number().over(wb).alias("_rn"),
+        F.row_number()
+        .over(
+            Window.partitionBy(*key_cols, "_eb").orderBy(
+                F.desc("_us"), F.desc("_id")
+            )
+        )
+        .alias("_rn_desc"),
+    )
+    per_state = annotated.groupBy(*key_cols, "_eb", "_st").agg(
+        F.sum("_held_us").alias("_dur_us"),
+        F.count("*").alias("_n"),
+        F.sum(F.coalesce("_is_transition", F.lit(0))).alias("_trans"),
+        F.min("_us").alias("_first_us"),
+        F.min(F.when(F.col("_rn") == 1, F.col("_st"))).alias("_fs"),
+        F.min(F.when(F.col("_rn_desc") == 1, F.col("_st"))).alias("_ls"),
+    )
+    out = per_state.groupBy(*key_cols, "_eb").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("_st", "_dur_us"))
+            )
+        ).alias("durs"),
+        F.sum("_n").alias("n"),
+        F.sum("_trans").alias("n_transitions"),
+        F.min("_first_us").alias("first_us"),
+        F.min("_fs").alias("first_state"),
+        F.min("_ls").alias("last_state"),
+    )
+    return (
+        out.withColumn(
+            "end_us", (F.col("_eb") + F.lit(secs)) * F.lit(1_000_000)
+        )
+        .withColumn("bucket", F.timestamp_seconds("_eb"))
+        .drop("_eb")
+    )
+
+
+def state_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    state_col: str,
+    id_col: str,
+    width: str,
+) -> DataFrame:
+    """Direct Timescale ``state_agg`` per (key, bucket): time-in-state
+    map + observation/transition counts. The direct computation IS the
+    partial view minus the seam columns — which is what makes
+    ``state_rollup(state_partials(fine)) == state_agg(coarse)`` an
+    exact (integer-microsecond) equality, pinned by tests."""
+    return state_partials(
+        df, ts_col, key_cols, state_col, id_col, width
+    ).select(*key_cols, "bucket", "durs", "n", "n_transitions")
+
+
+def duration_in(durs: Column | str, state: str) -> Column:
+    """Timescale ``duration_in(agg, state)``: microseconds spent in
+    ``state`` (0 if never observed)."""
+    col = F.col(durs) if isinstance(durs, str) else durs
+    return F.coalesce(
+        F.element_at(col, F.lit(state)), F.lit(0).cast("long")
+    )
+
+
+def state_rollup(
+    partials: DataFrame,
+    key_cols: list[str],
+    width: str,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Timescale ``rollup(state_agg)``: merge stored fine-bucket state
+    partials (:func:`state_partials`) to coarser buckets without
+    re-reading facts. Like :func:`~timescale_cdc_spark.functions.hyper.
+    twa_rollup` the merge is NOT a plain sum — LOCF carries the state
+    ACROSS bucket boundaries:
+
+    - the seam between one partial's bucket end and the next
+      partial's first observation (including across empty fine
+      buckets) is attributed to the previous partial's ``last_state``;
+    - the tail after the final partial's bucket end runs to the
+      COARSE bucket end in the same state;
+    - a transition is added at the seam when ``last_state`` !=
+      the next partial's ``first_state``.
+
+    The fold sorts the collected partials chronologically with a
+    comparator lambda (the struct carries a map, which is not
+    naturally orderable — the comparator sidesteps the orderability
+    requirement), so the merge is deterministic and bounded by
+    fine-buckets-per-coarse-bucket.
+    """
+    secs = bucket_seconds(width)
+    df = partials.withColumn("_ceb", epoch_bucket(bucket_col, width))
+    st = F.struct(
+        "first_us",
+        "end_us",
+        "first_state",
+        "last_state",
+        "durs",
+        "n",
+        "n_transitions",
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("first_us"),
+        F.lit(0).cast("long").alias("end_us"),
+        F.lit(None).cast("string").alias("first_state"),
+        F.lit(None).cast("string").alias("last_state"),
+        F.expr("map()").cast("map<string,long>").alias("durs"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("n_transitions"),
+    )
+
+    def _cmp(a, b):
+        return (
+            F.when(a["first_us"] < b["first_us"], F.lit(-1))
+            .when(a["first_us"] > b["first_us"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    def _merge(acc, p):
+        first_merge = acc["n"] == 0
+        gap = (p["first_us"] - acc["end_us"]).cast("long")
+        gap_map = F.map_from_arrays(
+            F.array(acc["last_state"]), F.array(gap)
+        )
+        merged_durs = F.when(first_merge, p["durs"]).otherwise(
+            _map_sum(_map_sum(acc["durs"], gap_map), p["durs"])
+        )
+        seam_trans = F.when(
+            first_merge | (acc["last_state"] == p["first_state"]),
+            F.lit(0),
+        ).otherwise(F.lit(1))
+        return F.struct(
+            F.when(first_merge, p["first_us"])
+            .otherwise(acc["first_us"])
+            .alias("first_us"),
+            p["end_us"].alias("end_us"),
+            F.when(first_merge, p["first_state"])
+            .otherwise(acc["first_state"])
+            .alias("first_state"),
+            p["last_state"].alias("last_state"),
+            merged_durs.alias("durs"),
+            (acc["n"] + p["n"]).alias("n"),
+            (
+                acc["n_transitions"] + p["n_transitions"] + seam_trans
+            ).alias("n_transitions"),
+        )
+
+    merged = df.groupBy(*key_cols, "_ceb").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(st), _cmp), zero, _merge
+        ).alias("_s")
+    )
+    s = F.col("_s")
+    coarse_end_us = (F.col("_ceb") + F.lit(secs)) * F.lit(1_000_000)
+    tail_us = (coarse_end_us - s["end_us"]).cast("long")
+    tail_map = F.map_from_arrays(
+        F.array(s["last_state"]), F.array(tail_us)
+    )
+    return merged.select(
+        *key_cols,
+        F.timestamp_seconds("_ceb").alias("bucket"),
+        F.map_from_entries(
+            F.array_sort(
+                F.map_entries(_map_sum(s["durs"], tail_map))
+            )
+        ).alias("durs"),
+        s["n"].alias("n"),
+        s["n_transitions"].alias("n_transitions"),
+    )
+
+
+def state_timeline(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    state_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Timescale ``state_timeline`` over the whole series: one row per
+    state RUN per key (consecutive observations of the same state
+    merged), with the run's start/end timestamps — the end is the
+    next run's start, null for the final (still-open) run.
+
+    Run-length encoding via the classic gaps-and-islands window: a
+    run starts where the state differs from the previous observation;
+    the run id is a running count of starts; both windows plus the
+    groupBy ride one (key) exchange.
+    """
+    base = df.select(
+        *key_cols,
+        F.col(state_col).alias("state"),
+        F.col(id_col).alias("_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_us", "_id")
+    annotated = base.select(
+        *key_cols,
+        "state",
+        "_us",
+        F.coalesce(
+            (F.lag("state").over(w) != F.col("state")).cast("long"),
+            F.lit(1),
+        ).alias("_is_start"),
+    ).withColumn(
+        "_run",
+        F.sum("_is_start").over(
+            Window.partitionBy(*key_cols)
+            .orderBy("_us")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = annotated.groupBy(*key_cols, "_run").agg(
+        F.min_by("state", "_us").alias("state"),
+        F.min("_us").alias("_start_us"),
+    )
+    wr = Window.partitionBy(*key_cols).orderBy("_start_us")
+    return runs.select(
+        *key_cols,
+        "state",
+        F.timestamp_micros(F.col("_start_us")).alias("start_ts"),
+        F.timestamp_micros(F.lead("_start_us").over(wr)).alias("end_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# heartbeat_agg: liveness islands from a heartbeat stream
+# ---------------------------------------------------------------------------
+
+
+def heartbeat_islands(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    lease: str,
+) -> DataFrame:
+    """Merged liveness intervals per key (Timescale ``heartbeat_agg``
+    ranges): each heartbeat asserts liveness for ``[ts, ts+lease)``;
+    overlapping/touching assertions merge into islands.
+
+    Classic gaps-and-islands: a new island starts where the heartbeat
+    begins after the running max of all previous coverage ends; the
+    island id is a running count of starts. One (key) exchange; both
+    windows and the groupBy ride it.
+    """
+    lease_us = bucket_seconds(lease) * 1_000_000
+    base = df.select(
+        *key_cols,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_s_us"),
+    ).withColumn("_e_us", F.col("_s_us") + F.lit(lease_us))
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_s_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    annotated = base.withColumn(
+        "_new_island",
+        F.when(
+            F.col("_s_us") > F.coalesce(
+                F.max("_e_us").over(w_prev), F.lit(-1).cast("long")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            Window.partitionBy(*key_cols)
+            .orderBy("_s_us")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return annotated.groupBy(*key_cols, "_island").agg(
+        F.min("_s_us").alias("start_us"),
+        F.max("_e_us").alias("end_us"),
+        F.count("*").alias("n_heartbeats"),
+    ).drop("_island")
+
+
+def _clip_islands_to_buckets(
+    islands: DataFrame, key_cols: list[str], width: str
+) -> DataFrame:
+    """Explode islands across the ``width`` buckets they span, clipped
+    to each bucket — one row per (key, bucket, clipped range). The
+    explode side is |islands| × buckets-spanned rows; no fact-table
+    shuffle."""
+    secs = bucket_seconds(width)
+    w_us = secs * 1_000_000
+    first_b = F.floor(F.col("start_us") / w_us) * w_us
+    last_b = F.floor((F.col("end_us") - 1) / w_us) * w_us
+    exploded = islands.select(
+        *key_cols,
+        "start_us",
+        "end_us",
+        "n_heartbeats",
+        F.explode(
+            F.sequence(
+                first_b.cast("long"), last_b.cast("long"), F.lit(w_us)
+            )
+        ).alias("_b_us"),
+    )
+    clip_s = F.greatest(F.col("start_us"), F.col("_b_us"))
+    clip_e = F.least(F.col("end_us"), F.col("_b_us") + F.lit(w_us))
+    return exploded.select(
+        *key_cols,
+        "_b_us",
+        clip_s.alias("_cs"),
+        clip_e.alias("_ce"),
+        # attribute the island's heartbeat count to the bucket the
+        # island STARTS in (so per-bucket n sums to the key total)
+        F.when(
+            F.col("start_us") >= F.col("_b_us"), F.col("n_heartbeats")
+        )
+        .otherwise(F.lit(0))
+        .alias("_n_hb"),
+    )
+
+
+def heartbeat_partials(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    lease: str,
+    width: str,
+) -> DataFrame:
+    """Timescale ``heartbeat_agg`` partial per (key, bucket),
+    mergeable by :func:`heartbeat_rollup`: the bucket's liveness
+    ranges CLIPPED to the bucket (sorted array of [start,end)
+    microsecond structs), plus ``live_us``/``n_ranges``/
+    ``n_heartbeats``. Clipping at fine-bucket seams splits islands
+    exactly at the boundary (prev.end == next.start), which is what
+    lets the rollup re-merge them losslessly."""
+    islands = heartbeat_islands(df, ts_col, key_cols, lease)
+    clipped = _clip_islands_to_buckets(islands, key_cols, width)
+    out = clipped.groupBy(*key_cols, "_b_us").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_cs").alias("s"), F.col("_ce").alias("e")
+                )
+            )
+        ).alias("ranges"),
+        F.sum(F.col("_ce") - F.col("_cs")).alias("live_us"),
+        F.count("*").alias("n_ranges"),
+        F.sum("_n_hb").alias("n_heartbeats"),
+    )
+    return out.select(
+        *key_cols,
+        F.timestamp_seconds(
+            (F.col("_b_us") / 1_000_000).cast("long")
+        ).alias("bucket"),
+        "ranges",
+        "live_us",
+        "n_ranges",
+        "n_heartbeats",
+    )
+
+
+def _merge_sorted_ranges(sorted_ranges: Column) -> Column:
+    """Fold a start-sorted array<struct<s,e>> into its union: merge
+    each range into the accumulator's last island when it overlaps or
+    touches (s <= last.e), else append a new island."""
+    empty = F.expr(
+        "cast(array() as array<struct<s:bigint,e:bigint>>)"
+    )
+
+    def _step(acc, x):
+        last = F.element_at(acc, -1)
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], x["e"]).alias("e"),
+                )
+            ),
+        )
+        return (
+            F.when(F.size(acc) == 0, F.array(x))
+            .when(x["s"] <= last["e"], extended)
+            .otherwise(F.concat(acc, F.array(x)))
+        )
+
+    return F.aggregate(sorted_ranges, empty, _step)
+
+
+def heartbeat_rollup(
+    partials: DataFrame,
+    key_cols: list[str],
+    width: str,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Timescale ``rollup(heartbeat_agg)``: merge stored fine-bucket
+    liveness partials to coarser buckets without re-reading the
+    heartbeat stream. Ranges from adjacent fine buckets that were
+    split at the seam (prev.e == next.s) — or that overlap because a
+    lease spans the seam — re-merge in a deterministic JVM fold over
+    the start-sorted flattened range arrays, so
+    ``heartbeat_rollup(heartbeat_partials(fine)) ==
+    heartbeat_summary(direct at coarse)`` exactly (integer
+    microseconds; pinned by tests).
+
+    One exchange: groupBy (key, coarse bucket) over the partials;
+    flatten + sort + fold are all post-aggregation expressions."""
+    secs = bucket_seconds(width)
+    df = partials.withColumn("_ceb", epoch_bucket(bucket_col, width))
+    merged = df.groupBy(*key_cols, "_ceb").agg(
+        F.flatten(F.collect_list("ranges")).alias("_all"),
+        F.sum("n_heartbeats").alias("n_heartbeats"),
+    )
+    union = _merge_sorted_ranges(F.array_sort(F.col("_all")))
+    live = F.aggregate(
+        union,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (x["e"] - x["s"]),
+    )
+    width_us = F.lit(secs * 1_000_000).cast("long")
+    out = merged.select(
+        *key_cols,
+        F.timestamp_seconds("_ceb").alias("bucket"),
+        union.alias("ranges"),
+        "n_heartbeats",
+    )
+    return out.select(
+        *key_cols,
+        "bucket",
+        "ranges",
+        F.aggregate(
+            F.col("ranges"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x["e"] - x["s"]),
+        ).alias("live_us"),
+        F.size("ranges").alias("n_ranges"),
+        "n_heartbeats",
+    ).withColumn("dead_us", width_us - F.col("live_us")).withColumn(
+        "uptime", F.round(F.col("live_us") / width_us.cast("double"), 6)
+    )
+
+
+def heartbeat_summary(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    lease: str,
+    width: str,
+) -> DataFrame:
+    """Direct per (key, bucket) liveness summary at ``width`` —
+    live/dead time, uptime ratio, island count — computed straight
+    from the heartbeat stream. The rollup equivalence target."""
+    islands = heartbeat_islands(df, ts_col, key_cols, lease)
+    clipped = _clip_islands_to_buckets(islands, key_cols, width)
+    width_us = bucket_seconds(width) * 1_000_000
+    out = clipped.groupBy(*key_cols, "_b_us").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_cs").alias("s"), F.col("_ce").alias("e")
+                )
+            )
+        ).alias("ranges"),
+        F.sum(F.col("_ce") - F.col("_cs")).alias("live_us"),
+        F.count("*").alias("n_ranges"),
+        F.sum("_n_hb").alias("n_heartbeats"),
+    )
+    return out.select(
+        *key_cols,
+        F.timestamp_seconds(
+            (F.col("_b_us") / 1_000_000).cast("long")
+        ).alias("bucket"),
+        "ranges",
+        "live_us",
+        "n_ranges",
+        "n_heartbeats",
+        (F.lit(width_us).cast("long") - F.col("live_us")).alias(
+            "dead_us"
+        ),
+        F.round(
+            F.col("live_us") / F.lit(float(width_us)), 6
+        ).alias("uptime"),
+    )
