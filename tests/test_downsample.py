@@ -1,0 +1,212 @@
+"""LTTB / M4 downsampling (operators/downsample.py): the Spark
+operator must match an independently-written reference LTTB (the
+textbook triangle-area walk, written pointwise here precisely so it
+shares no code with the vectorized implementation), hold the LTTB
+invariants (endpoints kept, exact output size, subset of input, one
+point per interior bucket), and keep M4 a pure-JVM one-exchange plan
+cross-checked against DuckDB arg_min/arg_max.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.operators.downsample import (
+    lttb,
+    lttb_numpy,
+    m4_downsample,
+)
+
+
+def _reference_lttb(x, y, n_out):
+    """Pointwise LTTB per Steinarsson 2013, no numpy vectorization."""
+    n = len(x)
+    if n_out >= n:
+        return list(range(n))
+    edges = np.linspace(1, n - 1, n_out - 1).astype(int).tolist()
+    keep = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        if i < n_out - 3:
+            nlo, nhi = edges[i + 1], edges[i + 2]
+        else:
+            nlo, nhi = n - 1, n
+        bx = sum(x[nlo:nhi]) / (nhi - nlo)
+        by = sum(y[nlo:nhi]) / (nhi - nlo)
+        best, best_area = lo, -1.0
+        for j in range(lo, hi):
+            area = abs(
+                (x[a] - bx) * (y[j] - y[a]) - (x[a] - x[j]) * (by - y[a])
+            )
+            if area > best_area + 1e-12:
+                best, best_area = j, area
+        keep.append(best)
+        a = best
+    keep.append(n - 1)
+    return keep
+
+
+@pytest.mark.parametrize("n,n_out", [(100, 10), (1000, 47), (50, 3),
+                                     (10, 10), (5, 20)])
+def test_lttb_numpy_matches_pointwise_reference(n, n_out):
+    rng = np.random.default_rng(42 + n + n_out)
+    x = np.sort(rng.choice(n * 10, size=n, replace=False)).astype(float)
+    y = np.cumsum(rng.normal(size=n))
+    got = lttb_numpy(x, y, n_out).tolist()
+    want = _reference_lttb(x.tolist(), y.tolist(), n_out)
+    assert got == want
+
+
+def test_lttb_invariants_spark(spark):
+    """500-point noisy sine per key, downsampled to 40: exact size,
+    endpoints kept, rows a subset of the input, deterministic."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(500):
+            rows.append(
+                (
+                    k,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                    math.sin(i / 20.0) * 10 + float(rng.normal()),
+                )
+            )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = lttb(df, ["k"], "ts", "v", 40)
+    rows_out = out.collect()
+    per_key = {}
+    for r in rows_out:
+        per_key.setdefault(r["k"], []).append((r["ts"], r["v"]))
+    src = {}
+    for k, ts, v in rows:
+        src.setdefault(k, []).append((ts, v))
+    for k in ("a", "b"):
+        pts = sorted(per_key[k])
+        assert len(pts) == 40
+        series = sorted(src[k])
+        assert pts[0] == series[0] and pts[-1] == series[-1]
+        assert set(pts) <= set(series)
+    # deterministic: second run identical
+    again = lttb(df, ["k"], "ts", "v", 40).collect()
+    assert sorted(map(tuple, rows_out)) == sorted(map(tuple, again))
+
+
+def test_lttb_short_series_passthrough(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, i), float(i)) for i in range(5)],
+        "k string, ts timestamp, v double",
+    )
+    assert lttb(df, ["k"], "ts", "v", 40).count() == 5
+    with pytest.raises(ValueError):
+        lttb(df, ["k"], "ts", "v", 2)
+
+
+def test_lttb_one_point_per_interior_bucket():
+    x = np.arange(1000, dtype=float)
+    y = np.sin(x / 30)
+    keep = lttb_numpy(x, y, 25)
+    edges = np.linspace(1, 999, 24).astype(np.int64)
+    interior = keep[1:-1]
+    for i in range(23):
+        assert edges[i] <= interior[i] < edges[i + 1]
+
+
+def test_m4_duckdb_parity(spark, sf_dir):
+    """M4 kept points per (event_type, hour) vs DuckDB's arg_min/
+    arg_max with identical deterministic tie-breaks."""
+    import duckdb
+
+    from timescale_cdc_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = m4_downsample(ev, ["event_type"], "ts", "value", "1 hour")
+    got = {}
+    for r in out.collect():
+        got.setdefault((r["event_type"], str(r["bucket"])), set()).add(
+            (str(r["ts"]), r["value"])
+        )
+    want_rows = duckdb.sql(
+        f"""
+        WITH ranked AS (
+          SELECT event_type,
+                 to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket,
+                 ts, value,
+                 row_number() OVER w_f AS rf,
+                 row_number() OVER w_l AS rl,
+                 row_number() OVER w_mn AS rmn,
+                 row_number() OVER w_mx AS rmx
+          FROM '{sf_dir}/events.parquet'
+          WINDOW
+            w_f AS (PARTITION BY event_type, floor(epoch(ts) / 3600)
+                    ORDER BY ts, value),
+            w_l AS (PARTITION BY event_type, floor(epoch(ts) / 3600)
+                    ORDER BY ts DESC, value DESC),
+            w_mn AS (PARTITION BY event_type, floor(epoch(ts) / 3600)
+                     ORDER BY value, ts),
+            w_mx AS (PARTITION BY event_type, floor(epoch(ts) / 3600)
+                     ORDER BY value DESC, ts DESC)
+        )
+        SELECT event_type, bucket, ts, value
+        FROM ranked WHERE 1 IN (rf, rl, rmn, rmx)
+        """
+    ).fetchall()
+    want = {}
+    for event_type, bucket, ts, value in want_rows:
+        want.setdefault(
+            (event_type, str(bucket.replace(tzinfo=None))), set()
+        ).add((str(ts.replace(tzinfo=None) if hasattr(ts, "replace")
+                   else ts), value))
+    assert want == got
+
+
+def test_m4_plan_one_exchange_no_python(spark):
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, i % 60, i % 50), float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    plan = (
+        m4_downsample(df, ["k"], "ts", "v", "1 hour")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_m4_then_lttb_composition(spark):
+    """The documented big-series path: M4 pre-thin (JVM) into LTTB
+    (Arrow). The composition preserves global min/max exactly."""
+    rng = np.random.default_rng(3)
+    rows = [
+        (
+            "a",
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=30 * i),
+            float(v),
+        )
+        for i, v in enumerate(rng.normal(size=5000))
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    thinned = m4_downsample(df, ["k"], "ts", "v", "15 minutes").drop(
+        "bucket"
+    )
+    thinned_pts = {(r["ts"], r["v"]) for r in thinned.collect()}
+    out = lttb(thinned, ["k"], "ts", "v", 60).collect()
+    assert len(out) == 60
+    # LTTB output is a subset of the thinned set
+    assert {(r["ts"], r["v"]) for r in out} <= thinned_pts
+    # M4 guarantees the global extremes survive the thinning stage
+    # (LTTB's area heuristic usually — but not provably — keeps them,
+    # so the guarantee pinned here is M4's)
+    all_vs = [v for _, _, v in rows]
+    thinned_vs = [v for _, v in thinned_pts]
+    assert max(thinned_vs) == max(all_vs)
+    assert min(thinned_vs) == min(all_vs)
