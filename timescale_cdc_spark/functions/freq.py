@@ -1,0 +1,231 @@
+"""Timescale toolkit ``freq_agg`` / ``topn_agg`` analog: a MERGEABLE
+heavy-hitters summary per (key, time bucket) using the Misra-Gries
+algorithm — the classic bounded-memory frequent-items sketch whose
+merge (Agarwal et al., "Mergeable Summaries", PODS 2012) is: sum the
+counter maps, then decrement every counter by the (k+1)-th largest
+and drop the non-positive ones.
+
+Guarantees carried by every summary (and preserved by
+:func:`freq_rollup`, pinned by tests):
+
+- undercount only: ``est <= true`` for every tracked item;
+- bounded error: ``true - est <= err`` (the summary's scalar error
+  column — the sum of all compression decrements applied);
+- completeness: any item with ``true > err`` IS in the summary, so
+  with ``max_size`` counters no item with frequency above ``n /
+  (max_size + 1)`` of a merge-path's mass can be missed;
+- exactness in the small regime: if a group never holds more than
+  ``max_size`` distinct items, ``err == 0`` and the summary equals
+  the exact groupBy counts (DuckDB-parity-tested).
+
+Everything is JVM expressions — exact per-bucket counts from a
+two-level groupBy riding ONE (key, bucket) repartition, compression
+and merge as higher-order array/map folds, no Python eval, no
+collect. Rollup merges stored partials to coarser buckets without
+re-reading facts, same contract as the other rollup families in
+functions/hyper.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.functions.hyper import epoch_bucket
+from timescale_cdc_spark.functions.state import _map_sum
+
+
+def _entries_desc(mg: Column) -> Column:
+    """Map entries sorted by count DESC, item ASC (deterministic)."""
+    return F.array_sort(
+        F.map_entries(mg),
+        lambda a, b: F.when(a["value"] > b["value"], F.lit(-1))
+        .when(a["value"] < b["value"], F.lit(1))
+        .when(a["key"] < b["key"], F.lit(-1))
+        .when(a["key"] > b["key"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def _compress(mg: Column, max_size: int) -> tuple[Column, Column]:
+    """Misra-Gries compression to ``max_size`` counters: subtract the
+    (max_size+1)-th largest count from every counter and drop the
+    non-positive. Returns (compressed map, decrement applied)."""
+    entries = _entries_desc(mg)
+    zero = F.lit(0).cast("long")
+    # 0-based get -> null (not an ANSI error) when the summary is
+    # already small enough
+    t = F.coalesce(F.get(entries, max_size)["value"], zero)
+    kept = F.filter(entries, lambda e: e["value"] > t)
+    new_mg = F.map_from_entries(
+        F.transform(
+            kept,
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                (e["value"] - t).alias("value"),
+            ),
+        )
+    )
+    return new_mg, t
+
+
+def freq_partials(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    item_col: str,
+    width: str,
+    max_size: int = 16,
+) -> DataFrame:
+    """``freq_agg`` partial per (key, bucket), mergeable by
+    :func:`freq_rollup`: ``mg`` (item → undercounted frequency, at
+    most ``max_size`` entries), ``err`` (max undercount of any item,
+    0 when the bucket held <= max_size distinct items), and exact
+    ``n`` (total observations).
+
+    One exchange: an explicit (key, bucket) repartition that BOTH
+    groupBys ride — the exact per-item count clusters on a superset
+    of it, and the per-bucket collect clusters on it exactly."""
+    base = df.select(
+        *key_cols,
+        epoch_bucket(ts_col, width),
+        F.col(item_col).cast("string").alias("_item"),
+    ).repartition(*[F.col(c) for c in key_cols], F.col("_eb"))
+    exact = base.groupBy(*key_cols, "_eb", "_item").agg(
+        F.count("*").alias("_c")
+    )
+    collected = exact.groupBy(*key_cols, "_eb").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_item", "_c")))
+        ).alias("_exact"),
+        F.sum("_c").alias("n"),
+    )
+    mg, t = _compress(F.col("_exact"), max_size)
+    return collected.select(
+        *key_cols,
+        F.timestamp_seconds("_eb").alias("bucket"),
+        mg.alias("mg"),
+        t.cast("long").alias("err"),
+        "n",
+    )
+
+
+def freq_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    item_col: str,
+    width: str,
+    max_size: int = 16,
+) -> DataFrame:
+    """Direct Timescale ``freq_agg`` per (key, bucket) — the partial
+    view (a Misra-Gries summary IS the queryable aggregate)."""
+    return freq_partials(
+        df, ts_col, key_cols, item_col, width, max_size
+    )
+
+
+def freq_rollup(
+    partials: DataFrame,
+    key_cols: list[str],
+    width: str,
+    max_size: int = 16,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Timescale ``rollup(freq_agg)``: merge stored fine-bucket
+    Misra-Gries summaries to coarser buckets without re-reading
+    facts. Each fold step sums the counter maps (undercounts add),
+    adds the scalar errors, and re-compresses to ``max_size`` —
+    the PODS'12 mergeable-summaries construction, which preserves
+    the undercount/completeness guarantees at every width.
+
+    Deterministic: the fold runs in bucket-chronological order via a
+    comparator sort (the struct carries a map, so natural ordering is
+    unavailable), and compression tie-breaks are (count desc, item
+    asc)."""
+    df = partials.withColumn("_ceb", epoch_bucket(bucket_col, width))
+    st = F.struct(
+        F.unix_micros(F.col(bucket_col)).alias("b_us"),
+        F.col("mg").alias("mg"),
+        F.col("err").alias("err"),
+        F.col("n").alias("n"),
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("b_us"),
+        F.expr("map()").cast("map<string,long>").alias("mg"),
+        F.lit(0).cast("long").alias("err"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def _cmp(a, b):
+        return (
+            F.when(a["b_us"] < b["b_us"], F.lit(-1))
+            .when(a["b_us"] > b["b_us"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    def _merge(acc, p):
+        summed = _map_sum(acc["mg"], p["mg"])
+        mg, t = _compress(summed, max_size)
+        return F.struct(
+            p["b_us"].alias("b_us"),
+            mg.alias("mg"),
+            (acc["err"] + p["err"] + t).alias("err"),
+            (acc["n"] + p["n"]).alias("n"),
+        )
+
+    merged = df.groupBy(*key_cols, "_ceb").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(st), _cmp), zero, _merge
+        ).alias("_s")
+    )
+    s = F.col("_s")
+    return merged.select(
+        *key_cols,
+        F.timestamp_seconds("_ceb").alias("bucket"),
+        s["mg"].alias("mg"),
+        s["err"].alias("err"),
+        s["n"].alias("n"),
+    )
+
+
+def topn(
+    agg: DataFrame,
+    n: int,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Timescale ``topn(agg, n)`` accessor: the top-``n`` tracked
+    items per (key, bucket) with their frequency BOUNDS — the
+    summary's estimate undercounts, so the true count lies in
+    ``[min_freq, max_freq] = [est, est + err]`` — plus the fraction
+    bounds against the exact total ``n``."""
+    exploded = agg.select(
+        *key_cols,
+        bucket_col,
+        "err",
+        F.col("n").alias("total"),
+        F.explode(
+            F.slice(
+                _entries_desc(F.col("mg")),
+                1,
+                n,
+            )
+        ).alias("_e"),
+    )
+    return exploded.select(
+        *key_cols,
+        bucket_col,
+        F.col("_e")["key"].alias("item"),
+        F.col("_e")["value"].alias("min_freq"),
+        (F.col("_e")["value"] + F.col("err")).alias("max_freq"),
+        F.round(
+            F.col("_e")["value"] / F.col("total").cast("double"), 6
+        ).alias("min_frac"),
+        F.round(
+            (F.col("_e")["value"] + F.col("err"))
+            / F.col("total").cast("double"),
+            6,
+        ).alias("max_frac"),
+        "total",
+    )
