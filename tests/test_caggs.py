@@ -225,3 +225,164 @@ def test_attach_streaming_end_to_end(spark, cagg, tmp_path):
     source = spark.read.parquet(src_dir)
     assert source.count() == 4
     assert _sorted_rows(cagg.materialized()) == _sorted_rows(_full(source))
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical caggs (cascade_refresh / query_hierarchy)
+# ---------------------------------------------------------------------------
+
+
+def _hourly_partial_aggs():
+    return [
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("sum_v"),
+        F.hll_sketch_agg(F.col("uid"), F.lit(12)).alias("hll"),
+    ]
+
+
+def _daily_merge_aggs():
+    return [
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.hll_union_agg("hll").alias("hll"),
+    ]
+
+
+def _daily_direct(df):
+    eb = (F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long")
+          * 86400)
+    return (
+        df.withColumn("_eb", eb)
+        .groupBy("k", "_eb")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("sum_v"),
+            F.hll_sketch_agg(F.col("uid"), F.lit(12)).alias("hll"),
+        )
+        .withColumn("bucket", F.timestamp_seconds("_eb"))
+        .drop("_eb")
+    )
+
+
+def _readable(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "k",
+            "bucket",
+            "n",
+            F.col("sum_v").cast("double").alias("s"),
+            F.round(F.hll_sketch_estimate("hll"), 6).alias("d"),
+        ).collect()
+    )
+
+
+HSCHEMA = "k string, ts timestamp, v double, uid long"
+
+
+def _hrows(day, hours, key="a"):
+    return [
+        (key, dt.datetime(2024, 1, day, h, m), float(h + m), (h * 7 + m) % 40)
+        for h in hours
+        for m in (0, 15, 30)
+    ]
+
+
+@pytest.fixture()
+def hierarchy(spark, tmp_path):
+    from timescale_cdc_spark.cdc.caggs import (
+        cascade_refresh,
+        query_hierarchy,
+    )
+
+    hourly = ContinuousAggregate(
+        spark, str(tmp_path / "h"), "1 hour", "ts", ["k"],
+        _hourly_partial_aggs,
+    )
+    daily = ContinuousAggregate(
+        spark, str(tmp_path / "d"), "1 day", "bucket", ["k"],
+        _daily_merge_aggs,
+    )
+    return [hourly, daily], cascade_refresh, query_hierarchy
+
+
+def test_hierarchy_cascade_equals_direct(spark, hierarchy):
+    levels, cascade, qh = hierarchy
+    # data ends at 23:30 -> the hourly watermark reaches the day-3
+    # boundary, so BOTH days are complete and materialize at the top
+    src = spark.createDataFrame(
+        _hrows(1, [0, 1, 5]) + _hrows(2, [22, 23], key="b"), HSCHEMA
+    )
+    cascade(levels, src)
+    assert _readable(levels[1].materialized()) == _readable(
+        _daily_direct(src)
+    )
+    assert _readable(qh(levels, src)) == _readable(_daily_direct(src))
+
+
+def test_hierarchy_realtime_exact_at_any_lag(spark, hierarchy):
+    levels, cascade, qh = hierarchy
+    hourly, daily = levels
+    d1 = spark.createDataFrame(_hrows(1, [0, 2]), HSCHEMA)
+    # no refresh at all: pure on-the-fly through both levels
+    assert _readable(qh(levels, d1)) == _readable(_daily_direct(d1))
+    cascade(levels, d1)
+    # new post-watermark data, NOTHING refreshed yet
+    d2 = d1.unionByName(
+        spark.createDataFrame(_hrows(1, [6, 7]) + _hrows(2, [1], key="b"),
+                              HSCHEMA)
+    )
+    assert _readable(qh(levels, d2)) == _readable(_daily_direct(d2))
+    # refresh only the HOURLY level: daily tail reads hourly's view
+    hourly.refresh(d2, start_s=hourly.watermark_s())
+    assert _readable(qh(levels, d2)) == _readable(_daily_direct(d2))
+    # full cascade: day 1 is complete (hourly watermark is into day
+    # 2) and materializes; day 2 is IN PROGRESS — complete-bucket
+    # semantics keep it out of the materialized table and serve it
+    # from the real-time tail, still exact
+    cascade(levels, d2)
+    day2 = dt.datetime(2024, 1, 2)
+    assert _readable(daily.materialized()) == _readable(
+        _daily_direct(d2).where(F.col("bucket") < F.lit(day2))
+    )
+    assert _readable(qh(levels, d2)) == _readable(_daily_direct(d2))
+
+
+def test_hierarchy_backfill_recascades(spark, hierarchy):
+    levels, cascade, _ = hierarchy
+    d1 = spark.createDataFrame(_hrows(1, [0, 5]) + _hrows(3, [2]), HSCHEMA)
+    cascade(levels, d1)
+    # late rows land inside day 1 (below both watermarks)
+    d2 = d1.unionByName(
+        spark.createDataFrame(_hrows(1, [1], key="b"), HSCHEMA)
+    )
+    lo = int(dt.datetime(2024, 1, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    cascade(levels, d2, start_s=lo, end_s=lo + 3600)
+    # day 1 re-materialized with the backfill; day 3 is incomplete
+    # (hourly watermark sits inside it) so it stays tail-served
+    day3 = dt.datetime(2024, 1, 3)
+    assert _readable(levels[1].materialized()) == _readable(
+        _daily_direct(d2).where(F.col("bucket") < F.lit(day3))
+    )
+    from timescale_cdc_spark.cdc.caggs import query_hierarchy
+
+    assert _readable(query_hierarchy(levels, d2)) == _readable(
+        _daily_direct(d2)
+    )
+
+
+def test_hierarchy_validates_nesting(spark, tmp_path, hierarchy):
+    levels, cascade, _ = hierarchy
+    src = spark.createDataFrame(_hrows(1, [0]), HSCHEMA)
+    bad = ContinuousAggregate(
+        spark, str(tmp_path / "bad"), "90 minutes", "bucket", ["k"],
+        _daily_merge_aggs,
+    )
+    with pytest.raises(ValueError, match="nest"):
+        cascade([levels[0], bad], src)
+    bad_ts = ContinuousAggregate(
+        spark, str(tmp_path / "bad2"), "1 day", "ts", ["k"],
+        _daily_merge_aggs,
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        cascade([levels[0], bad_ts], src)

@@ -365,3 +365,104 @@ class ContinuousAggregate:
         return mat.drop("_eb").unionByName(
             self._aggregate(tail).drop("_eb")
         )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical continuous aggregates (Timescale 2.9 caggs-on-caggs)
+# ---------------------------------------------------------------------------
+
+
+def cascade_refresh(
+    levels: list[ContinuousAggregate],
+    source: DataFrame,
+    start_s: int | None = None,
+    end_s: int | None = None,
+) -> None:
+    """Refresh a hierarchy of continuous aggregates — each level
+    sourced from the one below it (Timescale 2.9 hierarchical caggs:
+    an hourly cagg over the facts, a daily cagg over the hourly one,
+    ...). ``levels[0]`` refreshes from ``source``; ``levels[i]``
+    refreshes from ``levels[i-1].materialized()``, with the window
+    widened to each level's bucket alignment so every recomputed
+    coarse bucket reads a complete span of fine buckets.
+
+    Each level's width must be an integer multiple of the previous
+    level's, and each upper level's ``ts_col`` must be the lower
+    level's ``bucket`` column. The upper levels' agg builders operate
+    on the lower level's PARTIAL columns (sums of counts, unions of
+    sketches — the rollup algebra from functions/hyper.py).
+
+    COMPLETE-bucket semantics (the Timescale rule): an upper-level
+    bucket is (re)materialized only once the lower level's watermark
+    covers its whole span — the refresh window is capped at the lower
+    watermark aligned DOWN to the upper width. An in-progress coarse
+    bucket therefore stays OUT of the upper watermark and is served
+    exactly by :func:`query_hierarchy`'s real-time tail; the naive
+    align-up alternative would stamp a partial bucket below the
+    watermark, hiding data that arrives later in the same bucket
+    until the next cascade.
+
+    Correctness relies on the inductive invariant that every level is
+    current over its whole materialized span — true when all writes
+    go through this cascade (a late backfill re-refreshes its window
+    at level 0, and the widened window at each upper level recomputes
+    from the then-current lower table). 100 TB shape: level 0 reads
+    O(window) facts; every other level reads O(widened window) PARTIAL
+    rows — |keys| × fine buckets — never facts.
+    """
+    if not levels:
+        return
+    base = levels[0]
+    if start_s is None or end_s is None:
+        lo, hi = (
+            source.select(base._eb().alias("_e"))
+            .agg(F.min("_e"), F.max("_e"))
+            .first()
+        )
+        if lo is None:
+            return
+        start_s = lo if start_s is None else start_s
+        end_s = (hi + base.secs) if end_s is None else end_s
+    lo_i, hi_i = int(start_s), int(end_s)
+    prev: ContinuousAggregate | None = None
+    for cagg in levels:
+        if prev is not None:
+            if cagg.secs % prev.secs != 0:
+                raise ValueError(
+                    f"hierarchy widths must nest: {cagg.width} is not a "
+                    f"multiple of {prev.width}"
+                )
+            if cagg.ts_col != "bucket":
+                raise ValueError(
+                    "upper hierarchy levels aggregate the lower level's "
+                    "'bucket' column"
+                )
+        lo_i = cagg._align(lo_i)
+        hi_i = cagg._align(hi_i, up=True)
+        if prev is not None:
+            cap = prev.watermark_s()
+            if cap is None:
+                break
+            hi_i = min(hi_i, cagg._align(cap))
+            if hi_i <= lo_i:
+                # the touched coarse buckets are all still incomplete
+                # at the lower level; this level (and everything
+                # above) keeps serving them from the real-time tail
+                break
+        src = source if prev is None else prev.materialized()
+        cagg.refresh(src, start_s=lo_i, end_s=hi_i)
+        prev = cagg
+
+
+def query_hierarchy(
+    levels: list[ContinuousAggregate], source: DataFrame
+) -> DataFrame:
+    """Real-time view through the whole hierarchy: each level's
+    ``query`` runs over the level below's real-time view, so the
+    result is exact at ANY combination of refresh lags — the top
+    level's post-watermark tail aggregates the lower level's
+    materialized-plus-tail rows on the fly."""
+    view = source
+    for cagg in levels:
+        view = cagg.query(view)
+    return view
