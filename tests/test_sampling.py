@@ -1,0 +1,198 @@
+"""Deterministic splitting/sampling (operators/sampling.py): every
+assignment re-derived independently in DuckDB and compared exactly,
+plus the reproducibility properties the module exists for —
+partitioning-invariance, salt sensitivity, disjoint+exhaustive
+splits — and the WindowGroupLimit plan shape for the reservoir.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.operators.sampling import (
+    HASH_SPACE,
+    det_hash,
+    det_hash_sql,
+    hash_split,
+    reservoir_per_group,
+    stratified_sample,
+)
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from timescale_cdc_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_hash_matches_duckdb_exactly(spark, sf_dir, docs):
+    import duckdb
+
+    got = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", det_hash(["doc_id"], "s1").alias("h")
+        ).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {det_hash_sql(['doc_id'], 's1')} AS h "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_split_disjoint_exhaustive_deterministic(docs):
+    out = hash_split(docs, ["doc_id"], SPLITS, salt="v1")
+    n = docs.count()
+    by = {r["split"]: r["c"] for r in
+          out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(by.values()) == n  # exhaustive, one split per row
+    # weights hold to sampling noise (binomial, ~3 sigma)
+    for name, w in SPLITS.items():
+        sigma = (n * w * (1 - w)) ** 0.5
+        assert abs(by.get(name, 0) - n * w) < 4 * sigma + 1, (name, by)
+    # identical on re-run AND after arbitrary repartitioning
+    again = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs.repartition(17), ["doc_id"], SPLITS, salt="v1"
+        ).collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_split_matches_duckdb(docs, sf_dir):
+    import duckdb
+
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, ["doc_id"], SPLITS, "v1").collect()
+    }
+    h = det_hash_sql(["doc_id"], "v1")
+    b1 = int(0.8 * HASH_SPACE)
+    b2 = int(0.9 * HASH_SPACE)
+    want = dict(
+        duckdb.sql(
+            f"""
+            SELECT doc_id,
+                   CASE WHEN {h} < {b1} THEN 'train'
+                        WHEN {h} < {b2} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM '{sf_dir}/documents.parquet'
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_salt_changes_assignment(docs):
+    a = {r["doc_id"]: r["split"]
+         for r in hash_split(docs, ["doc_id"], SPLITS, "v1").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs, ["doc_id"], SPLITS, "v2").collect()}
+    moved = sum(1 for d in a if a[d] != b[d])
+    # re-salting re-rolls every row independently; with 80/10/10 the
+    # expected stay-probability is 0.66 — just require real movement
+    assert moved > 0.1 * len(a)
+
+
+def test_stratified_sample_per_stratum_and_duckdb(docs, sf_dir):
+    import duckdb
+
+    fracs = {"en": 0.5, "de": 0.1}
+    out = stratified_sample(
+        docs, ["doc_id"], fracs, salt="s", strata_col="lang"
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    h = det_hash_sql(["doc_id"], "s")
+    want = sorted(
+        x[0]
+        for x in duckdb.sql(
+            f"""
+            SELECT doc_id FROM '{sf_dir}/documents.parquet'
+            WHERE (lang = 'en' AND {h} < {int(0.5 * HASH_SPACE)})
+               OR (lang = 'de' AND {h} < {int(0.1 * HASH_SPACE)})
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # absent strata dropped entirely
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    with pytest.raises(ValueError):
+        stratified_sample(docs, ["doc_id"], fracs, strata_col=None)
+
+
+def test_plain_sample_fraction(docs):
+    n = docs.count()
+    kept = stratified_sample(docs, ["doc_id"], 0.3, salt="x").count()
+    sigma = (n * 0.3 * 0.7) ** 0.5
+    assert abs(kept - 0.3 * n) < 4 * sigma + 1
+
+
+def test_reservoir_exact_k_and_duckdb(docs, sf_dir):
+    import duckdb
+
+    out = reservoir_per_group(docs, ["lang"], 5, ["doc_id"], salt="r")
+    sizes = {
+        r["lang"]: r["c"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    group_sizes = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    for lang, c in sizes.items():
+        assert c == min(5, group_sizes[lang]), lang
+    got = sorted(r["doc_id"] for r in out.collect())
+    h = det_hash_sql(["doc_id"], "r")
+    want = sorted(
+        x[0]
+        for x in duckdb.sql(
+            f"""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY {h}, doc_id
+                     ) AS rk
+              FROM '{sf_dir}/documents.parquet'
+            ) WHERE rk <= 5
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_reservoir_plan_window_group_limit(spark, docs):
+    plan = (
+        reservoir_per_group(docs, ["lang"], 5, ["doc_id"], salt="r")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_and_sample_plans_shuffle_free(docs):
+    for df in (
+        hash_split(docs, ["doc_id"], SPLITS, "v1"),
+        stratified_sample(docs, ["doc_id"], 0.3, salt="x"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_split_weight_validation(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, ["doc_id"], {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        hash_split(docs, ["doc_id"], {"a": 1.5, "b": -0.5})
