@@ -64,6 +64,25 @@ def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 _MERSENNE_31 = (1 << 31) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the docs to the session's default parallelism when
+    they arrive in fewer partitions. The sketch fronts (shingle
+    explode + per-shingle hashing + k partial-min/vote aggregates)
+    are the expensive MAP side of the pipeline and run at the INPUT's
+    partitioning — a small parquet (or a union of a few files) lands
+    in 1-2 partitions and serializes the whole sketch computation on
+    1-2 cores while the rest of the machine idles (measured 1.9× on
+    the registered c2 query at sf0.1). The repartition shuffles raw
+    text bytes once — strictly cheaper than leaving 90% of cores
+    idle. At scale the guard keeps it a no-op: a 100 TB corpus
+    already has orders of magnitude more partitions than cores, and
+    repartitioning it would shuffle the full corpus for nothing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -95,7 +114,7 @@ def minhash_signatures(
     # signatures.
     from timescale_cdc_spark.functions.ident import sql_ident
 
-    word_hashes = df.select(
+    word_hashes = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.expr(
             rf"transform(split({sql_ident(text_col)}, '\\s+'), w -> xxhash64(w))"
@@ -389,7 +408,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     hash per token → 64 conditional-sum aggregates → pack. Map-side
     partial sums make this a single cheap shuffle of 64 longs per doc.
     Returns (_id, _fp)."""
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
     ).select("_id", F.xxhash64("_tok").alias("_h"))
