@@ -210,3 +210,78 @@ def test_m4_then_lttb_composition(spark):
     thinned_vs = [v for _, v in thinned_pts]
     assert max(thinned_vs) == max(all_vs)
     assert min(thinned_vs) == min(all_vs)
+
+
+# ---------------------------------------------------------------------------
+# asap_smooth
+# ---------------------------------------------------------------------------
+
+
+def test_asap_params_reduces_roughness_preserves_kurtosis():
+    from timescale_cdc_spark.operators.downsample import asap_params
+
+    rng = np.random.default_rng(5)
+    x = np.arange(2000, dtype=float)
+    y = np.sin(2 * np.pi * x / 50) + 0.5 * rng.normal(size=2000)
+    w, rough, orig_kurt = asap_params(y)
+    assert w > 1
+    # the chosen window's SMA is smoother than the raw series
+    raw_rough = float(np.diff(y).std())
+    assert rough < 0.5 * raw_rough
+    # and its kurtosis did not drop below the original (ASAP's guard)
+    sm = np.convolve(y, np.full(w, 1.0 / w), mode="valid")
+    m = sm - sm.mean()
+    k = float((m ** 4).mean() / (m ** 2).mean() ** 2)
+    assert k >= orig_kurt - 1e-9
+    # deterministic
+    assert asap_params(y) == (w, rough, orig_kurt)
+
+
+def test_asap_params_degenerate_series():
+    from timescale_cdc_spark.operators.downsample import asap_params
+
+    assert asap_params(np.array([1.0, 2.0]))[0] == 1
+    w, rough, _ = asap_params(np.full(100, 3.25))
+    assert rough == 0.0
+
+
+def test_asap_smooth_spark_invariants(spark):
+    from timescale_cdc_spark.operators.downsample import asap_smooth
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(3000):
+            rows.append(
+                (
+                    k,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                    math.sin(2 * math.pi * i / 60) * 5
+                    + float(rng.normal()),
+                )
+            )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = asap_smooth(df, ["k"], "ts", "v", resolution=400)
+    per_key = {}
+    for r in out.collect():
+        per_key.setdefault(r["k"], []).append((r["ts"], r["v"]))
+    src = {}
+    for k, ts, v in rows:
+        src.setdefault(k, []).append(v)
+    for k in ("a", "b"):
+        pts = sorted(per_key[k])
+        vs = np.array([v for _, v in pts])
+        raw = np.array(src[k])
+        # pre-bucketed to <= 2*resolution, then SMA shrinks further
+        assert 10 < len(vs) <= 800
+        # smoother than raw
+        assert float(np.diff(vs).std()) < 0.5 * float(np.diff(raw).std())
+        # mean preserved (SMA + equal-count buckets are mean-ish)
+        assert abs(vs.mean() - raw.mean()) < 0.2
+    # deterministic across runs
+    again = sorted(
+        (r["k"], r["ts"], r["v"])
+        for r in asap_smooth(df, ["k"], "ts", "v", resolution=400).collect()
+    )
+    first = sorted((r["k"], r["ts"], r["v"]) for r in out.collect())
+    assert first == again

@@ -848,3 +848,46 @@ def test_uddsketch_whole_range_and_plan(spark, sf_dir):
         assert r["quantiles"][0] == pytest.approx(med_all, rel=0.25)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_saturating_math(spark):
+    """Toolkit saturating i32 arithmetic: clamps instead of wrapping
+    or raising, _pos variants floor at 0 — edge values exact."""
+    from timescale_cdc_spark.functions.saturating import (
+        I32_MAX,
+        I32_MIN,
+        saturating_add,
+        saturating_add_pos,
+        saturating_mul,
+        saturating_sub,
+        saturating_sub_pos,
+    )
+
+    rows = [
+        (I32_MAX, 1),
+        (I32_MIN, -1),
+        (100, 7),
+        (I32_MAX, I32_MAX),
+        (I32_MIN, I32_MIN),
+        (-5, 3),
+    ]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = df.select(
+        "a", "b",
+        saturating_add("a", "b").alias("add"),
+        saturating_sub("a", "b").alias("sub"),
+        saturating_mul("a", "b").alias("mul"),
+        saturating_add_pos("a", "b").alias("addp"),
+        saturating_sub_pos("a", "b").alias("subp"),
+    ).collect()
+
+    def clamp(v, lo=I32_MIN):
+        return max(lo, min(I32_MAX, v))
+
+    for r in got:
+        a, b = r["a"], r["b"]
+        assert r["add"] == clamp(a + b), (a, b)
+        assert r["sub"] == clamp(a - b), (a, b)
+        assert r["mul"] == clamp(a * b), (a, b)
+        assert r["addp"] == clamp(a + b, 0), (a, b)
+        assert r["subp"] == clamp(a - b, 0), (a, b)

@@ -153,3 +153,129 @@ def m4_downsample(
         F.col("_p._ts").alias(ts_col),
         F.col("_p._v").alias(value_col),
     )
+
+
+def asap_params(
+    y: np.ndarray, max_window: int | None = None
+) -> tuple[int, float, float]:
+    """Window search for one series (ASAP — Rong & Bailis, VLDB'17):
+    pick the moving-average window that MINIMIZES roughness (std of
+    the smoothed series' first differences) while PRESERVING kurtosis
+    (smoothed kurtosis >= original — the paper's guard against
+    smoothing away real spikes). Candidates are the autocorrelation
+    peak lags (periodicity-aligned windows smooth without phase
+    artifacts) plus a sqrt-spaced fallback grid. Returns (window,
+    roughness, original kurtosis). Pure numpy, deterministic."""
+    n = len(y)
+    if n < 4:
+        return 1, 0.0, 0.0
+
+    def _kurt(v: np.ndarray) -> float:
+        m = v.mean()
+        d = v - m
+        m2 = float((d * d).mean())
+        if m2 <= 1e-30:
+            return 0.0
+        return float((d ** 4).mean() / (m2 * m2))
+
+    def _rough(v: np.ndarray) -> float:
+        return float(np.diff(v).std()) if len(v) > 1 else 0.0
+
+    def _sma(v: np.ndarray, w: int) -> np.ndarray:
+        c = np.cumsum(np.concatenate(([0.0], v)))
+        return (c[w:] - c[:-w]) / w
+
+    max_w = max_window or max(2, n // 10)
+    # ACF via FFT over the mean-removed series
+    d = y - y.mean()
+    f = np.fft.rfft(d, 2 * n)
+    acf = np.fft.irfft(f * np.conj(f))[:n].real
+    if acf[0] > 0:
+        acf = acf / acf[0]
+    # interior local maxima of the ACF within [2, max_w]
+    cand = [
+        lag
+        for lag in range(2, min(max_w, n - 2))
+        if acf[lag] > acf[lag - 1] and acf[lag] >= acf[lag + 1]
+        and acf[lag] > 0.2
+    ]
+    # sqrt-spaced fallback grid so aperiodic series still search
+    grid = {max(2, int(round((i / 10.0) ** 2 * max_w))) for i in
+            range(1, 11)}
+    cands = sorted({c for c in [*cand, *grid, 2] if 2 <= c <= max_w})
+    orig_kurt = _kurt(y)
+    best_w, best_r = 1, _rough(y)
+    for w in cands:
+        sm = _sma(y, w)
+        if _kurt(sm) >= orig_kurt and _rough(sm) < best_r:
+            best_w, best_r = w, _rough(sm)
+    return best_w, best_r, orig_kurt
+
+
+def asap_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    resolution: int = 800,
+) -> DataFrame:
+    """Timescale toolkit ``asap_smooth(ts, value, resolution)`` per
+    series: automatically-chosen moving average for a smooth,
+    outlier-preserving dashboard rendering at ~``resolution`` points.
+
+    Per the paper's pixel-aware optimization, a series longer than
+    ``2 * resolution`` is first mean-aggregated into ``2 *
+    resolution`` equal-count buckets (vectorized), then the ASAP
+    window search runs on the reduced series and the chosen SMA is
+    emitted at window-center timestamps.
+
+    Same execution shape (and the same honest caveat) as
+    :func:`lttb`: sequential within a series → one Arrow batch per
+    series via applyInPandas, scaling with the number of series;
+    pre-thin with :func:`m4_downsample` first if one series exceeds
+    executor memory."""
+    fields = [df.schema[c] for c in key_cols] + [
+        df.schema[ts_col],
+        T.StructField(value_col, T.DoubleType()),
+    ]
+    out_schema = T.StructType(fields)
+    names = [c.name for c in fields]
+
+    def _one_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        x = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        m = 2 * resolution
+        if n > m:
+            # equal-count bucket means (vectorized bincount)
+            idx = (np.arange(n) * m) // n
+            cnt = np.bincount(idx, minlength=m)
+            y = np.bincount(idx, weights=y, minlength=m) / cnt
+            x = (np.bincount(idx, weights=x.astype(np.float64),
+                             minlength=m) / cnt).astype(np.int64)
+        w, _, _ = asap_params(y)
+        sm = (
+            y
+            if w <= 1
+            else np.convolve(y, np.full(w, 1.0 / w), mode="valid")
+        )
+        cx = x if w <= 1 else (
+            (np.cumsum(np.concatenate(([0.0], x.astype(np.float64))))[w:]
+             - np.cumsum(np.concatenate(([0.0], x.astype(np.float64))))[:-w]
+             ) / w
+        ).astype(np.int64)
+        out = pd.DataFrame({
+            ts_col: pd.to_datetime(cx, unit="us"),
+            value_col: sm,
+        })
+        for c in key_cols:
+            out[c] = pdf[c].iloc[0]
+        return out[names]
+
+    projected = df.select(
+        *key_cols, ts_col, F.col(value_col).cast("double").alias(value_col)
+    )
+    return projected.groupBy(*key_cols).applyInPandas(
+        _one_series, schema=out_schema
+    )
