@@ -20,6 +20,16 @@ from timescale_cdc_spark.operators.similarity import (
     embedding_dup_pairs,
     hyperplane_lsh_topk,
 )
+from timescale_cdc_spark.operators.downsample import (
+    asap_smooth,
+    lttb,
+    m4_downsample,
+)
+from timescale_cdc_spark.operators.sampling import (
+    hash_split,
+    reservoir_per_group,
+    stratified_sample,
+)
 from timescale_cdc_spark.operators.text import (
     fingerprint,
     language_scores,
@@ -28,17 +38,23 @@ from timescale_cdc_spark.operators.text import (
 )
 
 __all__ = [
+    "asap_smooth",
     "assign_packs",
     "assign_packs_exact",
     "brute_force_topk",
     "embedding_dup_pairs",
     "exact_dedup",
     "fingerprint",
+    "hash_split",
     "hyperplane_lsh_topk",
     "language_scores",
+    "lttb",
+    "m4_downsample",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "quality_score",
+    "reservoir_per_group",
     "simhash_pairs",
+    "stratified_sample",
     "token_stats",
 ]
