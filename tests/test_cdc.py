@@ -698,3 +698,84 @@ def test_distributed_id_assignment_dense(spark, log):
     assert log.append(env.limit(100), distributed_ids=True) == 100
     ids2 = [r.event_id for r in log.read().select("event_id").collect()]
     assert sorted(ids2) == list(range(1, 10101))
+
+
+def test_compress_partition_ratio_and_content(spark, log):
+    """compress_chunk analog: cold-chunk rewrite (segment/order sort +
+    zstd) must preserve content EXACTLY, report a real size reduction
+    on repetitive CDC payloads, and stay readable transparently."""
+    from timescale_cdc_spark.cdc.retention import compress_partition
+
+    s0 = _assets(spark, [])
+    # many small appends with repetitive payloads across several
+    # tables -> unsorted snappy files with poor encodability
+    for i in range(6):
+        s1 = _assets(
+            spark,
+            [(j, f"Pump Model {j % 3}", f"SN{j % 5:03d}", T0, T0)
+             for j in range(i * 20 + 1, i * 20 + 21)],
+        )
+        log.append(
+            cdc_transform(s0, s1, "id", "dataschema", f"t{i % 3}",
+                          F.lit(T0))
+        )
+    before_rows = sorted(map(tuple, log.read().collect()))
+    stats = compress_partition(log, T0.date())
+    assert stats["rows"] == len(before_rows)
+    assert 0 < stats["bytes_after"] < stats["bytes_before"], stats
+    # transparent reads, identical content
+    after_rows = sorted(map(tuple, log.read().collect()))
+    assert after_rows == before_rows
+    # the rewrite is idempotent and stays crash-recoverable via the
+    # same swap machinery (second run re-reports, content unchanged)
+    stats2 = compress_partition(log, T0.date())
+    assert stats2["rows"] == stats["rows"]
+    assert sorted(map(tuple, log.read().collect())) == before_rows
+
+
+def test_compress_partition_crash_recovery(spark, tmp_path):
+    """A half-swapped crash (live leaf renamed to ._compact_old, new
+    data not yet in place) heals inside compress_partition before the
+    rewrite — same recovery contract as compact_partition."""
+    import os
+    import shutil
+
+    from timescale_cdc_spark.cdc.retention import compress_partition
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    s0 = _assets(spark, [])
+    log.append(cdc_transform(s0, _assets(spark, SEED), "id",
+                             "dataschema", "assets", F.lit(T0)))
+    part = os.path.join(log.data_path, f"event_date={T0.date()}")
+    os.rename(part, part + "._compact_old")
+    assert not os.path.isdir(part)
+    stats = compress_partition(log, T0.date())
+    assert stats["rows"] == 3
+    assert log.read().count() == 3
+    assert not os.path.isdir(part + "._compact_old")
+
+
+def test_maintenance_compression_policy(spark, tmp_path):
+    """add_compression_policy analog: the runner compresses chunks
+    older than the threshold (idempotently) and reports per-chunk
+    byte stats; hot chunks are untouched."""
+    from timescale_cdc_spark.maintenance import run_maintenance
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    s0 = _assets(spark, [])
+    old_ts = T0 - dt.timedelta(days=3)
+    for name, ts in (("cold", old_ts), ("hot", T0)):
+        log.append(
+            cdc_transform(s0, _assets(spark, SEED), "id", "dataschema",
+                          name, F.lit(ts))
+        )
+    report = run_maintenance(
+        str(tmp_path / "log"),
+        retention_days=30,
+        now=T0.date(),
+        compress_after_days=2,
+    )
+    assert list(report["compressed_partitions"]) == [old_ts.date().isoformat()]
+    stats = report["compressed_partitions"][old_ts.date().isoformat()]
+    assert stats["rows"] == 3 and stats["bytes_after"] > 0
+    assert log.read().count() == 6

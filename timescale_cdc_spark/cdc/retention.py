@@ -74,27 +74,56 @@ def _recover_dir(part: str) -> bool:
     return restored
 
 
-def _compact_dir(log: EventLog, part: str, target_files: int) -> int:
-    """Rewrite one partition LEAF dir into ``target_files`` sorted
-    files with an atomic swap; recovers a half-swapped crash state
-    first. Returns rows compacted."""
+def _dir_bytes(part: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(part):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _rewrite_dir(
+    log: EventLog,
+    part: str,
+    target_files: int,
+    sort_cols: list[str],
+    codec: str | None,
+) -> tuple[int, int, int]:
+    """Rewrite one partition LEAF dir into ``target_files`` files
+    sorted by ``sort_cols`` (optionally re-encoded with ``codec``)
+    behind the atomic two-rename swap; recovers a half-swapped crash
+    state first. Returns (rows, bytes_before, bytes_after)."""
     _recover_dir(part)
     if not os.path.isdir(part):
-        return 0
+        return 0, 0, 0
     df = log.spark.read.parquet(part)
     n = df.count()
+    b0 = _dir_bytes(part)
     tmp = part + "._compact_tmp"
-    (
+    writer = (
         df.coalesce(target_files)
-        .sortWithinPartitions("schema_name", "table_name", "ts", "event_id")
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
-        .parquet(tmp)
     )
+    if codec:
+        writer = writer.option("compression", codec)
+    writer.parquet(tmp)
+    b1 = _dir_bytes(tmp)
     old = part + "._compact_old"
     os.rename(part, old)
     os.rename(tmp, part)
     shutil.rmtree(old)
-    return n
+    return n, b0, b1
+
+
+_LOG_SORT = ["schema_name", "table_name", "ts", "event_id"]
+
+
+def _compact_dir(log: EventLog, part: str, target_files: int) -> int:
+    """Rewrite one partition LEAF dir into ``target_files`` sorted
+    files with an atomic swap; recovers a half-swapped crash state
+    first. Returns rows compacted."""
+    return _rewrite_dir(log, part, target_files, _LOG_SORT, None)[0]
 
 
 def _leaf_dirs(date_dir: str) -> list[str]:
@@ -151,3 +180,44 @@ def compact_partition(log: EventLog, date: dt.date, target_files: int = 1) -> in
         return 0
     _recover_leaves(part)
     return sum(_compact_dir(log, leaf, target_files) for leaf in _leaf_dirs(part))
+
+
+def compress_partition(
+    log: EventLog,
+    date: dt.date,
+    segment_by: tuple[str, ...] = ("schema_name", "table_name"),
+    order_by: tuple[str, ...] = ("ts", "event_id"),
+    codec: str = "zstd",
+    target_files: int = 1,
+) -> dict:
+    """Timescale ``compress_chunk`` analog (the compression policy a
+    hypertable deployment pairs with the retention policy the
+    reference installs, init.sql:71): rewrite a COLD date chunk with
+    the two levers that drive columnar compression — row order and
+    codec. Sorting by (``segment_by``..., ``order_by``...) clusters
+    equal segment values and makes the order columns near-monotone,
+    which is exactly what parquet's dictionary/RLE and delta
+    encodings want (Timescale's segment_by/order_by semantics,
+    re-expressed as a sort because parquet encodes per column chunk);
+    ``zstd`` replaces the default snappy for the long-term copy.
+
+    Reads stay fully transparent — parquet files are self-describing,
+    so scans, partition pruning, and the hour-chunk layout are
+    unchanged (each leaf is rewritten under the same atomic two-rename
+    swap as `compact_partition`, crash-recoverable by
+    `recover_partition`). Returns {"rows", "bytes_before",
+    "bytes_after"} so a policy runner can log the ratio.
+    """
+    part = os.path.join(log.data_path, f"event_date={date.isoformat()}")
+    _recover_dir(part)
+    if not os.path.isdir(part):
+        return {"rows": 0, "bytes_before": 0, "bytes_after": 0}
+    _recover_leaves(part)
+    sort_cols = [*segment_by, *order_by]
+    rows = before = after = 0
+    for leaf in _leaf_dirs(part):
+        n, b0, b1 = _rewrite_dir(log, leaf, target_files, sort_cols, codec)
+        rows += n
+        before += b0
+        after += b1
+    return {"rows": rows, "bytes_before": before, "bytes_after": after}

@@ -40,6 +40,7 @@ def run_maintenance(
     ann_index_path: str | None = None,
     near_dedup_index_path: str | None = None,
     vec_dedup_index_path: str | None = None,
+    compress_after_days: int | None = None,
 ) -> dict:
     """Apply retention, then (optionally) compact every cold partition
     (older than ``keep_hot_days`` — hot partitions still receive
@@ -72,9 +73,23 @@ def run_maintenance(
         for d in _partition_dates(log):
             if d < hot_cutoff:
                 compacted[d.isoformat()] = compact_partition(log, d)
+    compressed: dict[str, dict] = {}
+    if compress_after_days is not None:
+        # Timescale add_compression_policy analog: chunks older than
+        # the threshold are rewritten segment/order-sorted with zstd
+        # (cdc/retention.py::compress_partition). Idempotent per run;
+        # cold chunks no longer receiving appends compress once and
+        # subsequent runs re-report a ~1.0 ratio.
+        from timescale_cdc_spark.cdc.retention import compress_partition
+
+        cutoff = today - dt.timedelta(days=compress_after_days)
+        for d in _partition_dates(log):
+            if d < cutoff:
+                compressed[d.isoformat()] = compress_partition(log, d)
     report = {
         "dropped_partitions": [d.isoformat() for d in dropped],
         "compacted_partitions": compacted,
+        "compressed_partitions": compressed,
     }
     if ann_index_path:
         from timescale_cdc_spark.operators.ann_index import IvfIndex
@@ -118,12 +133,14 @@ def main() -> None:
     p.add_argument("--ann-index", default=None)
     p.add_argument("--near-dedup-index", default=None)
     p.add_argument("--vec-dedup-index", default=None)
+    p.add_argument("--compress-after-days", type=int, default=None)
     args = p.parse_args()
     report = run_maintenance(
         args.log_path, args.retention_days, args.compact, args.keep_hot_days,
         ann_index_path=args.ann_index,
         near_dedup_index_path=args.near_dedup_index,
         vec_dedup_index_path=args.vec_dedup_index,
+        compress_after_days=args.compress_after_days,
     )
     print(json.dumps(report))
 
