@@ -401,3 +401,53 @@ def test_heartbeat_plans_no_python(spark, beats):
     # shuffle at all when fused in a single query.
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert rplan.count("Exchange hashpartitioning") == 1, rplan
+
+
+def test_state_at_point_in_time(states):
+    from timescale_cdc_spark.functions.state import state_at
+
+    tl = state_timeline(states, "t", ["k"], "st", "id")
+    got = {
+        r["k"]: r["state"]
+        for r in state_at(tl, _ts(2, 30), ["k"]).collect()
+    }
+    # key a: inside the long 'down' run; key b: 'up' since 2:00
+    assert got == {"a": "down", "b": "up"}
+    # before key b's first observation -> only key a has a state
+    early = {
+        r["k"]: r["state"]
+        for r in state_at(tl, _ts(1, 0), ["k"]).collect()
+    }
+    assert early == {"a": "down"}
+    # open tail run
+    late = {
+        r["k"]: r["state"]
+        for r in state_at(tl, _ts(23, 59), ["k"]).collect()
+    }
+    assert late == {"a": "up", "b": "up"}
+
+
+def test_live_at_point_in_time(beats):
+    from timescale_cdc_spark.functions.state import live_at
+
+    daily = heartbeat_rollup(
+        heartbeat_partials(beats, "t", ["k"], "10 minutes", "1 hour"),
+        ["k"],
+        "1 day",
+    )
+    # 0:10 -> inside [0:00,0:15) island; 0:17 -> gap; 1:02 -> inside
+    # the seam-spanning island's tail
+    for at, want in [
+        (_ts(0, 10), True),
+        (_ts(0, 17), False),
+        (_ts(1, 2), True),
+    ]:
+        got = {
+            r["k"]: r["live"]
+            for r in live_at(daily, at, ["k"]).collect()
+        }
+        assert got["a"] is want, at
+    # key b: dead everywhere except its one 2:00-2:10 lease
+    got = {r["k"]: r["live"]
+           for r in live_at(daily, _ts(2, 5), ["k"]).collect()}
+    assert got["b"] is True

@@ -23,7 +23,9 @@ from timescale_cdc_spark.functions.state import (
     duration_in,
     heartbeat_rollup,
     heartbeat_summary,
+    live_at,
     state_agg,
+    state_at,
     state_rollup,
     state_timeline,
 )
@@ -35,11 +37,13 @@ __all__ = [
     "freq_rollup",
     "heartbeat_rollup",
     "heartbeat_summary",
+    "live_at",
     "saturating_add",
     "saturating_mul",
     "saturating_sub",
     "sql_ident",
     "state_agg",
+    "state_at",
     "state_rollup",
     "state_timeline",
     "stats_agg",

@@ -569,3 +569,48 @@ def heartbeat_summary(
             F.col("live_us") / F.lit(float(width_us)), 6
         ).alias("uptime"),
     )
+
+
+def state_at(
+    timeline: DataFrame, at, key_cols: list[str]
+) -> DataFrame:
+    """Timescale ``state_at(agg, ts)``: the state each key was in at
+    instant ``at`` (a datetime or ISO string), read from a
+    :func:`state_timeline` frame — the run whose [start_ts, end_ts)
+    contains the instant (end null = still open). Keys whose first
+    observation is later than ``at`` produce no row (no state yet).
+    Pure filter over the timeline — no shuffle beyond the timeline's
+    own."""
+    ts = F.lit(at).cast("timestamp")
+    return timeline.where(
+        (F.col("start_ts") <= ts)
+        & (F.col("end_ts").isNull() | (F.col("end_ts") > ts))
+    ).select(*key_cols, F.col("state"), F.col("start_ts"))
+
+
+def live_at(summary: DataFrame, at, key_cols: list[str]) -> DataFrame:
+    """Timescale ``live_at(heartbeat_agg, ts)``: was each key's
+    liveness asserted at instant ``at``? Evaluated against the stored
+    ``ranges`` arrays of a :func:`heartbeat_summary` /
+    :func:`heartbeat_rollup` row set (one `exists` over the bounded
+    per-bucket range array — no re-read of the heartbeat stream).
+    Rows whose bucket does not contain the instant are filtered out;
+    keys with no bucket at that instant were trivially dead (emit no
+    row, same convention as :func:`state_at`)."""
+    at_us = F.unix_micros(F.lit(at).cast("timestamp"))
+    bucket_us = F.unix_micros(F.col("bucket"))
+    # bucket width is recoverable from live+dead when present; fall
+    # back to range containment only
+    in_bucket = bucket_us <= at_us
+    if "dead_us" in summary.columns:
+        in_bucket = in_bucket & (
+            at_us < bucket_us + F.col("live_us") + F.col("dead_us")
+        )
+    return summary.where(in_bucket).select(
+        *key_cols,
+        "bucket",
+        F.exists(
+            "ranges",
+            lambda r: (r["s"] <= at_us) & (at_us < r["e"]),
+        ).alias("live"),
+    )
