@@ -891,3 +891,36 @@ def test_saturating_math(spark):
         assert r["mul"] == clamp(a * b), (a, b)
         assert r["addp"] == clamp(a + b, 0), (a, b)
         assert r["subp"] == clamp(a - b, 0), (a, b)
+
+
+def test_uddsketch_rollup_rejects_mixed_configs(spark):
+    """Merging partials with different (lo, gamma, array-length)
+    configs must raise in-plan instead of silently null-padding a
+    zip_with over incompatible log grids (ADVICE r7)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from timescale_cdc_spark.functions.hyper import (
+        uddsketch_partials,
+        uddsketch_rollup,
+    )
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, h), "a", float(v))
+        for h, v in enumerate([1.0, 5.0, 9.0, 2.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, t timestamp, k string, v double"
+    )
+    fine_a = uddsketch_partials(df, "t", ["k"], "v", "1 hour", alpha=0.05)
+    fine_b = uddsketch_partials(df, "t", ["k"], "v", "1 hour", alpha=0.10)
+    mixed = fine_a.unionByName(fine_b)
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+        uddsketch_rollup(mixed, ["k"]).collect()
+    assert "mixed" in str(ei.value)
+    # same-config merge still works and stays bit-identical to direct
+    ok = uddsketch_rollup(fine_a.unionByName(fine_a), ["k"]).collect()
+    assert len(ok) == 1 and ok[0]["n"] == 8

@@ -196,3 +196,31 @@ def test_split_weight_validation(docs):
         hash_split(docs, ["doc_id"], {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         hash_split(docs, ["doc_id"], {"a": 1.5, "b": -0.5})
+
+
+def test_det_hash_null_columns_distinct(spark, sf_dir):
+    """Two rows differing only in WHICH identity column is NULL must
+    hash differently (concat_ws silently skips NULLs — the sentinel
+    coalesce restores the distinction), and the DuckDB re-derivation
+    must still match bit-for-bit (ADVICE r7)."""
+    import duckdb
+
+    from timescale_cdc_spark.operators.sampling import det_hash, det_hash_sql
+
+    df = spark.createDataFrame(
+        [("x", None), (None, "x"), (None, None), ("x", "x")],
+        "a string, b string",
+    )
+    got = [r["h"] for r in df.select(det_hash(["a", "b"]).alias("h")).collect()]
+    assert len(set(got)) == 4  # all four identities distinct
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            SELECT {det_hash_sql(['a', 'b'])} AS h
+            FROM (VALUES ('x', NULL), (NULL, 'x'), (NULL, NULL),
+                         ('x', 'x')) AS t(a, b)
+            """
+        ).fetchall()
+    ]
+    assert got == want

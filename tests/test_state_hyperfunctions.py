@@ -451,3 +451,46 @@ def test_live_at_point_in_time(beats):
     got = {r["k"]: r["live"]
            for r in live_at(daily, _ts(2, 5), ["k"]).collect()}
     assert got["b"] is True
+
+
+def test_state_timeline_duplicate_timestamp_tiebreak(spark):
+    """Duplicate timestamps: run segmentation must follow the (ts, id)
+    total order by contract, not whatever sort the plan reuses — two
+    same-instant observations straddling a state change still produce
+    deterministic runs (ADVICE r7)."""
+    rows = [
+        (1, _ts(0, 0), "a", "up"),
+        (2, _ts(0, 0), "a", "down"),   # same instant, higher id
+        (3, _ts(0, 5), "a", "down"),
+        (4, _ts(0, 5), "a", "up"),     # same instant, higher id
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, t timestamp, k string, st string"
+    )
+    tl = state_timeline(df, "t", ["k"], "st", "id").orderBy("start_ts")
+    got = [(r["state"], r["start_ts"], r["end_ts"]) for r in tl.collect()]
+    # (ts,id) order: up@0:00, down@0:00, down@0:05, up@0:05
+    # -> runs: up [0:00,0:00), down [0:00,0:05), up [0:05, open)
+    assert [g[0] for g in got] == ["up", "down", "up"]
+    assert got[0][1] == got[0][2] == _ts(0, 0)       # zero-length run
+    assert got[1] == ("down", _ts(0, 0), _ts(0, 5))
+    assert got[2] == ("up", _ts(0, 5), None)
+
+
+def test_live_at_explicit_width_on_partials(beats):
+    """heartbeat_partials rows carry no dead_us — live_at must demand
+    an explicit width rather than silently degrading the containing-
+    bucket filter to bucket <= at (ADVICE r7)."""
+    from timescale_cdc_spark.functions.state import live_at
+
+    partials = heartbeat_partials(beats, "t", ["k"], "10 minutes", "1 hour")
+    with pytest.raises(ValueError, match="width"):
+        live_at(partials, _ts(2, 5), ["k"])
+    got = live_at(partials, _ts(2, 5), ["k"], width="1 hour").collect()
+    # exactly ONE row, for the one key with a partial bucket containing
+    # 2:05 (key a's islands end at 1:05 -> no bucket -> trivially dead,
+    # no row) — NOT one row per historical bucket
+    assert sorted((r["k"], r["live"]) for r in got) == [("b", True)]
+    # and at 0:10 key a's hour-0 bucket contains the instant
+    got0 = live_at(partials, _ts(0, 10), ["k"], width="1 hour").collect()
+    assert sorted((r["k"], r["live"]) for r in got0) == [("a", True)]

@@ -837,7 +837,15 @@ def uddsketch_rollup(
     """Timescale ``rollup(percentile_agg)``: element-wise sum of
     stored UDDSketch count arrays to coarser buckets (or one sketch
     per key). Pure vector addition in a JVM fold — the merged sketch
-    is bit-identical to one built directly at the coarse width."""
+    is bit-identical to one built directly at the coarse width.
+
+    Partials merged into one group MUST share a sketch config (same
+    ``lo``/``gamma``/array length — the same requirement
+    :func:`hll_partial_columns` documents for ``lg_k``): mixed
+    configs would silently sum counts from incompatible log grids
+    (zip_with over different-length arrays null-pads) and read back
+    wrong quantiles. The merge carries an in-plan guard — any group
+    mixing configs raises at execution instead of merging silently."""
     parts: list = list(key_cols)
     df = partials
     if width is not None:
@@ -851,11 +859,37 @@ def uddsketch_rollup(
                 lambda _: F.lit(0).cast("long"),
             ),
             lambda acc, e: F.zip_with(acc, e, lambda a, b: a + b),
-        ).alias("counts"),
+        ).alias("_counts"),
         F.sum("n_nonpos").alias("n_nonpos"),
         F.sum("n").alias("n"),
         F.first("lo").alias("lo"),
         F.first("gamma").alias("gamma"),
+        # config guard inputs — cheap scalar min/max per group
+        F.min("lo").alias("_lo_mn"),
+        F.max("lo").alias("_lo_mx"),
+        F.min("gamma").alias("_g_mn"),
+        F.max("gamma").alias("_g_mx"),
+        F.min(F.size("counts")).alias("_sz_mn"),
+        F.max(F.size("counts")).alias("_sz_mx"),
+    )
+    config_ok = (
+        (F.col("_lo_mn") == F.col("_lo_mx"))
+        & (F.col("_g_mn") == F.col("_g_mx"))
+        & (F.col("_sz_mn") == F.col("_sz_mx"))
+    )
+    # guard is load-bearing (it produces the counts column), so
+    # Catalyst cannot prune it
+    merged = merged.withColumn(
+        "counts",
+        F.when(config_ok, F.col("_counts")).otherwise(
+            F.raise_error(
+                "uddsketch_rollup: partials in one group have mixed "
+                "sketch configs (lo/gamma/array length differ); merge "
+                "only same-config sketches"
+            )
+        ),
+    ).drop(
+        "_counts", "_lo_mn", "_lo_mx", "_g_mn", "_g_mx", "_sz_mn", "_sz_mx"
     )
     if width is not None:
         merged = merged.withColumn(

@@ -290,23 +290,33 @@ def state_timeline(
         *key_cols,
         "state",
         "_us",
+        "_id",
         F.coalesce(
             (F.lag("state").over(w) != F.col("state")).cast("long"),
             F.lit(1),
         ).alias("_is_start"),
     ).withColumn(
         "_run",
+        # (_us, _id) — the SAME total order the _is_start lag used.
+        # Ordering by _us alone would leave run segmentation under
+        # duplicate timestamps to whichever sort Catalyst happens to
+        # reuse (plan-dependent, not guaranteed).
         F.sum("_is_start").over(
             Window.partitionBy(*key_cols)
-            .orderBy("_us")
+            .orderBy("_us", "_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     runs = annotated.groupBy(*key_cols, "_run").agg(
-        F.min_by("state", "_us").alias("state"),
+        F.min_by("state", F.struct("_us", "_id")).alias("state"),
         F.min("_us").alias("_start_us"),
     )
-    wr = Window.partitionBy(*key_cols).orderBy("_start_us")
+    # _run ids are assigned along the (_us, _id) total order, so they
+    # are themselves a deterministic total order over runs — two runs
+    # CAN share a _start_us when duplicate timestamps straddle a state
+    # change, so ordering the lead by _start_us alone would be
+    # ambiguous there.
+    wr = Window.partitionBy(*key_cols).orderBy("_run")
     return runs.select(
         *key_cols,
         "state",
@@ -588,7 +598,12 @@ def state_at(
     ).select(*key_cols, F.col("state"), F.col("start_ts"))
 
 
-def live_at(summary: DataFrame, at, key_cols: list[str]) -> DataFrame:
+def live_at(
+    summary: DataFrame,
+    at,
+    key_cols: list[str],
+    width: str | None = None,
+) -> DataFrame:
     """Timescale ``live_at(heartbeat_agg, ts)``: was each key's
     liveness asserted at instant ``at``? Evaluated against the stored
     ``ranges`` arrays of a :func:`heartbeat_summary` /
@@ -596,15 +611,30 @@ def live_at(summary: DataFrame, at, key_cols: list[str]) -> DataFrame:
     per-bucket range array — no re-read of the heartbeat stream).
     Rows whose bucket does not contain the instant are filtered out;
     keys with no bucket at that instant were trivially dead (emit no
-    row, same convention as :func:`state_at`)."""
+    row, same convention as :func:`state_at`).
+
+    The containing-bucket filter needs the bucket width: pass
+    ``width`` explicitly, or rely on ``live_us + dead_us`` when the
+    input carries ``dead_us`` (summary/rollup rows do). Inputs with
+    NEITHER (e.g. raw ``heartbeat_partials``) are rejected — without a
+    width the filter would degrade to ``bucket <= at`` and emit one
+    row per historical bucket per key."""
     at_us = F.unix_micros(F.lit(at).cast("timestamp"))
     bucket_us = F.unix_micros(F.col("bucket"))
-    # bucket width is recoverable from live+dead when present; fall
-    # back to range containment only
     in_bucket = bucket_us <= at_us
-    if "dead_us" in summary.columns:
+    if width is not None:
+        in_bucket = in_bucket & (
+            at_us < bucket_us + F.lit(bucket_seconds(width) * 1_000_000)
+        )
+    elif "dead_us" in summary.columns:
         in_bucket = in_bucket & (
             at_us < bucket_us + F.col("live_us") + F.col("dead_us")
+        )
+    else:
+        raise ValueError(
+            "live_at needs the bucket width: pass width=... or use an "
+            "input that carries dead_us (heartbeat_summary/"
+            "heartbeat_rollup rows)"
         )
     return summary.where(in_bucket).select(
         *key_cols,

@@ -37,13 +37,23 @@ HASH_SPACE = 16 ** 15
 #: Unit separator — joins identity columns so ("ab","c") != ("a","bc").
 _SEP = "\x1f"
 
+#: NULL sentinel — concat_ws silently SKIPS nulls, so without it two
+#: rows differing only in WHICH identity column is NULL would build
+#: the same identity string and always land in the same split/sample.
+#: Record separator: never appears in normal text; a real value equal
+#: to it would collide (documented, not guarded).
+_NULL = "\x1e"
+
 
 def det_hash(on: list[str], salt: str = "") -> Column:
     """The portable 60-bit hash in [0, HASH_SPACE) as a LONG column:
     first 15 hex chars of sha256 over the identity columns (cast to
-    string, unit-separator-joined) plus the salt."""
+    string, NULLs replaced by a sentinel, unit-separator-joined) plus
+    the salt."""
     ident = F.concat_ws(
-        _SEP, *[F.col(c).cast("string") for c in on], F.lit(salt)
+        _SEP,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in on],
+        F.lit(salt),
     )
     return F.conv(F.substring(F.sha2(ident, 256), 1, 15), 16, 10).cast(
         "long"
@@ -53,7 +63,9 @@ def det_hash(on: list[str], salt: str = "") -> Column:
 def det_hash_sql(on: list[str], salt: str = "") -> str:
     """The SAME hash as ANSI/DuckDB SQL text (for oracles and for
     re-deriving assignments outside Spark)."""
-    cols = ", ".join([f"CAST({c} AS VARCHAR)" for c in on])
+    cols = ", ".join(
+        [f"coalesce(CAST({c} AS VARCHAR), chr(30))" for c in on]
+    )
     ident = f"concat_ws(chr(31), {cols}, '{salt}')"
     return f"CAST(('0x' || substr(sha256({ident}), 1, 15)) AS BIGINT)"
 
