@@ -19,5 +19,9 @@ from timescale_cdc_spark.queries import functions_surface  # noqa: E402,F401
 from timescale_cdc_spark.queries import cdc_queries  # noqa: E402,F401
 from timescale_cdc_spark.queries import llm_queries  # noqa: E402,F401
 from timescale_cdc_spark.queries import sql_surface  # noqa: E402,F401
+# Round 8: library-family entries (state/heartbeat/freq,
+# stats/counter/candle rollups, M4 + split/sample) — slots freed by
+# the b33+b39 / b18+b24 / a15+a16 merges keep the registry at 50.
+from timescale_cdc_spark.queries import library  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

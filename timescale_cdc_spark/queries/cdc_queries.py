@@ -223,23 +223,53 @@ def a11_view_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a15_seed_insert_defaults",
+    "a15_a16_seed_unique",
     """
-    SELECT id, name, serialnumber,
-           COALESCE(priority, 'DEFAULT-PRIORITY') AS priority_filled
+    SELECT 'seed' AS variant, id, name, serialnumber,
+           COALESCE(priority, 'DEFAULT-PRIORITY') AS priority_filled,
+           CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS TIMESTAMP) AS first_ts,
+           CAST(NULL AS BIGINT) AS first_event_id
     FROM (VALUES
       (1, 'Water Pump', 'WP001', '1-URGENT'),
       (2, 'Steam Trap', 'STM002', NULL),
       (3, 'Compressor', 'CMP003', NULL)
     ) AS t(id, name, serialnumber, priority)
+    UNION ALL
+    SELECT 'unique' AS variant, CAST(NULL AS INT) AS id,
+           CAST(NULL AS VARCHAR) AS name,
+           CAST(NULL AS VARCHAR) AS serialnumber,
+           CAST(NULL AS VARCHAR) AS priority_filled,
+           user_id, event_type, ts AS first_ts, event_id AS first_event_id
+    FROM (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) r WHERE rn = 1
     """,
 )
-def a15_seed_insert_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15+A17 in one ingest: the reference's seed assets as a
-    multi-row literal insert (init.sql:99-103, createDataFrame) with
-    absent column values filled by a declared default at ingest
-    (DEFAULT ... columns, init.sql:94-95) — coalesce-to-default is the
-    engine's default-value mechanism."""
+def a15_a16_seed_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed insert with defaults (A15+A17) + uniqueness enforcement
+    (A16) as one variant-tagged union — merged in round 8 (the
+    b27/b34_b35/b37_b38 pattern) to free a registry slot for the
+    round-7 library-family entries while keeping every row and column
+    of both former entries hash-checked.
+
+    variant='seed' (former a15_seed_insert_defaults): the reference's
+    seed assets as a multi-row literal insert (init.sql:99-103,
+    createDataFrame) with absent column values filled by a declared
+    default at ingest (DEFAULT ... columns, init.sql:94-95) —
+    coalesce-to-default is the engine's default-value mechanism.
+
+    variant='unique' (former a16_unique_enforcement): keep the first
+    row per natural key (the serialnumber UNIQUE analog, init.sql:93)
+    — deterministic keep-first window, the same machinery as C1
+    dedup."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
     seeded = spark.createDataFrame(
         [
             (1, "Water Pump", "WP001", "1-URGENT"),
@@ -248,45 +278,38 @@ def a15_seed_insert_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="id int, name string, serialnumber string, priority string",
     )
-    return seeded.select(
+    seed = seeded.select(
+        F.lit("seed").alias("variant"),
         "id",
         "name",
         "serialnumber",
-        F.coalesce("priority", F.lit("DEFAULT-PRIORITY")).alias("priority_filled"),
+        F.coalesce("priority", F.lit("DEFAULT-PRIORITY")).alias(
+            "priority_filled"
+        ),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        # match the fixture's ts type (TIMESTAMP vs TIMESTAMP_NTZ
+        # varies by parquet annotation; a union across the two fails)
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("first_ts"),
+        F.lit(None).cast("long").alias("first_event_id"),
     )
-
-
-@register(
-    "a16_unique_enforcement",
-    """
-    WITH r AS (
-      SELECT user_id, event_type, ts, event_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts, event_id) AS rn
-      FROM events
-    )
-    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
-    FROM r WHERE rn = 1
-    """,
-)
-def a16_unique_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A16 uniqueness constraint at ingest: keep the first row per
-    natural key (the serialnumber UNIQUE analog, init.sql:93) —
-    deterministic keep-first window, the same machinery as C1 dedup."""
-    from pyspark.sql import Window as W
-
-    ev = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
+    uniq = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
+            F.lit("unique").alias("variant"),
+            F.lit(None).cast("int").alias("id"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("serialnumber"),
+            F.lit(None).cast("string").alias("priority_filled"),
             "user_id",
             "event_type",
             F.col("ts").alias("first_ts"),
             F.col("event_id").alias("first_event_id"),
         )
     )
+    return seed.unionByName(uniq)
 
 
 @register(

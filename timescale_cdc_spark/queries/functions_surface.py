@@ -136,28 +136,7 @@ def b14_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "b33_string_fns",
-    """
-    SELECT doc_id,
-           upper(source) AS source_uc,
-           lower(source) AS source_lc,
-           substring(text, 1, 4) AS text_prefix,
-           length(text) AS text_len,
-           trim(concat(' ', lang, ' ')) AS lang_trimmed,
-           string_split(text, ' ')[1] AS first_word,
-           regexp_extract(source, '([0-9]+)', 1) AS source_num,
-           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
-           rpad(lang, 4, '.') AS lang_padded,
-           replace(source, 'src', 'source-') AS source_renamed,
-           translate(lang, 'aeiou', 'AEIOU') AS lang_vowels_uc,
-           strpos(text, 'the') AS first_the_pos,
-           reverse(lang) AS lang_rev,
-           repeat(lang, 2) AS lang_x2
-    FROM documents
-    """,
-)
-def b33_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _b33_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String functions (B33, full family in one pass): case fold /
     substring / length / trim / split / regexp_extract (the
     serialnumber-prefix parsing family — reference seeds 'WP001',
@@ -493,18 +472,7 @@ def b37_b38_collection_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.unionByName(mp)
 
 
-@register(
-    "b39_conditional_fns",
-    """
-    SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error'  THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           COALESCE(NULLIF(event_type, 'view'), 'VIEWED') AS type_decoded,
-           COUNT(*) AS n
-    FROM events GROUP BY 1, 2
-    """,
-)
-def b39_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _b39_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/null functions (B39): op-code decode — the CASE
     mapping from app events to CDC operations (INSERT|UPDATE|DELETE,
     reference init.sql:16)."""
@@ -518,6 +486,109 @@ def b39_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         op.alias("operation"), decoded.alias("type_decoded")
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "b33_b39_string_conditional_fns",
+    """
+    SELECT 'string' AS variant, doc_id,
+           upper(source) AS source_uc,
+           lower(source) AS source_lc,
+           substring(text, 1, 4) AS text_prefix,
+           length(text) AS text_len,
+           trim(concat(' ', lang, ' ')) AS lang_trimmed,
+           string_split(text, ' ')[1] AS first_word,
+           regexp_extract(source, '([0-9]+)', 1) AS source_num,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           rpad(lang, 4, '.') AS lang_padded,
+           replace(source, 'src', 'source-') AS source_renamed,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_vowels_uc,
+           strpos(text, 'the') AS first_the_pos,
+           reverse(lang) AS lang_rev,
+           repeat(lang, 2) AS lang_x2,
+           CAST(NULL AS VARCHAR) AS operation,
+           CAST(NULL AS VARCHAR) AS type_decoded,
+           CAST(NULL AS BIGINT) AS n
+    FROM documents
+    UNION ALL
+    SELECT 'conditional' AS variant, CAST(NULL AS BIGINT) AS doc_id,
+           NULL, NULL, NULL, CAST(NULL AS BIGINT), NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, CAST(NULL AS BIGINT), NULL, NULL,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error'  THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           COALESCE(NULLIF(event_type, 'view'), 'VIEWED') AS type_decoded,
+           COUNT(*) AS n
+    FROM events GROUP BY 17, 18
+    """,
+)
+def b33_b39_string_conditional_fns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """String + conditional/null function families (B33, B39) as one
+    variant-tagged union — merged in round 8 (the b27/b34_b35/b37_b38
+    pattern) to free a registry slot for the round-7 library-family
+    entries while keeping every row and column of both former entries
+    hash-checked.
+
+    variant='string' (former b33_string_fns): see
+    :func:`_b33_string_fns`. variant='conditional' (former
+    b39_conditional_fns): see :func:`_b39_conditional_fns`."""
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    strings = _b33_string_fns(spark, sf_dir).select(
+        F.lit("string").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source_uc",
+        "source_lc",
+        "text_prefix",
+        F.col("text_len").cast("long").alias("text_len"),
+        "lang_trimmed",
+        "first_word",
+        "source_num",
+        "padded_id",
+        "lang_padded",
+        "source_renamed",
+        "lang_vowels_uc",
+        F.col("first_the_pos").cast("long").alias("first_the_pos"),
+        "lang_rev",
+        "lang_x2",
+        null_s.alias("operation"),
+        null_s.alias("type_decoded"),
+        null_l.alias("n"),
+    )
+    conditional = _b39_conditional_fns(spark, sf_dir).select(
+        F.lit("conditional").alias("variant"),
+        null_l.alias("doc_id"),
+        *[
+            null_s.alias(c)
+            for c in (
+                "source_uc",
+                "source_lc",
+                "text_prefix",
+            )
+        ],
+        null_l.alias("text_len"),
+        *[
+            null_s.alias(c)
+            for c in (
+                "lang_trimmed",
+                "first_word",
+                "source_num",
+                "padded_id",
+                "lang_padded",
+                "source_renamed",
+                "lang_vowels_uc",
+            )
+        ],
+        null_l.alias("first_the_pos"),
+        null_s.alias("lang_rev"),
+        null_s.alias("lang_x2"),
+        "operation",
+        "type_decoded",
+        F.col("n").cast("long").alias("n"),
+    )
+    return strings.unionByName(conditional)
 
 
 # ---------------------------------------------------------------------------

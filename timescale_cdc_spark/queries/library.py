@@ -1,0 +1,629 @@
+"""Driver-hash-checked entries for the round-7 library families —
+the Timescale toolkit rollups (stats / candlestick / counter, state /
+heartbeat, freq), M4 downsampling, and the deterministic split/sample
+machinery. Each family already carries DuckDB-parity pytest coverage;
+these entries put the SAME equivalences in front of the driver's
+correctness gate (CORRECTNESS_r{N}.json) so a regression in any of
+them is driver-visible, not just pytest-visible (VERDICT r7 next #1).
+
+Every entry is the judge-suggested method-tagged union (the
+c3_ann_lsh_ivf / b27 / b37_b38 pattern): long-format rows
+``(family, key, bucket, metric/item, value)`` so several families
+share one registry slot, with per-family rows all hash-checked.
+
+Determinism notes (driver hash is exact — see queries/base.py):
+
+* state/heartbeat/freq metrics are INTEGER microseconds/counts end to
+  end — the Spark side is the fine→coarse ROLLUP path, the oracle is
+  the direct-at-coarse computation, so the hash match re-proves
+  rollup == direct cross-engine, bit-exact.
+* stats metrics are IEEE doubles whose merge order legitimately
+  differs between the Chan-merge rollup and DuckDB's one-pass
+  aggregates, so both sides round per-metric before hashing. Each
+  grid is sized from MEASURED drift (~5-7 orders of margin at
+  sf0.01), and every round carries a tiny nudge (grid/1e5, still
+  ~100-400x the drift): 2-dp fixture values make small-n variances
+  land EXACTLY on round-half boundaries (var of two 2-dp values is a
+  multiple of 5e-5), where sub-1e-13 drift would otherwise flip the
+  rounding — the nudge moves the effective boundary off the data's
+  rational lattice so both engines round the same way. ``+ 0.0``
+  normalizes any ``-0.0`` produced by rounding a tiny negative.
+* candlestick / M4 / split / sample emit only RAW fixture values and
+  exact counts — no rounding needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.queries.base import register, t
+
+# ---------------------------------------------------------------------------
+# state_agg + heartbeat_agg + freq_agg rollups (integer-exact)
+# ---------------------------------------------------------------------------
+
+_STATE_HB_FREQ_ORACLE = """
+WITH st_b AS (
+  SELECT user_id, event_type,
+         floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         coalesce(
+           lead(epoch_us(ts)) OVER w,
+           (floor(epoch(ts) / 86400)::BIGINT * 86400 + 86400) * 1000000
+         ) - epoch_us(ts) AS held_us,
+         CASE WHEN lag(event_type) OVER w IS NOT NULL
+               AND lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_trans
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, floor(epoch(ts) / 86400)
+               ORDER BY ts, event_id)
+),
+state_rows AS (
+  SELECT 'state' AS family, user_id,
+         make_timestamp(day_s * 1000000) AS bucket,
+         event_type AS item, sum(held_us)::BIGINT AS value
+  FROM st_b GROUP BY 2, 3, 4
+  UNION ALL
+  SELECT 'state', user_id, make_timestamp(day_s * 1000000),
+         '__transitions', sum(is_trans)::BIGINT
+  FROM st_b GROUP BY 2, 3
+  UNION ALL
+  SELECT 'state', user_id, make_timestamp(day_s * 1000000),
+         '__n', count(*)::BIGINT
+  FROM st_b GROUP BY 2, 3
+),
+hb AS (
+  SELECT user_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + 600000000 AS e_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN s_us > coalesce(max(e_us) OVER (
+             PARTITION BY user_id ORDER BY s_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), -1) THEN 1 ELSE 0 END AS new_island
+  FROM hb
+),
+islands AS (
+  SELECT user_id, island, min(s_us) AS start_us, max(e_us) AS end_us,
+         count(*) AS n_hb
+  FROM (
+    SELECT user_id, s_us, e_us,
+           sum(new_island) OVER (
+             PARTITION BY user_id ORDER BY s_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM marked
+  ) GROUP BY 1, 2
+),
+clipped AS (
+  SELECT user_id, g.g AS b_us,
+         greatest(start_us, g.g) AS cs,
+         least(end_us, g.g + 86400000000) AS ce,
+         CASE WHEN start_us >= g.g THEN n_hb ELSE 0 END AS nh
+  FROM islands,
+       UNNEST(generate_series(
+         floor(start_us / 86400000000.0)::BIGINT * 86400000000,
+         floor((end_us - 1) / 86400000000.0)::BIGINT * 86400000000,
+         86400000000)) AS g(g)
+),
+hb_day AS (
+  SELECT user_id, b_us,
+         sum(ce - cs)::BIGINT AS live_us,
+         count(*)::BIGINT AS n_ranges,
+         sum(nh)::BIGINT AS n_heartbeats
+  FROM clipped GROUP BY 1, 2
+),
+hb_rows AS (
+  SELECT 'heartbeat' AS family, user_id,
+         make_timestamp(b_us) AS bucket, 'live_us' AS item, live_us AS value
+  FROM hb_day
+  UNION ALL
+  SELECT 'heartbeat', user_id, make_timestamp(b_us), 'dead_us',
+         86400000000 - live_us
+  FROM hb_day
+  UNION ALL
+  SELECT 'heartbeat', user_id, make_timestamp(b_us), '__n_ranges', n_ranges
+  FROM hb_day
+  UNION ALL
+  SELECT 'heartbeat', user_id, make_timestamp(b_us), '__n_heartbeats',
+         n_heartbeats
+  FROM hb_day
+),
+freq_day AS (
+  SELECT user_id,
+         floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2, 3
+),
+freq_rows AS (
+  SELECT 'freq' AS family, user_id,
+         make_timestamp(day_s * 1000000) AS bucket,
+         event_type AS item, c AS value
+  FROM freq_day
+  UNION ALL
+  SELECT 'freq', user_id, make_timestamp(day_s * 1000000), '__err',
+         0::BIGINT
+  FROM freq_day GROUP BY 2, 3
+  UNION ALL
+  SELECT 'freq', user_id, make_timestamp(day_s * 1000000), '__n',
+         sum(c)::BIGINT
+  FROM freq_day GROUP BY 2, 3
+)
+SELECT * FROM state_rows
+UNION ALL SELECT * FROM hb_rows
+UNION ALL SELECT * FROM freq_rows
+"""
+
+
+@register("lib_state_heartbeat_freq", _STATE_HB_FREQ_ORACLE)
+def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """state_agg / heartbeat_agg / freq_agg families (functions/
+    state.py, functions/freq.py) through their ROLLUP paths: hourly
+    partials rolled up to daily, melted to long-format integer rows.
+    The oracle computes each family DIRECTLY at the daily width in
+    DuckDB, so a hash match is a cross-engine proof that
+    rollup(fine) == direct(coarse) — the merge seam/tail logic, the
+    island re-merge, and the Misra-Gries map sums (exact regime:
+    ≤5 distinct event types « max_size=16, so err == 0 and counts
+    are exact).
+
+    100 TB shape: each family is one fact shuffle for the hourly
+    partials (annotate windows ride the groupBy exchange) plus one
+    partial-sized shuffle for the rollup — the cagg two-step story.
+    """
+    from timescale_cdc_spark.functions.freq import freq_partials, freq_rollup
+    from timescale_cdc_spark.functions.state import (
+        heartbeat_partials,
+        heartbeat_rollup,
+        state_partials,
+        state_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    key = ["user_id"]
+
+    sr = state_rollup(
+        state_partials(ev, "ts", key, "event_type", "event_id", "1 hour"),
+        key,
+        "1 day",
+    )
+    state_items = sr.select(
+        F.lit("state").alias("family"),
+        "user_id",
+        "bucket",
+        F.explode("durs").alias("item", "value"),
+    )
+    state_meta = sr.select(
+        F.lit("state").alias("family"),
+        "user_id",
+        "bucket",
+        F.expr(
+            "stack(2, '__transitions', CAST(n_transitions AS BIGINT), "
+            "'__n', CAST(n AS BIGINT)) AS (item, value)"
+        ),
+    )
+
+    hr = heartbeat_rollup(
+        heartbeat_partials(ev, "ts", key, "10 minutes", "1 hour"),
+        key,
+        "1 day",
+    )
+    hb_rows = hr.select(
+        F.lit("heartbeat").alias("family"),
+        "user_id",
+        "bucket",
+        F.expr(
+            "stack(4, 'live_us', CAST(live_us AS BIGINT), "
+            "'dead_us', CAST(dead_us AS BIGINT), "
+            "'__n_ranges', CAST(n_ranges AS BIGINT), "
+            "'__n_heartbeats', CAST(n_heartbeats AS BIGINT)) "
+            "AS (item, value)"
+        ),
+    )
+
+    fr = freq_rollup(
+        freq_partials(ev, "ts", key, "event_type", "1 hour", max_size=16),
+        key,
+        "1 day",
+        max_size=16,
+    )
+    freq_items = fr.select(
+        F.lit("freq").alias("family"),
+        "user_id",
+        "bucket",
+        F.explode("mg").alias("item", "value"),
+    )
+    freq_meta = fr.select(
+        F.lit("freq").alias("family"),
+        "user_id",
+        "bucket",
+        F.expr(
+            "stack(2, '__err', CAST(err AS BIGINT), "
+            "'__n', CAST(n AS BIGINT)) AS (item, value)"
+        ),
+    )
+
+    return (
+        state_items.unionByName(state_meta)
+        .unionByName(hb_rows)
+        .unionByName(freq_items)
+        .unionByName(freq_meta)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_agg + counter_agg + candlestick_agg rollups
+# ---------------------------------------------------------------------------
+
+_STATS_COUNTER_CANDLE_ORACLE = """
+WITH stats_day AS (
+  SELECT event_type,
+         floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         count(value) AS n,
+         avg(value) AS avg_y,
+         stddev_samp(value) AS stddev_y,
+         var_samp(value) AS var_y,
+         covar_samp(epoch(ts) - floor(epoch(ts) / 86400) * 86400,
+                    value) AS covar_xy,
+         corr(epoch(ts) - floor(epoch(ts) / 86400) * 86400,
+              value) AS corr_xy,
+         regr_slope(value,
+                    epoch(ts) - floor(epoch(ts) / 86400) * 86400) AS slope,
+         regr_intercept(value,
+                    epoch(ts) - floor(epoch(ts) / 86400) * 86400) AS intercept,
+         regr_r2(value,
+                 epoch(ts) - floor(epoch(ts) / 86400) * 86400) AS r2
+  FROM events GROUP BY 1, 2
+),
+stats_rows AS (
+  SELECT 'stats' AS family, event_type,
+         make_timestamp(day_s * 1000000) AS bucket, m.metric,
+         m.value + 0.0 AS value
+  FROM stats_day,
+       LATERAL (VALUES
+         ('n', n::DOUBLE),
+         ('avg_y', round(avg_y + 1e-11, 6)),
+         ('stddev_y', round(stddev_y + 1e-11, 6)),
+         ('var_y', round(var_y + 1e-9, 4)),
+         ('covar_xy', round(covar_xy + 1e-7, 2)),
+         ('corr_xy', round(corr_xy + 1e-11, 6)),
+         ('slope', round(slope + 1e-15, 10)),
+         ('intercept', round(intercept + 1e-11, 6)),
+         ('r2', round(r2 + 1e-11, 6))
+       ) AS m(metric, value)
+),
+ctr AS (
+  SELECT event_type,
+         floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         value,
+         lag(value) OVER (PARTITION BY event_type, floor(epoch(ts) / 86400)
+                          ORDER BY ts, event_id) AS prev
+  FROM events
+),
+ctr_day AS (
+  SELECT event_type, day_s,
+         sum(CASE WHEN prev IS NULL THEN 0
+                  WHEN value >= prev THEN value - prev
+                  ELSE value END) AS delta,
+         sum(CASE WHEN value < prev THEN 1 ELSE 0 END)::BIGINT AS n_resets,
+         count(*)::BIGINT AS n_obs
+  FROM ctr GROUP BY 1, 2
+),
+ctr_rows AS (
+  SELECT 'counter' AS family, event_type,
+         make_timestamp(day_s * 1000000) AS bucket, m.metric,
+         m.value + 0.0 AS value
+  FROM ctr_day,
+       LATERAL (VALUES
+         ('delta', round(delta + 1e-9, 4)),
+         ('n_resets', n_resets::DOUBLE),
+         ('n_obs', n_obs::DOUBLE)
+       ) AS m(metric, value)
+),
+candle_day AS (
+  SELECT event_type,
+         floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         arg_min(value, ts) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         arg_max(value, ts) AS close,
+         epoch_us(min(ts)) AS open_us,
+         epoch_us(max(ts)) AS close_us,
+         count(*)::BIGINT AS volume
+  FROM events GROUP BY 1, 2
+),
+candle_rows AS (
+  SELECT 'candle' AS family, event_type,
+         make_timestamp(day_s * 1000000) AS bucket, m.metric,
+         m.value + 0.0 AS value
+  FROM candle_day,
+       LATERAL (VALUES
+         ('open', open),
+         ('high', high),
+         ('low', low),
+         ('close', close),
+         ('open_us', open_us::DOUBLE),
+         ('close_us', close_us::DOUBLE),
+         ('volume', volume::DOUBLE)
+       ) AS m(metric, value)
+)
+SELECT * FROM stats_rows
+UNION ALL SELECT * FROM ctr_rows
+UNION ALL SELECT * FROM candle_rows
+"""
+
+
+@register("lib_stats_counter_candle", _STATS_COUNTER_CANDLE_ORACLE)
+def lib_stats_counter_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_agg / counter_agg / candlestick_agg families
+    (functions/hyper.py) through their ROLLUP paths: hourly partials
+    rolled up to daily (Chan pairwise moment merge, boundary-aware
+    counter fold, min_by/max_by candle merge), melted to long-format
+    metric rows. The oracle computes each family DIRECTLY at the daily
+    width in DuckDB with its native aggregates (stddev_samp /
+    covar_samp / corr / regr_*), so a hash match is a cross-engine
+    rollup == direct proof.
+
+    Candle metrics are raw fixture values and exact counts —
+    unrounded. Stats/counter metrics round per-metric (see module
+    docstring): the two sides sum IEEE moments in different orders,
+    so each metric's rounding grid sits ≥4 orders of magnitude above
+    the worst cross-engine drift while keeping 6+ significant digits
+    of regression-detecting signal.
+    """
+    from timescale_cdc_spark.functions.hyper import (
+        candlestick_agg,
+        candlestick_rollup,
+        counter_partials,
+        counter_rollup,
+        stats_agg_partials,
+        stats_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    key = ["event_type"]
+
+    # regression x = seconds since the DAY start, not absolute epoch:
+    # translation leaves slope/corr/covar/r2 invariant but keeps every
+    # moment (and the intercept) at the scale of one day, so the
+    # cross-engine drift stays ~1e-12 absolute and the rounding grids
+    # below have >=5 orders of margin (measured at sf0.01; absolute-
+    # epoch x inflates the intercept to ~1e5 and its drift to the
+    # rounding boundary). Timescale's toolkit recommends the same
+    # re-origin for numeric stability of trend regressions.
+    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    ev_x = ev.withColumn(
+        "_xr", epoch_s - F.floor(epoch_s / 86400) * 86400
+    )
+    sr = stats_rollup(
+        stats_agg_partials(ev_x, "ts", key, "value", "1 hour", x_col="_xr"),
+        key,
+        width="1 day",
+    )
+    stats_rows = sr.select(
+        F.lit("stats").alias("family"),
+        "event_type",
+        "bucket",
+        F.expr(
+            "stack(9, "
+            "'n', CAST(n AS DOUBLE), "
+            "'avg_y', round(avg_y + 1e-11, 6), "
+            "'stddev_y', round(stddev_y + 1e-11, 6), "
+            "'var_y', round(var_y + 1e-9, 4), "
+            "'covar_xy', round(covar_xy + 1e-7, 2), "
+            "'corr_xy', round(corr_xy + 1e-11, 6), "
+            "'slope', round(slope + 1e-15, 10), "
+            "'intercept', round(intercept + 1e-11, 6), "
+            "'r2', round(r2 + 1e-11, 6)) AS (metric, value)"
+        ),
+    ).withColumn("value", F.col("value") + F.lit(0.0))
+
+    cr = counter_rollup(
+        counter_partials(ev, "ts", key, "value", "event_id", "1 hour"),
+        key,
+        width="1 day",
+    )
+    ctr_rows = cr.select(
+        F.lit("counter").alias("family"),
+        "event_type",
+        "bucket",
+        F.expr(
+            "stack(3, "
+            "'delta', round(delta + 1e-9, 4), "
+            "'n_resets', CAST(n_resets AS DOUBLE), "
+            "'n_obs', CAST(n_obs AS DOUBLE)) AS (metric, value)"
+        ),
+    ).withColumn("value", F.col("value") + F.lit(0.0))
+
+    kr = candlestick_rollup(
+        candlestick_agg(ev, "ts", key, "value", "event_id", "1 hour"),
+        key,
+        width="1 day",
+    )
+    candle_rows = kr.select(
+        F.lit("candle").alias("family"),
+        "event_type",
+        "bucket",
+        F.expr(
+            "stack(7, "
+            "'open', open, "
+            "'high', high, "
+            "'low', low, "
+            "'close', close, "
+            "'open_us', CAST(unix_micros(CAST(open_time AS TIMESTAMP)) AS DOUBLE), "
+            "'close_us', CAST(unix_micros(CAST(close_time AS TIMESTAMP)) AS DOUBLE), "
+            "'volume', CAST(volume AS DOUBLE)) AS (metric, value)"
+        ),
+    ).withColumn("value", F.col("value") + F.lit(0.0))
+
+    return stats_rows.unionByName(ctr_rows).unionByName(candle_rows)
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling + deterministic split/sample
+# ---------------------------------------------------------------------------
+
+_SPLITS = {"train": 0.90, "val": 0.05, "test": 0.05}
+_SPLIT_SALT = "r8"
+_SAMPLE_FRACTION = 0.2
+_SAMPLE_SALT = "s8"
+_RESERVOIR_K = 5
+_RESERVOIR_SALT = "rv8"
+
+
+def _m4_split_oracle() -> str:
+    from timescale_cdc_spark.operators.sampling import (
+        HASH_SPACE,
+        det_hash_sql,
+    )
+
+    split_hash = det_hash_sql(["doc_id"], _SPLIT_SALT)
+    sample_hash = det_hash_sql(["doc_id"], _SAMPLE_SALT)
+    res_hash = det_hash_sql(["doc_id"], _RESERVOIR_SALT)
+    train_hi = int(_SPLITS["train"] * HASH_SPACE)
+    val_hi = int((_SPLITS["train"] + _SPLITS["val"]) * HASH_SPACE)
+    sample_hi = int(_SAMPLE_FRACTION * HASH_SPACE)
+    return f"""
+WITH ranked AS (
+  SELECT event_type,
+         floor(epoch(ts) / 3600)::BIGINT * 3600 AS hour_s,
+         ts, value,
+         row_number() OVER w_f AS rf,
+         row_number() OVER w_l AS rl,
+         row_number() OVER w_mn AS rmn,
+         row_number() OVER w_mx AS rmx
+  FROM events
+  WINDOW
+    w_f AS (PARTITION BY event_type, floor(epoch(ts) / 3600)
+            ORDER BY ts, value),
+    w_l AS (PARTITION BY event_type, floor(epoch(ts) / 3600)
+            ORDER BY ts DESC, value DESC),
+    w_mn AS (PARTITION BY event_type, floor(epoch(ts) / 3600)
+             ORDER BY value, ts),
+    w_mx AS (PARTITION BY event_type, floor(epoch(ts) / 3600)
+             ORDER BY value DESC, ts DESC)
+),
+m4_rows AS (
+  SELECT DISTINCT 'm4' AS family, event_type AS key,
+         make_timestamp(hour_s * 1000000) AS bucket, ts, value,
+         CAST(NULL AS VARCHAR) AS item
+  FROM ranked WHERE 1 IN (rf, rl, rmn, rmx)
+),
+split_rows AS (
+  SELECT 'split' AS family, CAST(doc_id AS VARCHAR) AS key,
+         CAST(NULL AS TIMESTAMP) AS bucket,
+         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS DOUBLE) AS value,
+         CASE WHEN {split_hash} < {train_hi} THEN 'train'
+              WHEN {split_hash} < {val_hi} THEN 'val'
+              ELSE 'test' END AS item
+  FROM documents
+),
+sample_rows AS (
+  SELECT 'sample' AS family, CAST(doc_id AS VARCHAR) AS key,
+         CAST(NULL AS TIMESTAMP) AS bucket,
+         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS DOUBLE) AS value,
+         'kept' AS item
+  FROM documents WHERE {sample_hash} < {sample_hi}
+),
+res_rows AS (
+  SELECT 'reservoir' AS family, CAST(doc_id AS VARCHAR) AS key,
+         CAST(NULL AS TIMESTAMP) AS bucket,
+         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS DOUBLE) AS value,
+         lang AS item
+  FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY {res_hash}, doc_id) AS rk
+    FROM documents
+  ) WHERE rk <= {_RESERVOIR_K}
+)
+SELECT * FROM m4_rows
+UNION ALL SELECT * FROM split_rows
+UNION ALL SELECT * FROM sample_rows
+UNION ALL SELECT * FROM res_rows
+"""
+
+
+@register("lib_m4_split_sample", _m4_split_oracle())
+def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (operators/downsample.py) + the deterministic
+    split/sample family (operators/sampling.py) as one long-format
+    union, all raw values — exact cross-engine.
+
+    family='m4': hourly pixel-exact kept points per event_type (the
+    rows achieving first/last/min/max with deterministic tie-breaks);
+    the oracle re-derives the same kept set with ranked windows.
+
+    family='split'/'sample'/'reservoir': hash_split / stratified
+    Bernoulli sample / per-group reservoir over documents — the
+    oracle RE-DERIVES every assignment from sha256 in DuckDB
+    (operators/sampling.py's cross-engine contract), so the hash
+    match proves the splits are reproducible outside Spark —
+    the audit-trail property randomSplit cannot give.
+
+    100 TB shape: M4 is one fact shuffle (min_by/max_by hash agg);
+    split/sample are zero-shuffle map-side projections; reservoir
+    plans as WindowGroupLimit (top-k per partition before the
+    exchange)."""
+    from timescale_cdc_spark.operators.downsample import m4_downsample
+    from timescale_cdc_spark.operators.sampling import (
+        hash_split,
+        reservoir_per_group,
+        stratified_sample,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    docs = t(spark, sf_dir, "documents")
+    ts_type = ev.schema["ts"].dataType
+    null_ts = F.lit(None).cast(ts_type)
+    null_bucket = F.lit(None).cast("timestamp")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    m4 = m4_downsample(ev, ["event_type"], "ts", "value", "1 hour").select(
+        F.lit("m4").alias("family"),
+        F.col("event_type").alias("key"),
+        "bucket",
+        "ts",
+        "value",
+        null_s.alias("item"),
+    )
+    split = hash_split(
+        docs.select("doc_id"), ["doc_id"], _SPLITS, salt=_SPLIT_SALT
+    ).select(
+        F.lit("split").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        null_bucket.alias("bucket"),
+        null_ts.alias("ts"),
+        null_d.alias("value"),
+        F.col("split").alias("item"),
+    )
+    sample = stratified_sample(
+        docs.select("doc_id"), ["doc_id"], _SAMPLE_FRACTION, salt=_SAMPLE_SALT
+    ).select(
+        F.lit("sample").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        null_bucket.alias("bucket"),
+        null_ts.alias("ts"),
+        null_d.alias("value"),
+        F.lit("kept").alias("item"),
+    )
+    reservoir = reservoir_per_group(
+        docs.select("doc_id", "lang"),
+        ["lang"],
+        _RESERVOIR_K,
+        ["doc_id"],
+        salt=_RESERVOIR_SALT,
+    ).select(
+        F.lit("reservoir").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        null_bucket.alias("bucket"),
+        null_ts.alias("ts"),
+        null_d.alias("value"),
+        F.col("lang").alias("item"),
+    )
+    return (
+        m4.unionByName(split).unionByName(sample).unionByName(reservoir)
+    )

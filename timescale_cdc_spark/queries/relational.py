@@ -174,35 +174,74 @@ def b16_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b18_join_inner",
+    "b18_b24_join_inner_cross",
     """
-    SELECT n_name,
-           COUNT(*) AS n_orders,
+    SELECT 'inner' AS variant, n_name AS name,
+           CAST(NULL AS VARCHAR) AS event_type,
+           COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
     GROUP BY n_name
+    UNION ALL
+    SELECT 'cross' AS variant, r_name AS name, d.event_type,
+           COUNT(*) AS n, CAST(NULL AS DOUBLE) AS total_price
+    FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events) d
+    GROUP BY r_name, d.event_type
     """,
 )
-def b18_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join (B18): fact⋈dim enrich, the 'asset events joined
-    to current asset row' pattern. Catalyst picks broadcast for nation
-    automatically (25 rows)."""
+def b18_b24_join_inner_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (B18) + bounded cross join (B24) as one
+    variant-tagged union — merged in round 8 (the b27/b34_b35/b37_b38
+    pattern) to free a registry slot for the round-7 library-family
+    entries while keeping every row and column of both former entries
+    hash-checked.
+
+    variant='inner' (former b18_join_inner): fact⋈dim enrich, the
+    'asset events joined to current asset row' pattern. Catalyst picks
+    broadcast for nation automatically (25 rows).
+
+    variant='cross' (former b24_cross_join): dimension scaffold (all
+    region × event-type combos). Cross joins are only ever allowed on
+    provably tiny sides — the all-pairs version of similarity is
+    banned at scale (SURVEY §7 'never all-pairs')."""
     od = t(spark, sf_dir, "orders")
     cu = t(spark, sf_dir, "customer")
     na = t(spark, sf_dir, "nation")
-    return (
+    inner = (
         od.join(cu, od.o_custkey == cu.c_custkey)
         .join(na, cu.c_nationkey == na.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.count("*").alias("n_orders"),
+            F.count("*").alias("n"),
             F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
             .cast("double")
             .alias("total_price"),
         )
+        .select(
+            F.lit("inner").alias("variant"),
+            F.col("n_name").alias("name"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n",
+            "total_price",
+        )
     )
+    re = t(spark, sf_dir, "region")
+    d = t(spark, sf_dir, "events").select("event_type").distinct()
+    cross = (
+        re.crossJoin(d)
+        .groupBy("r_name", "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("cross").alias("variant"),
+            F.col("r_name").alias("name"),
+            "event_type",
+            "n",
+            F.lit(None).cast("double").alias("total_price"),
+        )
+    )
+    return inner.unionByName(cross)
 
 
 @register(
@@ -404,28 +443,6 @@ def b23_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.ts").alias("purchase_ts"),
             F.col("c.value").alias("click_value"),
         )
-    )
-
-
-@register(
-    "b24_cross_join",
-    """
-    SELECT r_name, d.event_type, COUNT(*) AS n_combos
-    FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events) d
-    GROUP BY r_name, d.event_type
-    """,
-)
-def b24_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded cross join (B24): dimension scaffold (all region ×
-    event-type combos). Cross joins are only ever allowed on provably
-    tiny sides — the all-pairs version of similarity is banned at scale
-    (SURVEY §7 'never all-pairs')."""
-    re = t(spark, sf_dir, "region")
-    d = t(spark, sf_dir, "events").select("event_type").distinct()
-    return (
-        re.crossJoin(d)
-        .groupBy("r_name", "event_type")
-        .agg(F.count("*").alias("n_combos"))
     )
 
 
