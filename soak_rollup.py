@@ -222,6 +222,90 @@ def main() -> None:
             1e-9 * abs(d["delta"]), 1e-6
         ), d["k"]
 
+    # UDDSketch family (VERDICT r7 #5): hourly sketches -> daily
+    # rollup, quantiles read OFF THE ROLLED SKETCH vs the EXACT
+    # per-(key, day) order statistics over the facts. Pins the
+    # error() accessor's alpha bound with the OBSERVED worst relative
+    # error at soak scale, not just on fixtures. The exact reference
+    # is the ceil(p*n)-th order statistic — the rank the sketch's
+    # estimator targets and the rank Timescale's guarantee is stated
+    # against; a linearly-interpolated percentile is a DIFFERENT
+    # estimand and legitimately deviates by the local inter-sample
+    # spacing on top of alpha (measured ~2.3% in sparse tails at 9M,
+    # vs ~alpha against the order statistic).
+    from timescale_cdc_spark.functions.hyper import (
+        uddsketch_error,
+        uddsketch_partials,
+        uddsketch_quantiles,
+        uddsketch_rollup,
+    )
+
+    UDD_ALPHA = 0.01
+    UDD_PS = [0.5, 0.9, 0.99]
+    udd_hourly = uddsketch_partials(
+        src, "ts", ["k"], "v", "1 hour", lo=1e-2, hi=1e5, alpha=UDD_ALPHA
+    )
+    udd_hourly.write.mode("overwrite").parquet("/tmp/soak_rollup_udd")
+    udd_hourly = spark.read.parquet("/tmp/soak_rollup_udd")
+    t_roll_udd, _ = timed(uddsketch_rollup(udd_hourly, ["k"], width="1 day"))
+    rolled_udd = uddsketch_error(
+        uddsketch_quantiles(
+            uddsketch_rollup(udd_hourly, ["k"], width="1 day"), UDD_PS
+        )
+    )
+    first_err = rolled_udd.select("error").first()["error"]
+    assert abs(first_err - UDD_ALPHA) < 1e-9, first_err
+    rolled_q = {
+        (r["k"], str(r["bucket"])): r["quantiles"]
+        for r in rolled_udd.collect()
+    }
+    # exact order statistics at ranks ceil(p*n) per (key, day) —
+    # sorted collect is bounded by rows-per-(key,day) in the harness
+    order_stats = F.array_sort(F.collect_list("v")).alias("_sorted")
+    exact_base = (
+        src.withColumn(
+            "bucket",
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast(
+                    "long"
+                )
+            ),
+        )
+        .groupBy("k", "bucket")
+        .agg(order_stats, F.count("*").alias("_n"))
+        .select(
+            "k",
+            "bucket",
+            F.array(
+                *[
+                    F.element_at(
+                        "_sorted",
+                        F.greatest(
+                            F.ceil(F.lit(p) * F.col("_n")), F.lit(1)
+                        ).cast("int"),
+                    )
+                    for p in UDD_PS
+                ]
+            ).alias("q"),
+        )
+    )
+    t_direct_udd, _ = timed(exact_base)
+    exact_q = {
+        (r["k"], str(r["bucket"])): r["q"] for r in exact_base.collect()
+    }
+    worst_udd = 0.0
+    n_udd = 0
+    for key, qs in rolled_q.items():
+        want = exact_q[key]
+        for got, ex in zip(qs, want):
+            if ex < 0.1:  # sketch bound applies to values in [lo, hi]
+                continue
+            worst_udd = max(worst_udd, abs(got - ex) / ex)
+            n_udd += 1
+    assert n_udd > 0
+    # the published guarantee, with fp headroom only
+    assert worst_udd <= UDD_ALPHA * 1.05, worst_udd
+
     # Correctness: candles exact, stats to 1e-6 relative.
     rc = candlestick_rollup(candles, ["k"], width="1 day")
     dc = candlestick_agg(src, "ts", ["k"], "v", "event_id", "1 day")
@@ -274,6 +358,11 @@ def main() -> None:
         "worst_twa_rel_err": worst_twa,
         "total_counter_rollup_s": round(t_roll_ctr, 2),
         "total_counter_direct_s": round(t_direct_ctr, 2),
+        "daily_udd_rollup_s": round(t_roll_udd, 2),
+        "daily_udd_exact_percentile_s": round(t_direct_udd, 2),
+        "udd_alpha_bound": UDD_ALPHA,
+        "worst_udd_rel_err": round(worst_udd, 6),
+        "udd_quantile_checks": n_udd,
     }))
 
 

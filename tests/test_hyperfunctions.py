@@ -924,3 +924,110 @@ def test_uddsketch_rollup_rejects_mixed_configs(spark):
     # same-config merge still works and stays bit-identical to direct
     ok = uddsketch_rollup(fine_a.unionByName(fine_a), ["k"]).collect()
     assert len(ok) == 1 and ok[0]["n"] == 8
+
+
+def test_dense_grid_explicit_and_per_key_bounds(spark):
+    """VERDICT r7 #3: dense_grid's default whole-range bounds let one
+    long-lived key inflate every short-lived key's grid. Explicit
+    start/finish (Timescale's gapfill signature, finish-inclusive) and
+    per_key=True (grid rows == sum of per-key bucket spans) bound it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from timescale_cdc_spark.functions.hyper import (
+        dense_grid,
+        time_bucket_gapfill,
+    )
+
+    rows = [
+        # key a lives 10 days; key b only on day 2
+        *[(i, dt.datetime(2024, 1, 1 + i), "a", 1.0) for i in range(10)],
+        (100, dt.datetime(2024, 1, 2, 12), "b", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, t timestamp, k string, v double"
+    )
+    # default: both keys span the global 10-day range
+    g_default = dense_grid(df, "1 day", "t", ["k"])
+    assert g_default.count() == 20
+    # per_key: b gets exactly its own single day
+    g_per_key = dense_grid(df, "1 day", "t", ["k"], per_key=True)
+    counts = {
+        r["k"]: r["n"]
+        for r in g_per_key.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 10, "b": 1}
+    # explicit bounds: pinned range regardless of the data, inclusive
+    g_pinned = dense_grid(
+        df, "1 day", "t", ["k"],
+        start=dt.datetime(2024, 1, 3), finish=dt.datetime(2024, 1, 5),
+    )
+    per_key_days = {
+        r["k"]: sorted(x["_eb"] for x in g_pinned.where(F.col("k") == r["k"]).collect())
+        for r in g_pinned.select("k").distinct().collect()
+    }
+    day3 = int(dt.datetime(2024, 1, 3, tzinfo=dt.timezone.utc).timestamp())
+    assert per_key_days["a"] == [day3, day3 + 86400, day3 + 2 * 86400]
+    assert per_key_days["b"] == per_key_days["a"]
+    with pytest.raises(ValueError, match="exclusive"):
+        dense_grid(df, "1 day", "t", ["k"], start=dt.datetime(2024, 1, 3),
+                   per_key=True)
+    # composed: gapfill with narrow bounds drops out-of-range rows and
+    # still LOCFs within the window
+    filled = time_bucket_gapfill(
+        df, "1 day", "t", ["k"], "v", "id",
+        start=dt.datetime(2024, 1, 3), finish=dt.datetime(2024, 1, 5),
+    )
+    assert filled.count() == 6  # 2 keys x 3 days
+    b_rows = {str(r["bucket"]): r for r in filled.where(F.col("k") == "b").collect()}
+    assert all(r["n_events"] is None for r in b_rows.values())
+
+
+def test_uddsketch_accessors_error_and_rank(spark):
+    """error() recovers alpha from the stored gamma (bound survives
+    rollup); approx_percentile_rank reads a rank off the counts array
+    within the alpha bound of the true rank (VERDICT r7 #5)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from timescale_cdc_spark.functions.hyper import (
+        uddsketch_error,
+        uddsketch_partials,
+        uddsketch_percentile_rank,
+        uddsketch_rollup,
+    )
+
+    vals = [float(i) for i in range(1, 101)]  # 1..100
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i % 24), "a", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, t timestamp, k string, v double"
+    )
+    fine = uddsketch_partials(
+        df, "t", ["k"], "v", "1 hour", lo=0.5, hi=1e4, alpha=0.01
+    )
+    rolled = uddsketch_rollup(fine, ["k"])
+    err = uddsketch_error(rolled).select("error").first()["error"]
+    assert err == pytest.approx(0.01, rel=1e-9)
+
+    # true rank of value v in 1..100 is v/100; sketch rank must land
+    # within the value-space alpha bound (rank error <= mass of one
+    # log bucket around v — generous 3% here)
+    for v, want in [(10.0, 0.10), (50.0, 0.50), (90.0, 0.90)]:
+        got = (
+            uddsketch_percentile_rank(rolled, v)
+            .select("approx_rank")
+            .first()["approx_rank"]
+        )
+        assert abs(got - want) <= 0.03, (v, got, want)
+    # non-positive value -> non-positive mass (none here)
+    got0 = (
+        uddsketch_percentile_rank(rolled, -1.0)
+        .select("approx_rank")
+        .first()["approx_rank"]
+    )
+    assert got0 == 0.0
