@@ -295,11 +295,11 @@ def test_c3_ann_registered_query_has_all_families(spark, ann_sf):
     """The registered c3_ann_lsh_ivf query self-gates each index
     family on recall@5 ≥ 0.5 (and the folded-in vec_gate rows on the
     zero-admitted-dups invariant) and silently DROPS a failing
-    family's rows. Pin the full expected shape — 3 ANN families × 10
-    queries × 5 (lsh, ivf, and round 7's pq), plus one vec_gate row
-    per distinct planted vector — so a future family dropout fails
-    pytest, not just the driver's rows-only artifact (VERDICT r4
-    #1/'process gap' #2)."""
+    family's rows. Pin the full expected shape — 4 ANN families × 10
+    queries × 5 (lsh, ivf, round 7's pq, round 8's residual ivfpq),
+    plus one vec_gate row per distinct planted vector — so a future
+    family dropout fails pytest, not just the driver's rows-only
+    artifact (VERDICT r4 #1/'process gap' #2)."""
     from timescale_cdc_spark.queries.llm_queries import c3_ann_lsh_ivf
 
     ann_sf_dir = _sibling_sf_dir(ann_sf)
@@ -311,9 +311,13 @@ def test_c3_ann_registered_query_has_all_families(spark, ann_sf):
     # planted corpus duplicates vec_id % 50 == 0 under new ids, and
     # the gate must reject every copy (fixture vectors are random
     # unit vectors — no organic dups at these SFs).
-    assert counts == {"lsh": 50, "ivf": 50, "pq": 50, "vec_gate": n_vecs}, (
-        f"family dropout: {counts}"
-    )
+    assert counts == {
+        "lsh": 50,
+        "ivf": 50,
+        "pq": 50,
+        "ivfpq": 50,
+        "vec_gate": n_vecs,
+    }, f"family dropout: {counts}"
 
 
 def test_language_id_on_real_samples(spark):

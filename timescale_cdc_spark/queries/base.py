@@ -51,6 +51,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def scratch_path(sf_dir: str, name: str) -> str:
+    """Local scratch path for registered queries that materialize an
+    index/sink as part of their plan. Keyed by (sf, pid): the scratch
+    artifact is rebuilt on every call (each site rmtree's first), so
+    cross-process reuse never happens anyway — and without the pid a
+    concurrent run at the same sf (pytest alongside the driver's
+    verify, or two driver phases overlapping) rmtree's the other
+    process's in-flight build mid-read."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "timescale_cdc_spark_io",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        name,
+    )
+
+
 # Reusable Spark SQL expression fragments (DataFrame .selectExpr /
 # F.expr side) mirrored by identical DuckDB fragments in oracles.
 DEC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"

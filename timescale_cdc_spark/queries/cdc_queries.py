@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from timescale_cdc_spark.cdc.capture import changes_to_envelope, snapshot_diff
 from timescale_cdc_spark.cdc.incremental import IncrementalPoller, Offset
-from timescale_cdc_spark.queries.base import register, t
+from timescale_cdc_spark.queries.base import register, scratch_path, t
 
 #: Deterministic event_type → TG_OP mapping (init.sql:16's op domain)
 #: used to treat the `events` fixture as a change stream.
@@ -447,16 +447,11 @@ def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     view must be EXACT at any refresh lag — that equivalence is the
     continuous-aggregate contract, and the driver hash-checks it every
     round through the full refresh → manifest → union path."""
-    import os
     import shutil
-    import tempfile
 
     from timescale_cdc_spark.cdc.caggs import ContinuousAggregate
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(
-        tempfile.gettempdir(), "timescale_cdc_spark_io", tag, "cagg"
-    )
+    path = scratch_path(sf_dir, "cagg")
     shutil.rmtree(path, ignore_errors=True)
 
     def aggs():

@@ -16,23 +16,15 @@ Engine-parity notes baked into each oracle:
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from timescale_cdc_spark.functions.time import time_bucket
-from timescale_cdc_spark.queries.base import register, t
+from timescale_cdc_spark.queries.base import register, scratch_path, t
 
-IO_SCRATCH = os.path.join(tempfile.gettempdir(), "timescale_cdc_spark_io")
-
-
-def _scratch(sf_dir: str, name: str) -> str:
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(IO_SCRATCH, tag, name)
+_scratch = scratch_path
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,7 @@ from timescale_cdc_spark.operators.text import (
     quality_score,
     token_stats,
 )
-from timescale_cdc_spark.queries.base import register, t
+from timescale_cdc_spark.queries.base import register, scratch_path, t
 
 # Shared planted-corpus builders -------------------------------------------
 
@@ -281,16 +281,11 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The production path is a foreachBatch sink writing survivors out
     — see StreamingNearDedup.attach; this adapter exists so the driver
     exercises the gate's semantics every round.)"""
-    import os
     import shutil
-    import tempfile
 
     from timescale_cdc_spark.operators.curation import StreamingNearDedup
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    index_path = os.path.join(
-        tempfile.gettempdir(), "timescale_cdc_spark_io", tag, "near_dedup_idx"
-    )
+    index_path = scratch_path(sf_dir, "near_dedup_idx")
     shutil.rmtree(index_path, ignore_errors=True)
 
     corpus = _planted_docs(spark, sf_dir)
@@ -370,6 +365,11 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       as pure JVM lookup-sum expressions, exact-cosine re-rank of the
       ADC top-50; the billion-vector compression standard (Jégou et
       al., TPAMI 2011), recall-gated like the other families.
+    - method='ivfpq': residual IVF-PQ (operators/pq.py::IvfPqIndex,
+      round 8 tag — VERDICT r7 next #2) — coarse KMeans cells + PQ
+      over RESIDUALS, probe-pruned partition reads × compressed
+      codes; the FAISS billion-scale design, recall-gated like the
+      other families so the driver sees its recall signal too.
     - method='vec_gate': the streaming vector-dedup ingest gate
       (operators/ann_index.py::StreamingVectorDedup) driven over the
       planted vector corpus as three micro-batches — one row per
@@ -393,11 +393,9 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate and all gate rows vanish. The driver's rows-only count
     is therefore a recall AND invariant signal, not just \"ran without
     error\". Per-family shape is pinned in tests/test_operators.py."""
-    import os
     import shutil
-    import tempfile
 
-    from timescale_cdc_spark.operators.pq import PqIndex
+    from timescale_cdc_spark.operators.pq import IvfPqIndex, PqIndex
 
     em = t(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < 10)
@@ -407,10 +405,7 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk(em, q, k=5).select(
         F.lit("ivf").alias("method"), "q_id", "c_id", "cos", "rank"
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    pq_path = os.path.join(
-        tempfile.gettempdir(), "timescale_cdc_spark_io", tag, "pq_idx"
-    )
+    pq_path = scratch_path(sf_dir, "pq_idx")
     shutil.rmtree(pq_path, ignore_errors=True)
     pq = (
         PqIndex(spark, pq_path)
@@ -418,7 +413,19 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .topk(q, k=5, rerank=50)
         .select(F.lit("pq").alias("method"), "q_id", "c_id", "cos", "rank")
     )
-    approx = lsh.unionByName(ivf).unionByName(pq)
+    ivfpq_path = scratch_path(sf_dir, "ivfpq_idx")
+    shutil.rmtree(ivfpq_path, ignore_errors=True)
+    ivfpq = (
+        IvfPqIndex(spark, ivfpq_path)
+        .build(em, n_cells=16, m=8, k_sub=16)
+        .topk(q, k=5, n_probe=4, rerank=50)
+        .select(
+            F.lit("ivfpq").alias("method"), "q_id", "c_id", "cos", "rank"
+        )
+    )
+    approx = (
+        lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq)
+    )
     exact = brute_force_topk(em, q, k=5).select(
         "q_id", "c_id", F.lit(1).alias("_hit")
     )
@@ -479,16 +486,11 @@ def _vector_gate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, verified by the batch LSH-candidates + exact-verify
     detector similarity.embedding_dup_pairs) gates the emit — see the
     c3_ann_lsh_ivf docstring."""
-    import os
     import shutil
-    import tempfile
 
     from timescale_cdc_spark.operators.ann_index import StreamingVectorDedup
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    index_path = os.path.join(
-        tempfile.gettempdir(), "timescale_cdc_spark_io", tag, "vec_dedup_idx"
-    )
+    index_path = scratch_path(sf_dir, "vec_dedup_idx")
     shutil.rmtree(index_path, ignore_errors=True)
 
     corpus = _planted_vecs(spark, sf_dir)
