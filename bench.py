@@ -48,6 +48,15 @@ HEADLINE = [
     "c4_text_analysis",  # language/quality/tokens/fingerprint
     "b44_sessionize",  # session windows
     "cdc_scd2_history",  # SCD2 history materialization
+    # Round 8 (VERDICT r7 #6): the round-7 library families, benched
+    # so regressions show round-over-round in BENCH_r{N}, not only in
+    # soaks. The headline TOTAL grows by construction this round —
+    # compare per-query against BENCH_r07; the pre-existing 16 queries
+    # are unchanged.
+    "cdc_continuous_aggregate",  # incremental cagg refresh + rt view
+    "lib_state_heartbeat_freq",  # state/heartbeat/freq hourly->daily rollups
+    "lib_stats_counter_candle",  # stats/counter/candle hourly->daily rollups
+    "lib_m4_split_sample",  # M4 hourly + deterministic split/sample
 ]
 
 
@@ -67,7 +76,8 @@ def main() -> None:
     # pass (keeping per-query sample counts equal), stop if the budget
     # is spent; min-of-N degrades to min-of-fewer instead of the whole
     # bench timing out and reporting nothing.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "360"))
+    # 360→420 in round 8: four new headline queries need ~15 s/pass.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
     # Warm-up: JVM + codegen + parquet footer caches.
     QUERIES[names[0]](spark, SF_DIR).count()
 
