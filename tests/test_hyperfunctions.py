@@ -1031,3 +1031,150 @@ def test_uddsketch_accessors_error_and_rank(spark):
         .first()["approx_rank"]
     )
     assert got0 == 0.0
+
+
+def test_gauge_rollup_bitexact_and_duckdb_parity(spark, sf_dir):
+    """gauge_agg (round 8): delta telescopes to last-first, so the
+    hourly->daily rollup recomputes delta/rate from the SAME two
+    boundary readings the direct daily computation uses — equality is
+    bit-exact, not approximate. Direct daily values also match
+    DuckDB's arg_min/arg_max formulation (unique fixture timestamps,
+    so ts-keyed arg_min/arg_max is the same reading pair)."""
+    import duckdb
+
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import (
+        gauge_agg,
+        gauge_partials,
+        gauge_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = gauge_agg(ev, "ts", ["event_type"], "value", "event_id",
+                       "1 day")
+    rolled = gauge_rollup(
+        gauge_partials(ev, "ts", ["event_type"], "value", "event_id",
+                       "1 hour"),
+        ["event_type"],
+        width="1 day",
+    )
+    # bit-exact both ways, all columns
+    cols = sorted(direct.columns)
+    assert direct.select(cols).exceptAll(rolled.select(cols)).count() == 0
+    assert rolled.select(cols).exceptAll(direct.select(cols)).count() == 0
+
+    got = {
+        (r["event_type"], str(r["bucket"])): r for r in direct.collect()
+    }
+    want = duckdb.sql(
+        f"""
+        SELECT event_type,
+               to_timestamp(floor(epoch(ts) / 86400) * 86400) AS bucket,
+               arg_max(value, ts) - arg_min(value, ts) AS delta,
+               CASE WHEN count(*) > 1 THEN
+                 (arg_max(value, ts) - arg_min(value, ts))
+                 / ((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0)
+               END AS rate,
+               count(*) AS n
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert len(want) == len(got) > 0
+    for et, bucket, delta, rate, n in want:
+        g = got[(et, str(bucket.replace(tzinfo=None)))]
+        assert g["delta"] == delta and g["n"] == n
+        assert g["rate"] == pytest.approx(rate, rel=1e-12)
+
+
+def test_candlestick_vwap_decimal_exact_rollup(spark, sf_dir):
+    """candlestick_agg with the full (ts, price, volume) signature:
+    vwap read off the rolled-up candle equals the direct daily vwap
+    EXACTLY when price x volume goes through DECIMAL (exact,
+    order-independent sums — the queries/base.py money convention),
+    and matches DuckDB's sum(p*v)/sum(v) on the same decimals. The
+    default no-volume path keeps the original schema (tick volume)."""
+    import duckdb
+
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import (
+        candlestick_agg,
+        candlestick_rollup,
+        vwap,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("price"),
+        (F.pmod(F.col("event_id"), F.lit(7)) + 1)
+        .cast("decimal(4,0)")
+        .alias("vol"),
+    )
+    plain = candlestick_agg(ev, "ts", ["event_type"], "price",
+                            "event_id", "1 hour")
+    assert "vwap_num" not in plain.columns  # default path unchanged
+
+    hourly = candlestick_agg(ev, "ts", ["event_type"], "price",
+                             "event_id", "1 hour", volume_col="vol")
+    daily_direct = vwap(
+        candlestick_agg(ev, "ts", ["event_type"], "price", "event_id",
+                        "1 day", volume_col="vol")
+    )
+    daily_rolled = vwap(
+        candlestick_rollup(hourly, ["event_type"], width="1 day")
+    )
+    cols = ["event_type", "bucket", "volume", "vwap"]
+    d = {(r["event_type"], str(r["bucket"])): r
+         for r in daily_direct.select(cols).collect()}
+    r_ = {(r["event_type"], str(r["bucket"])): r
+          for r in daily_rolled.select(cols).collect()}
+    assert d.keys() == r_.keys() and len(d) > 0
+    for k in d:
+        assert d[k]["volume"] == r_[k]["volume"]
+        assert d[k]["vwap"] == r_[k]["vwap"]  # exact: decimal partials
+
+    want = duckdb.sql(
+        f"""
+        SELECT event_type,
+               to_timestamp(floor(epoch(ts) / 86400) * 86400) AS bucket,
+               CAST(sum(CAST(value AS DECIMAL(18,2))
+                        * ((event_id % 7) + 1)) AS DOUBLE)
+               / CAST(sum((event_id % 7) + 1) AS DOUBLE) AS vwap
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert len(want) == len(d)
+    for et, bucket, w in want:
+        assert d[(et, str(bucket.replace(tzinfo=None)))]["vwap"] == (
+            pytest.approx(w, rel=1e-12)
+        )
+
+
+def test_twa_interpolated_tiny(spark, tiny):
+    """interpolated_average on the hand-derivable frame: each bucket
+    except a key's first extends coverage back to the bucket start
+    with the previous partial's last value (held across the empty
+    hours 2-3 for series a)."""
+    from timescale_cdc_spark.functions.hyper import (
+        twa_interpolated,
+        twa_partials,
+    )
+
+    partials = twa_partials(tiny, "ts", ["k"], "v", "id", "1 hour")
+    out = {
+        (r["k"], r["bucket"].hour): r["twa_interp"]
+        for r in twa_interpolated(partials, ["k"], "1 hour").collect()
+    }
+    # hour 0 (first, no prev): 10 held 30min, 20 held 30min -> 15
+    assert out[("a", 0)] == pytest.approx(15.0)
+    # hour 1: head 0:00-0:15 carries prev last 20, then 30 to end
+    # (20*900 + 30*2700) / 3600 = 27.5
+    assert out[("a", 1)] == pytest.approx(27.5)
+    # hour 4: prev last 30 carried across empty hours, head 0 -> 50
+    assert out[("a", 4)] == pytest.approx(50.0)
+    # key b single bucket (first) -> plain twa
+    assert out[("b", 2)] == pytest.approx(7.0)
+    assert len(out) == 4

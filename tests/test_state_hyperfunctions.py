@@ -494,3 +494,110 @@ def test_live_at_explicit_width_on_partials(beats):
     # and at 0:10 key a's hour-0 bucket contains the instant
     got0 = live_at(partials, _ts(0, 10), ["k"], width="1 hour").collect()
     assert sorted((r["k"], r["live"]) for r in got0) == [("a", True)]
+
+
+def test_state_interpolated_tiny(spark, states):
+    """interpolated_duration_in on the hand-derivable frame: the head
+    of every observed bucket (and the whole of every empty bucket on
+    the per-key grid) is attributed to the state carried in from the
+    previous observed bucket."""
+    from timescale_cdc_spark.functions.state import state_interpolated
+
+    partials = state_partials(states, "t", ["k"], "st", "id", "1 hour")
+    out = {
+        (r["k"], r["bucket"].hour): dict(r["durs"])
+        for r in state_interpolated(partials, ["k"], "1 hour").collect()
+    }
+    # key a hour 0 (first bucket, no carry): up 30min, down 30min
+    assert out[("a", 0)] == {"up": 30 * MIN_US, "down": 30 * MIN_US}
+    # hour 1: head 0:00-0:15 carries 'down' (prev last), then down
+    assert out[("a", 1)] == {"down": HOUR_US}
+    # hours 2, 3: EMPTY buckets on the grid, full width carried 'down'
+    assert out[("a", 2)] == {"down": HOUR_US}
+    assert out[("a", 3)] == {"down": HOUR_US}
+    # hour 4: up from 4:00 to bucket end, head 0 adds nothing
+    assert out[("a", 4)] == {"up": HOUR_US, "down": 0}
+    # key b: single bucket, unchanged
+    assert out[("b", 2)] == {"up": HOUR_US}
+    assert len(out) == 6
+
+
+def test_state_interpolated_matches_clipping_reference(spark, sf_dir):
+    """The dense interpolated durations must equal the direct
+    segment-clipping formulation computed in Python over the real
+    events fixture: each observation held from its own timestamp to
+    the NEXT observation of the key (across buckets), the final
+    observation held to its bucket end, segments clipped to hour
+    boundaries — integer-microsecond equality on every (key, bucket,
+    state), including the all-empty buckets in between."""
+    from collections import defaultdict
+
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.state import state_interpolated
+
+    W = HOUR_US
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 50
+    )
+    rows = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    ).collect()
+    per_key = defaultdict(list)
+    for r in rows:
+        per_key[r["user_id"]].append((r["us"], r["event_id"],
+                                      r["event_type"]))
+    want = defaultdict(int)
+    for k, obs in per_key.items():
+        obs.sort()
+        for i, (us, _id, st) in enumerate(obs):
+            if i + 1 < len(obs):
+                eus = obs[i + 1][0]
+            else:
+                eus = (us // W + 1) * W  # held to own bucket end
+            b = us // W * W
+            while b < eus:
+                lo, hi = max(us, b), min(eus, b + W)
+                if hi > lo:
+                    want[(k, b, st)] += hi - lo
+                b += W
+
+    partials = state_partials(ev, "ts", ["user_id"], "event_type",
+                              "event_id", "1 hour")
+    got = {}
+    for r in state_interpolated(partials, ["user_id"], "1 hour").collect():
+        b = r["bucket"].replace(tzinfo=dt.timezone.utc)
+        bus = int(b.timestamp() * 1_000_000)
+        for st, dur in r["durs"].items():
+            if dur > 0:
+                got[(r["user_id"], bus, st)] = dur
+
+    assert len(got) > 0 and got == dict(want)
+
+
+def test_state_rollup_keep_seams_is_valid_coarse_partial(spark, sf_dir):
+    """rollup(state_partials(hourly), keep_seams=True) must equal
+    state_partials computed directly at the daily width on EVERY
+    column including the seam columns — making the rolled output a
+    drop-in input for state_interpolated and further rollups."""
+    from timescale_cdc_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    rolled = state_rollup(
+        state_partials(ev, "ts", ["user_id"], "event_type", "event_id",
+                       "1 hour"),
+        ["user_id"],
+        "1 day",
+        keep_seams=True,
+    )
+    direct = state_partials(ev, "ts", ["user_id"], "event_type",
+                            "event_id", "1 day")
+    cols = sorted(direct.columns)
+    assert sorted(rolled.columns) == cols
+    a = rolled.select(cols).withColumn("durs", F.map_entries("durs"))
+    b = direct.select(cols).withColumn("durs", F.map_entries("durs"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert direct.count() > 0

@@ -160,6 +160,7 @@ def state_rollup(
     key_cols: list[str],
     width: str,
     bucket_col: str = "bucket",
+    keep_seams: bool = False,
 ) -> DataFrame:
     """Timescale ``rollup(state_agg)``: merge stored fine-bucket state
     partials (:func:`state_partials`) to coarser buckets without
@@ -180,6 +181,13 @@ def state_rollup(
     naturally orderable — the comparator sidesteps the orderability
     requirement), so the merge is deterministic and bounded by
     fine-buckets-per-coarse-bucket.
+
+    ``keep_seams=True`` additionally emits the merged boundary
+    columns (``first_us``/``end_us``/``first_state``/``last_state``)
+    so the output is itself a VALID coarse partial — equal to
+    ``state_partials`` computed directly at ``width`` — and can feed
+    :func:`state_interpolated` or a further rollup without re-reading
+    facts.
     """
     secs = bucket_seconds(width)
     df = partials.withColumn("_ceb", epoch_bucket(bucket_col, width))
@@ -249,6 +257,16 @@ def state_rollup(
     tail_map = F.map_from_arrays(
         F.array(s["last_state"]), F.array(tail_us)
     )
+    seam_cols = (
+        [
+            s["first_us"].alias("first_us"),
+            coarse_end_us.cast("long").alias("end_us"),
+            s["first_state"].alias("first_state"),
+            s["last_state"].alias("last_state"),
+        ]
+        if keep_seams
+        else []
+    )
     return merged.select(
         *key_cols,
         F.timestamp_seconds("_ceb").alias("bucket"),
@@ -259,6 +277,7 @@ def state_rollup(
         ).alias("durs"),
         s["n"].alias("n"),
         s["n_transitions"].alias("n_transitions"),
+        *seam_cols,
     )
 
 
@@ -643,4 +662,101 @@ def live_at(
             "ranges",
             lambda r: (r["s"] <= at_us) & (at_us < r["e"]),
         ).alias("live"),
+    )
+
+
+def state_interpolated(
+    partials: DataFrame,
+    key_cols: list[str],
+    width: str,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Timescale ``interpolated_duration_in`` semantics over stored
+    state partials (:func:`state_partials` at the SAME ``width``):
+    time-in-state per (key, bucket) with LOCF carried ACROSS bucket
+    boundaries, on a DENSE per-key bucket grid.
+
+    Plain ``durs`` covers only [first_obs_in_bucket, bucket_end) and
+    only observed buckets; with interpolation
+
+    - the head [bucket_start, first_obs) of every observed bucket is
+      attributed to the state carried in from the key's previous
+      observed bucket (``last_state``, LOCF across any gap);
+    - every EMPTY bucket between a key's first and last observed
+      bucket becomes a row whose full width is attributed to the
+      carried state (the gapfill+locf aggregate Timescale composes
+      interpolated accessors with);
+    - each key's first bucket keeps its observed coverage (NULL prev,
+      Timescale's convention).
+
+    The net effect: every observation is accounted from its own
+    timestamp to the NEXT observation (across buckets), with the
+    key's final observation held to its bucket end — which is exactly
+    the segment-clipping formulation the cross-engine oracle computes
+    directly, making rollup-shaped storage and clipping-shaped truth
+    provably equal (driver entry + test).
+
+    Scale shape: one per-key bounds aggregate + sequence/explode grid
+    (|keys| × |buckets| rows, same as dense_grid's per-key mode), a
+    left join back to the cagg-sized partials table, and ONE lag-LOCF
+    window over it — facts are never re-read, no Python. The map
+    adjustment is bounded higher-order expressions over the ≤|states|
+    entry array.
+    """
+    secs = bucket_seconds(width)
+    w_us = secs * 1_000_000
+    p = partials.withColumn(
+        "_eb",
+        (F.unix_micros(F.col(bucket_col)) / F.lit(1_000_000)).cast("long"),
+    )
+    grid = (
+        p.groupBy(*key_cols)
+        .agg(F.min("_eb").alias("_mn"), F.max("_eb").alias("_mx"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.lit(secs))
+            ).alias("_eb"),
+        )
+    )
+    dense = grid.join(p, [*key_cols, "_eb"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_eb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = F.last("last_state", ignorenulls=True).over(w)
+    start_us = F.col("_eb") * F.lit(1_000_000)
+    head_us = (F.col("first_us") - start_us).cast("long")
+    observed = F.col("n").isNotNull()
+    entries = F.map_entries(F.coalesce(
+        F.col("durs"), F.expr("map()").cast("map<string,long>")
+    ))
+    has_carry = F.exists(entries, lambda e: e["key"] == carry)
+    bumped = F.transform(
+        entries,
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            (
+                e["value"]
+                + F.when(e["key"] == carry, head_us).otherwise(F.lit(0))
+            ).alias("value"),
+        ),
+    )
+    head_entry = F.array(
+        F.struct(
+            carry.alias("key"),
+            F.when(observed, head_us).otherwise(F.lit(w_us)).alias("value"),
+        )
+    )
+    interp_entries = (
+        F.when(carry.isNull(), entries)
+        .when(observed & has_carry, bumped)
+        .otherwise(F.concat(entries, head_entry))
+    )
+    return dense.select(
+        *key_cols,
+        F.timestamp_seconds("_eb").alias("bucket"),
+        F.map_from_entries(F.array_sort(interp_entries)).alias("durs"),
+        F.coalesce("n", F.lit(0)).alias("n"),
     )

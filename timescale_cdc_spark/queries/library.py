@@ -150,10 +150,45 @@ freq_rows AS (
   SELECT 'freq', user_id, make_timestamp(day_s * 1000000), '__n',
          sum(c)::BIGINT
   FROM freq_day GROUP BY 2, 3
+),
+-- round 8: interpolated_duration_in — the SEGMENT-CLIPPING truth.
+-- Each observation is held from its own timestamp to the key's NEXT
+-- observation (across day boundaries), the final observation to the
+-- end of its own day; segments are clipped to the day grid. The
+-- Spark side computes the same thing the ROLLUP-SHAPED way (daily
+-- partials + dense per-key grid + one lag-LOCF window), so the hash
+-- match proves storage-shaped == clipping-shaped cross-engine,
+-- including rows for fully-EMPTY days between observations.
+si_obs AS (
+  SELECT user_id, event_type AS st, epoch_us(ts) AS us,
+         coalesce(
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id),
+           (floor(epoch_us(ts) / 86400000000.0)::BIGINT + 1)
+             * 86400000000
+         ) AS eus
+  FROM events
+),
+si_clip AS (
+  SELECT user_id, st, g.g AS b_us,
+         least(eus, g.g + 86400000000) - greatest(us, g.g) AS dur
+  FROM si_obs,
+       UNNEST(generate_series(
+         floor(us / 86400000000.0)::BIGINT * 86400000000,
+         floor((eus - 1) / 86400000000.0)::BIGINT * 86400000000,
+         86400000000)) AS g(g)
+),
+si_rows AS (
+  SELECT 'state_interp' AS family, user_id,
+         make_timestamp(b_us) AS bucket, st AS item,
+         sum(dur)::BIGINT AS value
+  FROM si_clip GROUP BY 2, 3, 4
+  HAVING sum(dur) > 0
 )
 SELECT * FROM state_rows
 UNION ALL SELECT * FROM hb_rows
 UNION ALL SELECT * FROM freq_rows
+UNION ALL SELECT * FROM si_rows
 """
 
 
@@ -167,7 +202,12 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup(fine) == direct(coarse) — the merge seam/tail logic, the
     island re-merge, and the Misra-Gries map sums (exact regime:
     ≤5 distinct event types « max_size=16, so err == 0 and counts
-    are exact).
+    are exact). Round 8 adds family='state_interp' —
+    interpolated_duration_in durations on the dense per-key grid
+    (functions/state.py::state_interpolated), hash-matched against
+    the oracle's independent segment-clipping formulation
+    (storage-shaped == clipping-shaped, integer-microsecond exact,
+    empty-day rows included).
 
     100 TB shape: each family is one fact shuffle for the hourly
     partials (annotate windows ride the groupBy exchange) plus one
@@ -177,6 +217,7 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timescale_cdc_spark.functions.state import (
         heartbeat_partials,
         heartbeat_rollup,
+        state_interpolated,
         state_partials,
         state_rollup,
     )
@@ -184,10 +225,14 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     key = ["user_id"]
 
+    # keep_seams makes the rolled output a valid DAILY partial, so
+    # the state_interp family below rides this same subtree (the
+    # hourly-partials exchange is reused) instead of re-scanning facts
     sr = state_rollup(
         state_partials(ev, "ts", key, "event_type", "event_id", "1 hour"),
         key,
         "1 day",
+        keep_seams=True,
     )
     state_items = sr.select(
         F.lit("state").alias("family"),
@@ -245,11 +290,24 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # round 8: interpolated durations (Timescale
+    # interpolated_duration_in) — the seam-keeping daily rollup above
+    # + dense per-key grid + one lag-LOCF carry window; zero-total
+    # states dropped to match the oracle's positive-segment clipping
+    si = state_interpolated(sr, key, "1 day")
+    si_rows = si.select(
+        F.lit("state_interp").alias("family"),
+        "user_id",
+        "bucket",
+        F.explode("durs").alias("item", "value"),
+    ).where(F.col("value") > 0)
+
     return (
         state_items.unionByName(state_meta)
         .unionByName(hb_rows)
         .unionByName(freq_items)
         .unionByName(freq_meta)
+        .unionByName(si_rows)
     )
 
 
@@ -348,10 +406,61 @@ candle_rows AS (
          ('close_us', close_us::DOUBLE),
          ('volume', volume::DOUBLE)
        ) AS m(metric, value)
+),
+vwap_day AS (
+  -- full candlestick_agg(ts, price, volume) signature: deterministic
+  -- synthetic volume (event_id % 7 + 1), price x volume through
+  -- DECIMAL so the sums are exact and order-independent; the final
+  -- vwap is ONE double division of identical exact operands on both
+  -- engines (and on the Spark side's direct and rollup paths alike)
+  SELECT event_type,
+         floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         CAST(sum(CAST(value AS DECIMAL(18,2))
+                  * ((event_id % 7) + 1)) AS DOUBLE)
+         / CAST(sum((event_id % 7) + 1) AS DOUBLE) AS vwap,
+         sum((event_id % 7) + 1)::BIGINT AS vol
+  FROM events GROUP BY 1, 2
+),
+vwap_rows AS (
+  SELECT 'candle' AS family, event_type,
+         make_timestamp(day_s * 1000000) AS bucket, m.metric,
+         m.value + 0.0 AS value
+  FROM vwap_day,
+       LATERAL (VALUES
+         ('vwap', vwap),
+         ('vol', vol::DOUBLE)
+       ) AS m(metric, value)
+),
+gauge_day AS (
+  -- gauge_agg: counter without the reset rule — delta telescopes to
+  -- last - first, rate divides by the observed span; both are exact
+  -- (identical operands, identical IEEE ops on both engines)
+  SELECT event_type,
+         floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         arg_max(value, ts) - arg_min(value, ts) AS delta,
+         CASE WHEN epoch_us(max(ts)) > epoch_us(min(ts)) THEN
+           (arg_max(value, ts) - arg_min(value, ts))
+           / ((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0)
+         END AS rate,
+         count(*)::BIGINT AS n_obs
+  FROM events GROUP BY 1, 2
+),
+gauge_rows AS (
+  SELECT 'gauge' AS family, event_type,
+         make_timestamp(day_s * 1000000) AS bucket, m.metric,
+         m.value + 0.0 AS value
+  FROM gauge_day,
+       LATERAL (VALUES
+         ('delta', delta),
+         ('rate', rate),
+         ('n_obs', n_obs::DOUBLE)
+       ) AS m(metric, value)
 )
 SELECT * FROM stats_rows
 UNION ALL SELECT * FROM ctr_rows
 UNION ALL SELECT * FROM candle_rows
+UNION ALL SELECT * FROM vwap_rows
+UNION ALL SELECT * FROM gauge_rows
 """
 
 
@@ -378,8 +487,11 @@ def lib_stats_counter_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
         candlestick_rollup,
         counter_partials,
         counter_rollup,
+        gauge_partials,
+        gauge_rollup,
         stats_agg_partials,
         stats_rollup,
+        vwap,
     )
 
     ev = t(spark, sf_dir, "events")
@@ -458,7 +570,67 @@ def lib_stats_counter_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("value", F.col("value") + F.lit(0.0))
 
-    return stats_rows.unionByName(ctr_rows).unionByName(candle_rows)
+    # round 8: the full candlestick_agg(ts, price, volume) signature —
+    # vwap/vol read off the ROLLED candle (hourly decimal partials ->
+    # daily), exact because price x volume sums in DECIMAL and the
+    # final division is one double op of identical operands (see
+    # functions/hyper.py::vwap)
+    ev_vol = ev.select(
+        "ts",
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("_price"),
+        (F.pmod(F.col("event_id"), F.lit(7)) + 1)
+        .cast("decimal(4,0)")
+        .alias("_vol"),
+    )
+    kv = vwap(
+        candlestick_rollup(
+            candlestick_agg(
+                ev_vol, "ts", key, "_price", "event_id", "1 hour",
+                volume_col="_vol",
+            ),
+            key,
+            width="1 day",
+        )
+    )
+    vwap_rows = kv.select(
+        F.lit("candle").alias("family"),
+        "event_type",
+        "bucket",
+        F.expr(
+            "stack(2, "
+            "'vwap', vwap, "
+            "'vol', CAST(volume AS DOUBLE)) AS (metric, value)"
+        ),
+    ).withColumn("value", F.col("value") + F.lit(0.0))
+
+    # round 8: gauge_agg family through its rollup path — delta/rate
+    # recomputed from the merged boundary readings, bit-exact vs the
+    # direct daily computation by construction
+    gr = gauge_rollup(
+        gauge_partials(ev, "ts", key, "value", "event_id", "1 hour"),
+        key,
+        width="1 day",
+    )
+    gauge_rows = gr.select(
+        F.lit("gauge").alias("family"),
+        "event_type",
+        "bucket",
+        F.expr(
+            "stack(3, "
+            "'delta', delta, "
+            "'rate', rate, "
+            "'n_obs', CAST(n AS DOUBLE)) AS (metric, value)"
+        ),
+    ).withColumn("value", F.col("value") + F.lit(0.0))
+
+    return (
+        stats_rows.unionByName(ctr_rows)
+        .unionByName(candle_rows)
+        .unionByName(vwap_rows)
+        .unionByName(gauge_rows)
+    )
 
 
 # ---------------------------------------------------------------------------
