@@ -1234,3 +1234,127 @@ def test_c3_vector_gate_rows_pinned_count(spark):
 
     out = _vector_gate_rows(spark, _sibling_sf_dir("sf0.01"))
     assert out.count() == 500
+
+
+def test_semantic_dedup_planted_groups_and_reference(spark):
+    """SemDeDup (operators/semdedup.py): plant 10 semantic groups of
+    4 near-identical vectors (small perturbations, cos ≈ 0.999)
+    inside a random 64-dim corpus. Every group must collapse to
+    exactly ONE survivor; random vectors (mutual cos ~0) all survive;
+    and the full kept-set equals a brute-force Python replay of the
+    paper's upper-triangular rule on the SAME cluster assignment and
+    ordering."""
+    import numpy as np
+
+    from timescale_cdc_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_marks,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    gid = {}
+    vid = 0
+    for g in range(10):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for _ in range(4):
+            v = base + rng.normal(scale=0.005, size=64)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            gid[vid] = g
+            vid += 1
+    for _ in range(60):
+        v = rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    marks = semantic_dedup_marks(
+        df, eps=0.95, n_clusters=8, keep="far", seed=3
+    ).collect()
+    kept = {r["vec_id"] for r in marks if r["kept"]}
+    # each planted group -> exactly one survivor; all noise survives
+    for g in range(10):
+        assert len([v for v in kept if gid.get(v) == g]) == 1, g
+    assert all(v in kept for v in range(40, 100))
+
+    # exact reference replay on the same (cell, cent_cos, id) ordering
+    by_cell = {}
+    info = {r["vec_id"]: r for r in marks}
+    vecs = {i: np.array(v) for i, v in rows}
+    for r in marks:
+        by_cell.setdefault(r["_cell"], []).append(r["vec_id"])
+    want_kept = set()
+    for cell, ids in by_cell.items():
+        ids.sort(key=lambda i: (info[i]["cent_cos"], i))
+        for pos, i in enumerate(ids):
+            dup = any(
+                float(vecs[i] @ vecs[j])
+                / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))
+                >= 0.95
+                for j in ids[:pos]
+            )
+            if not dup:
+                want_kept.add(i)
+    assert kept == want_kept
+
+    # eps above every pairwise cosine -> nothing dropped
+    all_kept = semantic_dedup_marks(
+        df, eps=1.0000001, n_clusters=8, seed=3
+    )
+    assert all_kept.where("NOT kept").count() == 0
+
+    # survivors frame preserves original columns + stratification cols
+    surv = semantic_dedup(df, eps=0.95, n_clusters=8, keep="far", seed=3)
+    assert set(surv.columns) == {"vec_id", "embedding", "_cell", "cent_cos"}
+    assert surv.count() == len(kept)
+
+    # keep='near' keeps the MOST-central member of each group instead
+    near = semantic_dedup_marks(
+        df, eps=0.95, n_clusters=8, keep="near", seed=3
+    ).collect()
+    ninfo = {r["vec_id"]: r for r in near}
+    for g in range(10):
+        members = [v for v in range(40) if gid[v] == g]
+        kept_g = [v for v in members if ninfo[v]["kept"]]
+        far_g = [
+            v
+            for v in members
+            if info[v]["kept"]
+        ]
+        if len(kept_g) == 1 and len(far_g) == 1:
+            # same cluster -> near keeps max cent_cos, far keeps min
+            cells = {ninfo[v]["_cell"] for v in members}
+            if len(cells) == 1:
+                assert ninfo[kept_g[0]]["cent_cos"] == max(
+                    ninfo[v]["cent_cos"] for v in members
+                )
+                assert info[far_g[0]]["cent_cos"] == min(
+                    info[v]["cent_cos"] for v in members
+                )
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """The within-cluster self-join must plan as an equi hash join on
+    _cell — never CartesianProduct/BroadcastNestedLoopJoin — and keep
+    Python out of the plan entirely."""
+    import numpy as np
+
+    from timescale_cdc_spark.operators.semdedup import semantic_dedup_marks
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        semantic_dedup_marks(df, eps=0.9, n_clusters=4, seed=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
