@@ -1358,3 +1358,51 @@ def test_semantic_dedup_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_curate_with_semantic_stage(spark, sf_dir):
+    """curate(embeddings=...) appends the SemDeDup stage after the
+    lexical stages: planted semantic twins (identical embeddings,
+    lexically distinct texts that survive MinHash) drop exactly one
+    member with drop_reason='semantic_dup'; docs without an embedding
+    row pass through unjudged; the default path (no embeddings) is
+    unchanged."""
+    from timescale_cdc_spark.operators.curation import curate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    em = load_table(spark, sf_dir, "embeddings")
+    # two lexically-unrelated docs forced into one semantic group by
+    # giving doc 1 the SAME embedding as doc 0 (the fixtures'
+    # embeddings are otherwise random unit vectors)
+    e0 = em.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    twins = spark.createDataFrame(
+        [(0, e0), (1, e0)], "vec_id long, embedding array<float>"
+    )
+    emb = em.filter(F.col("vec_id") > 1).select(
+        "vec_id", "embedding"
+    ).unionByName(twins)
+
+    out = curate(docs, embeddings=emb, semantic_eps=0.99).persist()
+    assert out.count() == docs.count()
+    r0, r1 = [
+        {r["doc_id"]: r for r in out.filter(F.col("doc_id") < 2).collect()}[i]
+        for i in (0, 1)
+    ]
+    # exactly one twin survives; the dropped one is tagged semantic
+    assert {r0["kept"], r1["kept"]} == {True, False}
+    dropped = r0 if not r0["kept"] else r1
+    assert dropped["drop_reason"] == "semantic_dup"
+
+    # baseline (no embeddings): both twins' docs keep their lexical
+    # verdicts and nothing is tagged semantic_dup
+    base = curate(docs)
+    assert base.filter(F.col("drop_reason") == "semantic_dup").count() == 0
+    base_kept = {
+        r["doc_id"]: r["kept"]
+        for r in base.filter(F.col("doc_id") < 2).collect()
+    }
+    # the semantic run only ever REMOVES docs relative to baseline
+    sem_kept = {r["doc_id"]: r["kept"] for r in (r0, r1)}
+    for d, k in sem_kept.items():
+        assert (not k) or base_kept[d]
+    out.unpersist()

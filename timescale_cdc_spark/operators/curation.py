@@ -6,7 +6,11 @@ the order that minimizes work at scale:
     2. exact dedup      (one shuffle on the normalized content hash)
     3. near-dup removal (MinHash-LSH pairs → keep lowest doc_id per
                          connected group, via the pair graph)
-    4. token accounting (map-side stats over survivors)
+    4. semantic dedup   (optional, round 8 — SemDeDup over an
+                         embedding table, cluster-bounded; runs LAST
+                         among the drop stages so the quadratic-in-
+                         cell scan sees only lexical survivors)
+    5. token accounting (map-side stats over survivors)
 
 Each stage only sees the previous stage's survivors, so the expensive
 LSH stage runs on the post-filter, post-exact-dedup corpus. The
@@ -44,10 +48,21 @@ def curate(
     near_dup_threshold: float = 0.7,
     near_dup_max_bucket: int | None = 256,
     transitive: bool = False,
+    embeddings: DataFrame | None = None,
+    semantic_eps: float = 0.95,
+    semantic_clusters: int = 16,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Run the full curation pipeline; returns ALL input docs with
     `kept` (bool), `drop_reason` (quality | exact_dup | near_dup |
-    null) and, for survivors, token statistics.
+    semantic_dup | null) and, for survivors, token statistics.
+
+    ``embeddings`` (optional): a (emb_id_col, vec_col) table aligned
+    with ``docs`` by id enables the SemDeDup stage
+    (operators/semdedup.py) on the lexical survivors — semantic
+    redundancy at ``semantic_eps`` that MinHash cannot see. Docs
+    without an embedding row pass through the stage unjudged.
 
     ``transitive=True`` resolves near-dup groups exactly via
     connected components (operators/components.py) — a chain a~b~c
@@ -87,24 +102,53 @@ def curate(
         )
     else:
         near_dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    survivors = exact_kept.join(near_dup_ids, id_col, "left_anti")
+    lexical = exact_kept.join(near_dup_ids, id_col, "left_anti")
+
+    if embeddings is not None:
+        from timescale_cdc_spark.operators.semdedup import (
+            semantic_dedup_marks,
+        )
+
+        emb = lexical.select(id_col).join(
+            embeddings.select(
+                F.col(emb_id_col).alias(id_col), F.col(vec_col)
+            ),
+            id_col,
+        )
+        sem_drop = (
+            semantic_dedup_marks(
+                emb,
+                eps=semantic_eps,
+                n_clusters=semantic_clusters,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            .where(~F.col("kept"))
+            .select(id_col)
+        )
+        survivors = lexical.join(sem_drop, id_col, "left_anti")
+    else:
+        survivors = lexical
     survivors = token_stats(survivors.select(id_col, text_col), text_col)
 
     # provenance: why did each dropped doc fall out?
     base = docs.select(id_col)
     q_ids = quality_ok.select(id_col)
     e_ids = exact_kept.select(id_col)
+    n_ids = lexical.select(id_col)
     s_ids = survivors.select(id_col)
     tagged = (
         base.join(q_ids.withColumn("_q", F.lit(True)), id_col, "left")
         .join(e_ids.withColumn("_e", F.lit(True)), id_col, "left")
+        .join(n_ids.withColumn("_n", F.lit(True)), id_col, "left")
         .join(s_ids.withColumn("_s", F.lit(True)), id_col, "left")
         .select(
             id_col,
             F.col("_s").isNotNull().alias("kept"),
             F.when(F.col("_q").isNull(), "quality")
             .when(F.col("_e").isNull(), "exact_dup")
-            .when(F.col("_s").isNull(), "near_dup")
+            .when(F.col("_n").isNull(), "near_dup")
+            .when(F.col("_s").isNull(), "semantic_dup")
             .alias("drop_reason"),
         )
     )

@@ -209,9 +209,16 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (storage-shaped == clipping-shaped, integer-microsecond exact,
     empty-day rows included).
 
-    100 TB shape: each family is one fact shuffle for the hourly
-    partials (annotate windows ride the groupBy exchange) plus one
-    partial-sized shuffle for the rollup — the cagg two-step story.
+    100 TB shape: each family FUNCTION is one fact shuffle for the
+    hourly partials (annotate windows ride the groupBy exchange) plus
+    one partial-sized shuffle for the rollup — the cagg two-step
+    story. The registered ENTRY executes one fact pass per union
+    branch (each family melted in a single branch — map entries and
+    meta ride one explode, not separate stack branches; the state
+    family has a second branch for the interp family because pruning
+    gives the two branches different exchanges): a harness artifact —
+    production serves every family off stored partials refreshed
+    once.
     """
     from timescale_cdc_spark.functions.freq import freq_partials, freq_rollup
     from timescale_cdc_spark.functions.state import (
@@ -234,21 +241,31 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 day",
         keep_seams=True,
     )
-    state_items = sr.select(
+    # one explode over map entries + the meta pair, so the whole
+    # state melt is a SINGLE branch (a separate stack() branch would
+    # re-execute the fact scan + partials + fold a second time —
+    # union branches share no work except reused exchanges)
+    state_rows = sr.select(
         F.lit("state").alias("family"),
         "user_id",
         "bucket",
-        F.explode("durs").alias("item", "value"),
-    )
-    state_meta = sr.select(
-        F.lit("state").alias("family"),
-        "user_id",
-        "bucket",
-        F.expr(
-            "stack(2, '__transitions', CAST(n_transitions AS BIGINT), "
-            "'__n', CAST(n AS BIGINT)) AS (item, value)"
-        ),
-    )
+        F.explode(
+            F.concat(
+                F.map_entries("durs"),
+                F.array(
+                    F.struct(
+                        F.lit("__transitions").alias("key"),
+                        F.col("n_transitions").cast("long").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("__n").alias("key"),
+                        F.col("n").cast("long").alias("value"),
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select("family", "user_id", "bucket",
+             F.col("e.key").alias("item"), F.col("e.value").alias("value"))
 
     hr = heartbeat_rollup(
         heartbeat_partials(ev, "ts", key, "10 minutes", "1 hour"),
@@ -274,21 +291,27 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 day",
         max_size=16,
     )
-    freq_items = fr.select(
+    freq_rows = fr.select(
         F.lit("freq").alias("family"),
         "user_id",
         "bucket",
-        F.explode("mg").alias("item", "value"),
-    )
-    freq_meta = fr.select(
-        F.lit("freq").alias("family"),
-        "user_id",
-        "bucket",
-        F.expr(
-            "stack(2, '__err', CAST(err AS BIGINT), "
-            "'__n', CAST(n AS BIGINT)) AS (item, value)"
-        ),
-    )
+        F.explode(
+            F.concat(
+                F.map_entries("mg"),
+                F.array(
+                    F.struct(
+                        F.lit("__err").alias("key"),
+                        F.col("err").cast("long").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("__n").alias("key"),
+                        F.col("n").cast("long").alias("value"),
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select("family", "user_id", "bucket",
+             F.col("e.key").alias("item"), F.col("e.value").alias("value"))
 
     # round 8: interpolated durations (Timescale
     # interpolated_duration_in) — the seam-keeping daily rollup above
@@ -303,10 +326,8 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("value") > 0)
 
     return (
-        state_items.unionByName(state_meta)
-        .unionByName(hb_rows)
-        .unionByName(freq_items)
-        .unionByName(freq_meta)
+        state_rows.unionByName(hb_rows)
+        .unionByName(freq_rows)
         .unionByName(si_rows)
     )
 
