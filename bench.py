@@ -14,6 +14,25 @@ the per-query MIN — the closest observable to the query's intrinsic
 cost on a machine with background load (sandbox noise swung unchanged
 queries ±80% between rounds). The single-shot first-run numbers are
 kept alongside in "queries_run1" so cold-cache behavior stays visible.
+
+Environment calibration (round 9, VERDICT r8 #3): round 8 showed a
+UNIFORM ×1.2 wall-clock drift on plan-identical queries that cost a
+judge re-run to adjudicate as environmental. The bench now records:
+
+- ``calibration_jvm_sec``: min-of-3 of a FIXED CPU-bound JVM job
+  (sum over spark.range(2e8) with a multiply — pure whole-stage
+  codegen, no I/O, no shuffle variance), the same execution machinery
+  the queries use;
+- ``calibration_py_sec``: min-of-3 of a fixed pure-Python xorshift
+  loop (driver-side CPU speed, GIL-local);
+- ``load_avg_start``/``load_avg_end`` (os.getloadavg 1-min) and
+  ``mem_available_kb`` (/proc/meminfo).
+
+Round-over-round comparison (documented in README.md): divide each
+round's headline total by (calibration_jvm_sec_rN /
+calibration_jvm_sec_r{{N-1}}) before comparing — a machine-level
+slowdown moves the calibration and the queries together, an engine
+regression moves only the queries.
 """
 
 from __future__ import annotations
@@ -60,6 +79,46 @@ HEADLINE = [
 ]
 
 
+def _calibrate_jvm(spark) -> float:
+    """Min-of-3 of a fixed CPU-bound whole-stage-codegen job — the
+    machine-speed yardstick the round-over-round comparison divides
+    by. Deterministic work: no I/O, no shuffle, no Python in-loop."""
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        # bit_xor never overflows (sum of hashes would under ANSI mode)
+        spark.range(200_000_000).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"
+        ).collect()
+        best = min(best, time.perf_counter() - start)
+    return round(best, 4)
+
+
+def _calibrate_py() -> float:
+    """Min-of-3 of a fixed pure-Python xorshift loop (driver CPU)."""
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        x = 0x9E3779B9
+        for _i in range(2_000_000):
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        best = min(best, time.perf_counter() - start)
+    return round(best, 4)
+
+
+def _mem_available_kb() -> int | None:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return None
+
+
 def main() -> None:
     spark = get_spark(app_name="timescale_cdc_spark_bench")
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -80,6 +139,10 @@ def main() -> None:
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
     # Warm-up: JVM + codegen + parquet footer caches.
     QUERIES[names[0]](spark, SF_DIR).count()
+
+    load_start = os.getloadavg()
+    calib_jvm = _calibrate_jvm(spark)
+    calib_py = _calibrate_py()
 
     samples: dict[str, list[float]] = {n: [] for n in names}
     # Round-robin the repeats (1..N of q1..qk, not N×q1 then N×q2) so
@@ -109,6 +172,11 @@ def main() -> None:
                 "queries_run1": {n: s[0] for n, s in samples.items()},
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration_jvm_sec": calib_jvm,
+                "calibration_py_sec": calib_py,
+                "load_avg_start": [round(x, 2) for x in load_start],
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+                "mem_available_kb": _mem_available_kb(),
             }
         )
     )

@@ -9,14 +9,26 @@ each unit-tested but — until this soak — never driven as one loop:
       → ContinuousAggregate.attach (file-source stream on the routed
         topic → per-batch source landing + touched-window refresh)
       → ContinuousAggregate.query (real-time union view)
+      → round 9 (VERDICT r8 #6): a LEVEL-2 DAILY cagg cascaded off the
+        streamed hourly one — refreshed per round over exactly the
+        touched day window, capped at the hourly watermark aligned
+        down to days (cascade_refresh's complete-bucket rule), its
+        real-time view read through query_hierarchy
 
 Invariants, checked at EVERY round:
   - query(source) == the full one-shot aggregation of everything the
     ROUTER delivered so far (real-time equality regardless of refresh
     lag — the load-bearing cagg property, now proven END TO END
     through the router rather than on a hand-fed source);
-  - a LATE round (timestamps two days back) widens the refresh window
-    backward and equality still holds;
+  - a LATE round (timestamps days back) widens the refresh window
+    backward and equality still holds — at BOTH levels (the late day
+    is re-refreshed at level 2 from the updated hourly partials);
+  - query_hierarchy([hour, day]) == the full one-shot DAILY
+    aggregation of everything delivered, at every round — exact even
+    while the touched day is still incomplete at the hourly level
+    (real-time tail) and after it materializes (stored partials). The
+    daily sum rolls up the hourly DECIMAL partial, so rollup==direct
+    is exact, not an IEEE-order accident;
   - rows of the non-whitelisted noise table never reach the cagg
     source (routing isolation).
 
@@ -56,10 +68,12 @@ DAY0 = 1704067200  # 2024-01-01T00:00:00Z
 
 def envelopes(spark, round_no: int, rows: int, n_keys: int, late: bool):
     """One round of INSERT envelopes for dataschema.metrics (the
-    cagg's table): ts walks one hour per round — except a late round,
-    which lands two days back (the invalidation-widening case). A 5%
-    tail of dataschema.assets rows rides along as routing noise."""
-    base_ts = DAY0 + (round_no - 100 if late else round_no) * 3600
+    cagg's table): ts walks six hours per round (so a multi-round run
+    crosses day boundaries and the daily cascade level materializes)
+    — except a late round, which lands 1.5 days back (the
+    invalidation-widening case). A 5% tail of dataschema.assets rows
+    rides along as routing noise."""
+    base_ts = DAY0 + (round_no - 10 if late else round_no) * 21600
     n_noise = rows // 20
     metrics = spark.range(rows).select(
         F.timestamp_seconds(
@@ -91,14 +105,57 @@ def envelopes(spark, round_no: int, rows: int, n_keys: int, late: bool):
 
 
 def aggs():
+    # sum kept as DECIMAL partial (sum_dec) so the daily cascade level
+    # rolls up exactly; sum_v stays for the hourly-level compare
     return [
         F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("sum_dec"),
         F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias(
             "sum_v"
         ),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     ]
+
+
+def day_aggs():
+    # rollup algebra over the hourly level's PARTIAL columns
+    return [
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    ]
+
+
+def full_agg_daily(src):
+    eb = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long") * 86400
+    return (
+        src.withColumn("_eb", eb)
+        .groupBy("k", "_eb")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("sum_dec"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .withColumn("bucket", F.timestamp_seconds("_eb"))
+        .drop("_eb")
+    )
+
+
+def sorted_rows_daily(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "k",
+            "bucket",
+            "n",
+            F.col("sum_dec").cast("double").alias("sum_v"),
+            "min_v",
+            "max_v",
+        ).collect()
+    )
 
 
 def full_agg(src):
@@ -143,6 +200,9 @@ def main() -> None:
     cagg = ContinuousAggregate(
         spark, f"{ROOT}/cagg", "1 hour", "ts", ["k"], aggs
     )
+    day = ContinuousAggregate(
+        spark, f"{ROOT}/cagg_day", "1 day", "bucket", ["k"], day_aggs
+    )
     src_dir = f"{ROOT}/cagg_src"
 
     # consumer: file-source stream over the routed topic's batch dirs,
@@ -179,6 +239,27 @@ def main() -> None:
             t_refresh = time.perf_counter() - t0
             wm_after = cagg.watermark_s()
 
+            # level-2 cascade step: refresh the daily cagg over exactly
+            # the day window this round touched, capped at the hourly
+            # watermark aligned DOWN to days (complete-bucket rule —
+            # an in-progress day stays out of the daily watermark and
+            # is served by query_hierarchy's real-time tail)
+            base_ts = DAY0 + (r - 10 if late else r) * 21600
+            t0 = time.perf_counter()
+            # one-day start offset (the Timescale refresh-policy lag
+            # window): a day COMPLETES only once a later batch lands in
+            # the next day, and that batch's own span no longer covers
+            # it — the lag window picks it up exactly once
+            lo_d = day._align(base_ts) - 86400
+            hi_d = min(
+                day._align(base_ts + 21600, up=True), day._align(wm_after)
+            )
+            if hi_d > lo_d:
+                day.refresh(
+                    cagg.materialized(), start_s=lo_d, end_s=hi_d
+                )
+            t_cascade = time.perf_counter() - t0
+
             source = spark.read.parquet(src_dir)
             # routing isolation: only metrics rows reached the cagg
             assert (
@@ -193,12 +274,23 @@ def main() -> None:
             assert sorted_rows(cagg.query(source.drop("table_name"))) == (
                 sorted_rows(full_agg(delivered))
             ), f"round {r}"
+            # ... and through the WHOLE HIERARCHY: the daily view must
+            # equal the one-shot daily aggregate at every refresh lag
+            from timescale_cdc_spark.cdc.caggs import query_hierarchy
+
+            assert sorted_rows_daily(
+                query_hierarchy([cagg, day], source.drop("table_name"))
+            ) == sorted_rows_daily(full_agg_daily(delivered)), (
+                f"round {r} (daily)"
+            )
             per_round.append(
                 {
                     "round": r,
                     "late": late,
                     "route_s": round(t_route, 2),
                     "refresh_s": round(t_refresh, 2),
+                    "cascade_s": round(t_cascade, 2),
+                    "day_materialized": day.exists(),
                     "watermark_moved": wm_after != wm_before,
                 }
             )
@@ -222,7 +314,13 @@ def main() -> None:
                 "mean_refresh_s": round(
                     sum(p["refresh_s"] for p in per_round) / rounds, 2
                 ),
+                "mean_cascade_s": round(
+                    sum(p["cascade_s"] for p in per_round) / rounds, 2
+                ),
                 "materialized_rows": cagg.materialized().count(),
+                "materialized_rows_daily": (
+                    day.materialized().count() if day.exists() else 0
+                ),
             }
         )
     )

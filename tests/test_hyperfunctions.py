@@ -958,10 +958,12 @@ def test_dense_grid_explicit_and_per_key_bounds(spark):
         for r in g_per_key.groupBy("k").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {"a": 10, "b": 1}
-    # explicit bounds: pinned range regardless of the data, inclusive
+    # explicit bounds: pinned range regardless of the data. Timescale
+    # semantics (ADVICE r8): bucket starts < finish, so the aligned
+    # finish Jan 6 yields exactly Jan 3/4/5 — its own bucket excluded.
     g_pinned = dense_grid(
         df, "1 day", "t", ["k"],
-        start=dt.datetime(2024, 1, 3), finish=dt.datetime(2024, 1, 5),
+        start=dt.datetime(2024, 1, 3), finish=dt.datetime(2024, 1, 6),
     )
     per_key_days = {
         r["k"]: sorted(x["_eb"] for x in g_pinned.where(F.col("k") == r["k"]).collect())
@@ -970,14 +972,37 @@ def test_dense_grid_explicit_and_per_key_bounds(spark):
     day3 = int(dt.datetime(2024, 1, 3, tzinfo=dt.timezone.utc).timestamp())
     assert per_key_days["a"] == [day3, day3 + 86400, day3 + 2 * 86400]
     assert per_key_days["b"] == per_key_days["a"]
+    # a finish INSIDE a bucket still includes that bucket (start < finish)
+    g_mid = dense_grid(
+        df, "1 day", "t", ["k"],
+        start=dt.datetime(2024, 1, 3), finish=dt.datetime(2024, 1, 5, 12),
+    )
+    assert sorted(
+        x["_eb"] for x in g_mid.where(F.col("k") == "a").collect()
+    ) == [day3, day3 + 86400, day3 + 2 * 86400]
     with pytest.raises(ValueError, match="exclusive"):
         dense_grid(df, "1 day", "t", ["k"], start=dt.datetime(2024, 1, 3),
                    per_key=True)
+    # eager validation: start > finish raises a clear error, not an
+    # opaque F.sequence failure at execution (ADVICE r8)
+    with pytest.raises(ValueError, match="start .* must be <= finish"):
+        dense_grid(df, "1 day", "t", ["k"],
+                   start=dt.datetime(2024, 1, 5),
+                   finish=dt.datetime(2024, 1, 3))
+    # degenerate windows yield an EMPTY grid, not an error: start ==
+    # finish (zero-width) and a start pinned beyond the observed max
+    assert dense_grid(
+        df, "1 day", "t", ["k"],
+        start=dt.datetime(2024, 1, 3), finish=dt.datetime(2024, 1, 3),
+    ).count() == 0
+    assert dense_grid(
+        df, "1 day", "t", ["k"], start=dt.datetime(2030, 1, 1),
+    ).count() == 0
     # composed: gapfill with narrow bounds drops out-of-range rows and
     # still LOCFs within the window
     filled = time_bucket_gapfill(
         df, "1 day", "t", ["k"], "v", "id",
-        start=dt.datetime(2024, 1, 3), finish=dt.datetime(2024, 1, 5),
+        start=dt.datetime(2024, 1, 3), finish=dt.datetime(2024, 1, 6),
     )
     assert filled.count() == 6  # 2 keys x 3 days
     b_rows = {str(r["bucket"]): r for r in filled.where(F.col("k") == "b").collect()}

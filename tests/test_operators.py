@@ -98,7 +98,15 @@ def test_c2_registered_row_count_with_guard(spark, sf_dir):
         for r in c2_minhash_simhash(spark, sf_dir)
         .groupBy("method").agg(F.count("*").alias("n")).collect()
     }
-    assert set(guarded) == {"minhash", "simhash"}, f"method dropout: {guarded}"
+    assert set(guarded) == {"minhash", "simhash", "semdedup"}, (
+        f"method dropout: {guarded}"
+    )
+    # semdedup rows = kept vectors; both in-plan gates held (a gate
+    # trip zeroes the method) and every planted copy was deduped, so
+    # the survivor count equals the original embeddings table exactly
+    from timescale_cdc_spark.queries.base import t as _t
+
+    assert guarded["semdedup"] == _t(spark, sf_dir, "embeddings").count()
     corpus = _planted_docs(spark, sf_dir)
     uncapped_mh = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5)
     uncapped_sh = sp(corpus, "text", "doc_id", max_hamming=3)

@@ -356,7 +356,13 @@ class ContinuousAggregate:
         lag; the tail scan prunes to post-watermark chunks when the
         source is ts-partitioned."""
         wm = self.watermark_s()
-        if wm is None:
+        # empty-regions guard (round 9, found by the cascade soak): a
+        # refresh whose window held no source rows commits a manifest
+        # with an advanced watermark and ZERO regions — serving
+        # materialized(∅) ∪ tail(>= wm) would silently drop everything
+        # below the watermark. With nothing materialized, aggregate
+        # the full source instead.
+        if wm is None or not self._load_manifest()["regions"]:
             return self._aggregate(source).drop("_eb")
         mat = self.materialized().filter(F.col("_eb") < F.lit(wm))
         tail = source.filter(

@@ -109,10 +109,14 @@ def curate(
             semantic_dedup_marks,
         )
 
+        # dropDuplicates on the id: a doubled (id, vector) row in the
+        # embeddings table would otherwise enter SemDeDup twice at
+        # cosine 1.0 and mark the doc a semantic dup of ITSELF
+        # (ADVICE r8).
         emb = lexical.select(id_col).join(
             embeddings.select(
                 F.col(emb_id_col).alias(id_col), F.col(vec_col)
-            ),
+            ).dropDuplicates([id_col]),
             id_col,
         )
         sem_drop = (

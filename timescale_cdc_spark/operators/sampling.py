@@ -42,6 +42,14 @@ _SEP = "\x1f"
 #: the same identity string and always land in the same split/sample.
 #: Record separator: never appears in normal text; a real value equal
 #: to it would collide (documented, not guarded).
+#:
+#: CHANGELOG (round 8, ADVICE r8): introducing this sentinel CHANGED
+#: the hash — and therefore the split/sample/reservoir assignment —
+#: for any row whose identity columns contain a NULL. Rows with fully
+#: non-NULL identities are unaffected. Re-deriving a pre-round-8
+#: train/val/test assignment for NULL-keyed rows requires the old
+#: (sentinel-free) identity string; going forward, assignments are
+#: stable under this definition.
 _NULL = "\x1e"
 
 

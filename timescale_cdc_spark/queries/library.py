@@ -34,6 +34,8 @@ Determinism notes (driver hash is exact — see queries/base.py):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -229,7 +231,9 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_rollup,
     )
 
-    ev = t(spark, sf_dir, "events")
+    # one parquet scan for all union branches (VERDICT r8 #4) — the
+    # entry's 10 family branches otherwise each re-scan the facts
+    ev = t(spark, sf_dir, "events").cache()
     key = ["user_id"]
 
     # keep_seams makes the rolled output a valid DAILY partial, so
@@ -336,6 +340,175 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stats_agg + counter_agg + candlestick_agg rollups
 # ---------------------------------------------------------------------------
 
+# --- sketch / histogram / percentile family constants (round 9) ------------
+# Shared verbatim by the Spark side and the oracle so both engines bin
+# and rank identically. UDD bin determinism: every fixture value's
+# log-bucket fraction sits >= 7.9e-5 from an integer boundary
+# (measured at sf0.001/0.01/0.1) while a 1-ulp cross-engine ln()
+# difference moves it by ~1e-13 — 8 orders of margin, so floor()
+# agrees. The ENTRY's sketch is deliberately compact (162 bins —
+# Timescale's own uddsketch default is ~200 buckets): the per-group
+# dense-array assembly and rollup fold are O(nbins) interpreted
+# higher-order expressions, so bins are the direct knob on bench cost
+# (1727-bin config measured ~8 s at sf0.1; 162 bins ~0.8 s). The
+# operator DEFAULTS in functions/hyper.py keep the wide fine-alpha
+# config; the 9M soak pins its error bound there.
+UDD_LO = 1e-3
+UDD_HI = 1e4
+UDD_ALPHA = 0.05
+UDD_GAMMA = (1.0 + UDD_ALPHA) / (1.0 - UDD_ALPHA)
+UDD_NBINS = int(math.ceil(math.log(UDD_HI / UDD_LO) / math.log(UDD_GAMMA)))
+UDD_RANK_VALUE = 100.0  # fixed probe for approx_percentile_rank
+UDD_RANK_BIN = min(
+    max(
+        int(
+            math.floor(
+                math.log(UDD_RANK_VALUE / UDD_LO) / math.log(UDD_GAMMA)
+            )
+        ),
+        0,
+    ),
+    UDD_NBINS - 1,
+)
+# lg_k=14 keeps the DataSketches HLL in its EXACT sparse regime at
+# every fixture cardinality (max ~550 distinct per group at sf0.1;
+# lg_k=12 goes estimative above ~500) — the family row proves the
+# hourly-sketch → daily-union algebra against exact count(DISTINCT).
+HLL_LG_K = 14
+HIST_LO, HIST_HI, HIST_NBUCKETS = 0.0, 500.0, 20
+
+#: round-9 families appended to the same entry: exact percentile
+#: (quantile_cont parity), UDDSketch bins + accessors (rollup==direct
+#: cross-engine — the bins are deterministic data, see constants
+#: above), equi-width histogram, and HLL distinct rollup in its exact
+#: small-n regime.
+_SKETCH_FAMILIES_SQL = f"""
+pct AS (
+  SELECT event_type, floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         count(value)::BIGINT AS n,
+         quantile_cont(value, 0.25) AS p25,
+         quantile_cont(value, 0.5) AS p50,
+         quantile_cont(value, 0.9) AS p90,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY 1, 2
+),
+pct_rows AS (
+  SELECT 'percentile' AS family, event_type,
+         make_timestamp(day_s * 1000000) AS bucket, m.metric,
+         m.value + 0.0 AS value
+  FROM pct, LATERAL (VALUES
+    ('n', n::DOUBLE),
+    ('p25', round(p25 + 1e-11, 6)),
+    ('p50', round(p50 + 1e-11, 6)),
+    ('p90', round(p90 + 1e-11, 6)),
+    ('p99', round(p99 + 1e-11, 6))) AS m(metric, value)
+),
+udd AS (
+  SELECT event_type, floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         CASE WHEN value > 0 THEN
+           least(greatest(floor(ln(value / {UDD_LO!r}) / ln({UDD_GAMMA!r})),
+                          0), {UDD_NBINS - 1})::INT
+         END AS bin
+  FROM events
+),
+udd_bins AS (
+  SELECT event_type, day_s, bin, count(*)::BIGINT AS c
+  FROM udd WHERE bin IS NOT NULL GROUP BY 1, 2, 3
+),
+udd_bin_rows AS (
+  SELECT 'udd' AS family, event_type,
+         make_timestamp(day_s * 1000000) AS bucket,
+         printf('bin_%04d', bin) AS metric, c::DOUBLE AS value
+  FROM udd_bins
+),
+udd_n AS (
+  SELECT event_type, day_s, count(*)::BIGINT AS n,
+         count(*) FILTER (bin IS NULL)::BIGINT AS n_nonpos
+  FROM udd GROUP BY 1, 2
+),
+udd_cum AS (
+  SELECT event_type, day_s, bin, c,
+         sum(c) OVER (PARTITION BY event_type, day_s ORDER BY bin) AS cum
+  FROM udd_bins
+),
+udd_q AS (
+  SELECT b.event_type, b.day_s, p.p, n.n_nonpos,
+         greatest(ceil(p.p * n.n), 1) AS rnk,
+         min(b.bin) AS found
+  FROM udd_cum b
+  JOIN udd_n n ON n.event_type = b.event_type AND n.day_s = b.day_s
+  CROSS JOIN (VALUES (0.5), (0.95)) AS p(p)
+  WHERE n.n_nonpos + b.cum >= greatest(ceil(p.p * n.n), 1)
+  GROUP BY 1, 2, 3, 4, 5
+),
+udd_q_rows AS (
+  SELECT 'udd' AS family, event_type,
+         make_timestamp(day_s * 1000000) AS bucket,
+         CASE WHEN p = 0.5 THEN 'q50' ELSE 'q95' END AS metric,
+         round(CASE WHEN n_nonpos >= rnk THEN 0.0
+                    ELSE {UDD_LO!r} * pow({UDD_GAMMA!r}, found + 0.5) END
+               + 1e-9, 4) + 0.0 AS value
+  FROM udd_q
+),
+udd_acc_rows AS (
+  SELECT 'udd' AS family, n.event_type,
+         make_timestamp(n.day_s * 1000000) AS bucket,
+         m.metric, m.value + 0.0 AS value
+  FROM udd_n n
+  LEFT JOIN (SELECT event_type, day_s, sum(c)::BIGINT AS cum_r
+             FROM udd_bins WHERE bin <= {UDD_RANK_BIN}
+             GROUP BY 1, 2) r
+    ON r.event_type = n.event_type AND r.day_s = n.day_s,
+  LATERAL (VALUES
+    ('n', n.n::DOUBLE),
+    ('error',
+     round(({UDD_GAMMA!r} - 1.0) / ({UDD_GAMMA!r} + 1.0), 8)),
+    ('rank100',
+     (n.n_nonpos + coalesce(r.cum_r, 0))::DOUBLE / n.n::DOUBLE))
+    AS m(metric, value)
+),
+hist AS (
+  SELECT event_type, floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         CASE WHEN value < {HIST_LO!r} THEN 0
+              WHEN value >= {HIST_HI!r} THEN {HIST_NBUCKETS + 1}
+              ELSE floor((value - {HIST_LO!r})
+                         / {(HIST_HI - HIST_LO) / HIST_NBUCKETS!r})::INT + 1
+         END AS hb
+  FROM events
+),
+hist_counts AS (
+  SELECT event_type, day_s, hb, count(*)::BIGINT AS c
+  FROM hist GROUP BY 1, 2, 3
+),
+hist_grid AS (
+  SELECT k.event_type, k.day_s, g.g AS hb
+  FROM (SELECT DISTINCT event_type, day_s FROM hist) k,
+       UNNEST(generate_series(0, {HIST_NBUCKETS + 1})) AS g(g)
+),
+hist_rows AS (
+  SELECT 'histogram' AS family, g.event_type,
+         make_timestamp(g.day_s * 1000000) AS bucket,
+         printf('h%02d', g.hb) AS metric,
+         coalesce(c.c, 0)::DOUBLE AS value
+  FROM hist_grid g LEFT JOIN hist_counts c
+    ON c.event_type = g.event_type AND c.day_s = g.day_s AND c.hb = g.hb
+),
+hll AS (
+  SELECT event_type, floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
+         count(DISTINCT user_id)::BIGINT AS du,
+         count(user_id)::BIGINT AS nr
+  FROM events GROUP BY 1, 2
+),
+hll_rows AS (
+  SELECT 'hll' AS family, event_type,
+         make_timestamp(day_s * 1000000) AS bucket,
+         m.metric, m.value + 0.0 AS value
+  FROM hll, LATERAL (VALUES
+    ('distinct_users', du::DOUBLE),
+    ('n_rows', nr::DOUBLE)) AS m(metric, value)
+)
+"""
+
 _STATS_COUNTER_CANDLE_ORACLE = """
 WITH stats_day AS (
   SELECT event_type,
@@ -402,12 +575,16 @@ ctr_rows AS (
        ) AS m(metric, value)
 ),
 candle_day AS (
+  -- arg_min/arg_max keys on (ts, event_id) folded into one HUGEINT so
+  -- duplicate timestamps in a future fixture can't make the oracle
+  -- tie-ambiguous — the same total order the Spark side's struct
+  -- tie-break uses (ADVICE r8)
   SELECT event_type,
          floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
-         arg_min(value, ts) AS open,
+         arg_min(value, (epoch_us(ts)::HUGEINT * 1000000000 + event_id)) AS open,
          max(value) AS high,
          min(value) AS low,
-         arg_max(value, ts) AS close,
+         arg_max(value, (epoch_us(ts)::HUGEINT * 1000000000 + event_id)) AS close,
          epoch_us(min(ts)) AS open_us,
          epoch_us(max(ts)) AS close_us,
          count(*)::BIGINT AS volume
@@ -458,9 +635,9 @@ gauge_day AS (
   -- (identical operands, identical IEEE ops on both engines)
   SELECT event_type,
          floor(epoch(ts) / 86400)::BIGINT * 86400 AS day_s,
-         arg_max(value, ts) - arg_min(value, ts) AS delta,
+         arg_max(value, (epoch_us(ts)::HUGEINT * 1000000000 + event_id)) - arg_min(value, (epoch_us(ts)::HUGEINT * 1000000000 + event_id)) AS delta,
          CASE WHEN epoch_us(max(ts)) > epoch_us(min(ts)) THEN
-           (arg_max(value, ts) - arg_min(value, ts))
+           (arg_max(value, (epoch_us(ts)::HUGEINT * 1000000000 + event_id)) - arg_min(value, (epoch_us(ts)::HUGEINT * 1000000000 + event_id)))
            / ((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0)
          END AS rate,
          count(*)::BIGINT AS n_obs
@@ -476,12 +653,18 @@ gauge_rows AS (
          ('rate', rate),
          ('n_obs', n_obs::DOUBLE)
        ) AS m(metric, value)
-)
+),""" + _SKETCH_FAMILIES_SQL + """
 SELECT * FROM stats_rows
 UNION ALL SELECT * FROM ctr_rows
 UNION ALL SELECT * FROM candle_rows
 UNION ALL SELECT * FROM vwap_rows
 UNION ALL SELECT * FROM gauge_rows
+UNION ALL SELECT * FROM pct_rows
+UNION ALL SELECT * FROM udd_bin_rows
+UNION ALL SELECT * FROM udd_q_rows
+UNION ALL SELECT * FROM udd_acc_rows
+UNION ALL SELECT * FROM hist_rows
+UNION ALL SELECT * FROM hll_rows
 """
 
 
@@ -502,20 +685,54 @@ def lib_stats_counter_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each metric's rounding grid sits ≥4 orders of magnitude above
     the worst cross-engine drift while keeping 6+ significant digits
     of regression-detecting signal.
+
+    Round 9 adds four more families to the same slot (VERDICT r8 #1 —
+    the last pytest-only toolkit families become driver-visible):
+
+    - family='percentile': ``percentile_agg(..., exact=True)`` daily
+      p25/p50/p90/p99 vs DuckDB ``quantile_cont`` — both linear
+      interpolation over identical operands; 6-dp grid + 1e-11 nudge.
+    - family='udd': the REAL UDDSketch path — hourly
+      ``uddsketch_partials`` → daily ``uddsketch_rollup`` (loss-free
+      vector addition, so rollup == a sketch built directly at daily
+      width) with every non-zero log-bucket count emitted as a row,
+      plus the ``uddsketch_quantiles`` / ``error()`` /
+      ``approx_percentile_rank(100)`` accessors. The oracle BUILDS the
+      same sketch directly at daily width in SQL (the bins are
+      deterministic data — see the constants block), so a hash match
+      proves bucketing, rollup algebra, and every accessor cross-engine.
+    - family='histogram': ``histogram(value, 0, 500, 20)`` per day —
+      exact counts, underflow/overflow buckets included.
+    - family='hll': hourly HLL sketches → daily ``hll_rollup`` union,
+      pinned against exact ``count(DISTINCT)`` in the sketch's exact
+      sparse regime (lg_k=14 covers every fixture cardinality).
     """
     from timescale_cdc_spark.functions.hyper import (
+        approx_distinct_agg,
         candlestick_agg,
         candlestick_rollup,
         counter_partials,
         counter_rollup,
         gauge_partials,
         gauge_rollup,
+        histogram,
+        hll_rollup,
+        percentile_agg,
         stats_agg_partials,
         stats_rollup,
+        uddsketch_error,
+        uddsketch_partials,
+        uddsketch_percentile_rank,
+        uddsketch_quantiles,
+        uddsketch_rollup,
         vwap,
     )
 
-    ev = t(spark, sf_dir, "events")
+    # One parquet scan for all eleven union branches (VERDICT r8 #4:
+    # the melted-union harness shape re-scanned the facts per branch;
+    # the table is cagg-input sized at fixture scale, so a single
+    # in-memory pass serves every family).
+    ev = t(spark, sf_dir, "events").cache()
     key = ["event_type"]
 
     # regression x = seconds since the DAY start, not absolute epoch:
@@ -646,11 +863,116 @@ def lib_stats_counter_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("value", F.col("value") + F.lit(0.0))
 
+    # round 9: exact percentile family (quantile_cont parity)
+    pa = percentile_agg(
+        ev, "ts", key, "value", [0.25, 0.5, 0.9, 0.99],
+        width="1 day", exact=True,
+    )
+    pct_rows = pa.select(
+        F.lit("percentile").alias("family"),
+        "event_type",
+        "bucket",
+        F.expr(
+            "stack(5, "
+            "'n', CAST(n AS DOUBLE), "
+            "'p25', round(quantiles[0] + 1e-11, 6), "
+            "'p50', round(quantiles[1] + 1e-11, 6), "
+            "'p90', round(quantiles[2] + 1e-11, 6), "
+            "'p99', round(quantiles[3] + 1e-11, 6)) AS (metric, value)"
+        ),
+    ).withColumn("value", F.col("value") + F.lit(0.0))
+
+    # round 9: UDDSketch — hourly partials rolled to daily (loss-free
+    # vector addition), every non-zero bin emitted, plus the quantile
+    # / error / percentile-rank accessors off the STORED sketch
+    sk = uddsketch_rollup(
+        uddsketch_partials(
+            ev, "ts", key, "value", "1 hour",
+            lo=UDD_LO, hi=UDD_HI, alpha=UDD_ALPHA,
+        ),
+        key,
+        width="1 day",
+    )
+    # bin rows read the PLAIN rollup (accessor expressions attach only
+    # to the small accessor branch — they'd otherwise ride through the
+    # explode's analysis for nothing)
+    udd_bin_rows = sk.select(
+        "event_type", "bucket", F.posexplode("counts").alias("b", "c")
+    ).filter("c > 0").select(
+        F.lit("udd").alias("family"),
+        "event_type",
+        "bucket",
+        F.format_string("bin_%04d", F.col("b")).alias("metric"),
+        F.col("c").cast("double").alias("value"),
+    )
+    ska = uddsketch_percentile_rank(
+        uddsketch_error(uddsketch_quantiles(sk, [0.5, 0.95])),
+        UDD_RANK_VALUE,
+    )
+    udd_acc_rows = ska.select(
+        F.lit("udd").alias("family"),
+        "event_type",
+        "bucket",
+        F.expr(
+            "stack(5, "
+            "'n', CAST(n AS DOUBLE), "
+            "'q50', round(quantiles[0] + 1e-9, 4), "
+            "'q95', round(quantiles[1] + 1e-9, 4), "
+            "'error', round(error, 8), "
+            "'rank100', approx_rank) AS (metric, value)"
+        ),
+    ).withColumn("value", F.col("value") + F.lit(0.0))
+
+    # round 9: per-day equi-width histogram (exact counts, dense
+    # underflow/overflow-inclusive bucket array)
+    evd = ev.withColumn(
+        "_day_s",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long"),
+    )
+    hg = histogram(
+        evd, "value", ["event_type", "_day_s"],
+        lo=HIST_LO, hi=HIST_HI, nbuckets=HIST_NBUCKETS,
+    )
+    hist_rows = hg.select(
+        "event_type", "_day_s", F.posexplode("counts").alias("b", "c")
+    ).select(
+        F.lit("histogram").alias("family"),
+        "event_type",
+        F.timestamp_seconds("_day_s").alias("bucket"),
+        F.format_string("h%02d", F.col("b")).alias("metric"),
+        F.col("c").cast("double").alias("value"),
+    )
+
+    # round 9: HLL distinct-count rollup (hourly sketches → daily
+    # union) in the sketch's exact sparse regime
+    hr = hll_rollup(
+        approx_distinct_agg(
+            ev, "ts", key, "user_id", "1 hour", lg_k=HLL_LG_K
+        ),
+        key,
+        width="1 day",
+    )
+    hll_rows = hr.select(
+        F.lit("hll").alias("family"),
+        "event_type",
+        "bucket",
+        F.expr(
+            "stack(2, "
+            "'distinct_users', CAST(distinct_est AS DOUBLE), "
+            "'n_rows', CAST(n_rows AS DOUBLE)) AS (metric, value)"
+        ),
+    ).withColumn("value", F.col("value") + F.lit(0.0))
+
     return (
         stats_rows.unionByName(ctr_rows)
         .unionByName(candle_rows)
         .unionByName(vwap_rows)
         .unionByName(gauge_rows)
+        .unionByName(pct_rows)
+        .unionByName(udd_bin_rows)
+        .unionByName(udd_acc_rows)
+        .unionByName(hist_rows)
+        .unionByName(hll_rows)
     )
 
 
@@ -767,8 +1089,9 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_sample,
     )
 
-    ev = t(spark, sf_dir, "events")
-    docs = t(spark, sf_dir, "documents")
+    # one scan per fact table across the union branches (VERDICT r8 #4)
+    ev = t(spark, sf_dir, "events").cache()
+    docs = t(spark, sf_dir, "documents").cache()
     ts_type = ev.schema["ts"].dataType
     null_ts = F.lit(None).cast(ts_type)
     null_bucket = F.lit(None).cast("timestamp")
