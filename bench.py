@@ -78,6 +78,23 @@ HEADLINE = [
     "lib_m4_split_sample",  # M4 hourly + deterministic split/sample
 ]
 
+# Entries whose CONTENT changed this round — so the round-over-round
+# per-query comparison knows a slower number means more coverage, not
+# a regression. Rewritten (not appended) each round.
+COVERAGE_NOTES = {
+    "lib_stats_counter_candle": (
+        "round 9: 9 families (was 5) — +exact percentile, UDDSketch "
+        "bins/accessors, histogram, HLL rollup; fact scan now cached "
+        "(1 physical scan)"
+    ),
+    "cdc_continuous_aggregate": (
+        "round 9: two-level hierarchical cagg (hourly + daily via "
+        "cascade_refresh; was single-level)"
+    ),
+    "lib_state_heartbeat_freq": "round 9: fact scan cached (1 physical scan)",
+    "lib_m4_split_sample": "round 9: fact scans cached",
+}
+
 
 def _calibrate_jvm(spark) -> float:
     """Min-of-3 of a fixed CPU-bound whole-stage-codegen job — the
@@ -174,6 +191,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calibration_jvm_sec": calib_jvm,
                 "calibration_py_sec": calib_py,
+                "coverage_notes": COVERAGE_NOTES,
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "mem_available_kb": _mem_available_kb(),

@@ -98,15 +98,7 @@ def test_c2_registered_row_count_with_guard(spark, sf_dir):
         for r in c2_minhash_simhash(spark, sf_dir)
         .groupBy("method").agg(F.count("*").alias("n")).collect()
     }
-    assert set(guarded) == {"minhash", "simhash", "semdedup"}, (
-        f"method dropout: {guarded}"
-    )
-    # semdedup rows = kept vectors; both in-plan gates held (a gate
-    # trip zeroes the method) and every planted copy was deduped, so
-    # the survivor count equals the original embeddings table exactly
-    from timescale_cdc_spark.queries.base import t as _t
-
-    assert guarded["semdedup"] == _t(spark, sf_dir, "embeddings").count()
+    assert set(guarded) == {"minhash", "simhash"}, f"method dropout: {guarded}"
     corpus = _planted_docs(spark, sf_dir)
     uncapped_mh = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5)
     uncapped_sh = sp(corpus, "text", "doc_id", max_hamming=3)
@@ -832,13 +824,21 @@ def test_streaming_near_dedup_attach_end_to_end(spark, tmp_path):
 
 def test_c2_streaming_registered_row_count(spark):
     """Pin the registered streaming-gate query's shape at the driver's
-    SF (the rows-only count IS the signal — 0 rows means the in-plan
-    no-surviving-dups invariant fired; a different count means the
-    batch split or gate semantics changed)."""
+    SF (the rows-only count IS the signal — 0 rows in a method means
+    that method's in-plan invariant fired; a different count means the
+    batch split, gate semantics, or semdedup clustering changed).
+
+    stream_gate: 476 admitted survivors. semdedup: 500 kept vectors —
+    the original embeddings table exactly, because every planted copy
+    deduped and both gates held (a gate trip zeroes the method)."""
     from timescale_cdc_spark.queries.llm_queries import c2_streaming_near_dedup
 
     out = c2_streaming_near_dedup(spark, _sibling_sf_dir("sf0.01"))
-    assert out.count() == 476
+    per_method = {
+        r["method"]: r["n"]
+        for r in out.groupBy("method").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_method == {"stream_gate": 476, "semdedup": 500}, per_method
 
 
 def test_streaming_near_dedup_transitive_option(spark, tmp_path):
@@ -1414,3 +1414,19 @@ def test_curate_with_semantic_stage(spark, sf_dir):
     for d, k in sem_kept.items():
         assert (not k) or base_kept[d]
     out.unpersist()
+
+
+def test_lttb_asap_registered_row_counts(spark):
+    """Pin the round-9 downsample entry's per-method counts at the
+    driver's SF (rows-only: the count IS the signal — 0 rows in a
+    method means one of its in-plan gates fired; a different count
+    means selection or the ASAP window search changed)."""
+    from timescale_cdc_spark.queries.library import lib_lttb_asap_downsample
+
+    out = lib_lttb_asap_downsample(spark, _sibling_sf_dir("sf0.01"))
+    per = {
+        r["method"]: r["n"]
+        for r in out.groupBy("method").agg(F.count("*").alias("n")).collect()
+    }
+    # lttb: 5 series x n_out=100; asap: Σ per-series (reduced_len - w + 1)
+    assert per == {"lttb": 500, "asap": 979}, per

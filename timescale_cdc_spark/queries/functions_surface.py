@@ -98,29 +98,59 @@ def b13_scan_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b14_partitioned_sink",
     """
-    SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM events GROUP BY 1
+    WITH agg AS (
+      SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT 'sink' AS layout, * FROM agg
+    UNION ALL
+    SELECT 'compressed' AS layout, * FROM agg
     """,
 )
 def b14_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink (B14 = A5+A9): the event-log layout —
     Hive-style event_date partitions standing in for hypertable chunks
     (reference init.sql:70). Reading back and aggregating per partition
-    proves partition pruning-compatible layout."""
+    proves partition pruning-compatible layout.
+
+    Round 9 adds layout='compressed' rows: the sink rewritten with the
+    two ``compress_chunk`` levers (cdc/retention.py::compress_partition
+    semantics) — rows re-sorted by (segment_by=event_type,
+    order_by=ts,event_id) so dictionary/RLE and delta encodings engage,
+    and the codec swapped to zstd — then read back and aggregated
+    identically. The hash match proves the compressed rewrite is
+    READ-TRANSPARENT (loses and changes nothing); the chunk-wise
+    atomic-swap machinery itself is pytest-covered
+    (tests/test_cdc.py::test_compress_partition*)."""
     path = _scratch(sf_dir, "events_partitioned")
     src = t(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
     )
     src.write.mode("overwrite").partitionBy("event_date").parquet(path)
     back = spark.read.parquet(path)
-    return (
-        back.groupBy(F.col("event_date").cast("date").alias("event_date"))
-        .agg(
-            F.count("*").alias("n"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
+
+    zpath = _scratch(sf_dir, "events_compressed")
+    (
+        back.sortWithinPartitions("event_type", "ts", "event_id")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("event_date")
+        .parquet(zpath)
     )
+    zback = spark.read.parquet(zpath)
+
+    def agg(df: DataFrame, layout: str) -> DataFrame:
+        return (
+            df.groupBy(F.col("event_date").cast("date").alias("event_date"))
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+
+    return agg(back, "sink").unionByName(agg(zback, "compressed"))
 
 
 # ---------------------------------------------------------------------------

@@ -1143,3 +1143,131 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m4.unionByName(split).unionByName(sample).unionByName(reservoir)
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB / ASAP downsampling (rows-only, in-plan-gated — round 9)
+# ---------------------------------------------------------------------------
+
+_LTTB_N_OUT = 100
+_ASAP_RESOLUTION = 100
+
+
+@register("lib_lttb_asap_downsample")  # sequential-per-series Arrow path → rows-only
+def lib_lttb_asap_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB + ASAP downsampling (operators/downsample.py) — the last
+    pytest-only toolkit family made driver-visible (round 9; the slot
+    came from the b19+b20 merge). Both are sequential-per-series
+    applyInPandas operators whose outputs have no tractable SQL
+    oracle (LTTB's bucket picks chain on the previous pick; ASAP's
+    window comes from an autocorrelation search), so the entry is
+    rows-only with IN-PLAN gates — any violation zeroes the method's
+    rows, making the driver's count a real accuracy signal:
+
+    method='lttb' (``lttb(ts, value, n_out)`` per event_type series):
+      (a) per-series output count == min(n_out, series length);
+      (b) every output row IS an input row (anti-join empty) — LTTB
+          selects, never synthesizes;
+      (c) each series' first/last timestamps survive (the algorithm's
+          anchor property).
+    method='asap' (``asap_smooth(ts, value, resolution)``):
+      (d) per-series output count in [1, 2*resolution];
+      (e) smoothed variance ≤ 1.05 × raw variance per series — the
+          SMA removes variance, but the pixel pre-reduction's
+          bucket-mean SAMPLE variance can sit a hair above the raw
+          series' when buckets are near-singleton (measured +0.5% at
+          sf0.001 where n≈2·resolution), so the gate is an envelope:
+          a regression that amplifies noise blows far past 5%.
+
+    Rows: (method, event_type, ts_us, value). 100 TB shape: both
+    operators shuffle once on the series key and run vectorized numpy
+    per Arrow batch — cost scales with |series|; a series too large
+    for one executor thins through the JVM-side M4 pre-pass first
+    (m4_downsample — driver-checked in lib_m4_split_sample)."""
+    from timescale_cdc_spark.operators.downsample import asap_smooth, lttb
+
+    ev = t(spark, sf_dir, "events")
+    inp = ev.select(
+        "event_type", "ts", F.col("value").cast("double").alias("value")
+    )
+
+    out = lttb(inp, ["event_type"], "ts", "value", _LTTB_N_OUT)
+    out = out.localCheckpoint()  # pin: reused by three gates + emit
+
+    in_counts = inp.groupBy("event_type").agg(F.count("*").alias("in_n"))
+    n_bad_count = (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("out_n"))
+        .join(in_counts, "event_type")
+        .where(
+            F.col("out_n") != F.least(F.lit(_LTTB_N_OUT), F.col("in_n"))
+        )
+        .agg(F.count("*").alias("n_bad_count"))
+    )
+    n_not_subset = (
+        out.join(inp, ["event_type", "ts", "value"], "left_anti")
+        .agg(F.count("*").alias("n_not_subset"))
+    )
+    ends = inp.groupBy("event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    out_ends = out.groupBy("event_type").agg(
+        F.min("ts").alias("o_first"), F.max("ts").alias("o_last")
+    )
+    n_bad_ends = (
+        ends.join(out_ends, "event_type")
+        .where(
+            (F.col("first_ts") != F.col("o_first"))
+            | (F.col("last_ts") != F.col("o_last"))
+        )
+        .agg(F.count("*").alias("n_bad_ends"))
+    )
+    lttb_rows = (
+        out.crossJoin(F.broadcast(n_bad_count))
+        .crossJoin(F.broadcast(n_not_subset))
+        .crossJoin(F.broadcast(n_bad_ends))
+        .where(
+            (F.col("n_bad_count") == 0)
+            & (F.col("n_not_subset") == 0)
+            & (F.col("n_bad_ends") == 0)
+        )
+        .select(
+            F.lit("lttb").alias("method"),
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+        )
+    )
+
+    sm = asap_smooth(inp, ["event_type"], "ts", "value", _ASAP_RESOLUTION)
+    sm = sm.localCheckpoint()  # pin: reused by two gates + emit
+    sm_counts = sm.groupBy("event_type").agg(F.count("*").alias("sm_n"))
+    n_bad_sm_count = (
+        sm_counts.where(
+            (F.col("sm_n") < 1)
+            | (F.col("sm_n") > 2 * _ASAP_RESOLUTION)
+        )
+        .agg(F.count("*").alias("n_bad_sm_count"))
+    )
+    raw_var = inp.groupBy("event_type").agg(
+        F.var_samp("value").alias("raw_var")
+    )
+    n_bad_var = (
+        sm.groupBy("event_type")
+        .agg(F.var_samp("value").alias("sm_var"))
+        .join(raw_var, "event_type")
+        .where(F.col("sm_var") > F.col("raw_var") * 1.05)
+        .agg(F.count("*").alias("n_bad_var"))
+    )
+    asap_rows = (
+        sm.crossJoin(F.broadcast(n_bad_sm_count))
+        .crossJoin(F.broadcast(n_bad_var))
+        .where((F.col("n_bad_sm_count") == 0) & (F.col("n_bad_var") == 0))
+        .select(
+            F.lit("asap").alias("method"),
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+        )
+    )
+    return lttb_rows.unionByName(asap_rows)

@@ -217,16 +217,9 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy signal, not just \"ran without error\". Planted-pair
     recall is additionally asserted in tests/test_operators.py.
 
-    Round 9 (VERDICT r8 #2) adds method='semdedup' rows — SemDeDup
-    semantic dedup (operators/semdedup.py) over the embeddings table
-    plus one planted ε-near copy per 50 ids (component bump, cos ≥
-    0.99875 with its original by construction): one row per KEPT
-    vector ``(method, id_a=vec_id, id_b=cluster cell, score=centroid
-    cosine)``. Two in-plan gates zero the rows on regression: (a)
-    every planted (original, copy) group must keep EXACTLY one member;
-    (b) every dropped id must have a same-cell higher-ranked witness
-    at cosine ≥ eps, re-derived through an independently-written rank
-    join (catches marks-assembly bugs, not just clustering drift)."""
+    (SemDeDup's driver rows live in ``c2_streaming_near_dedup`` — this
+    entry is in the headline bench, and the KMeans fit + gate joins
+    would triple its cost for coverage the cheaper entry carries.)"""
     corpus = _planted_docs(spark, sf_dir)
     from timescale_cdc_spark.operators.dedup import word_shingles
 
@@ -258,7 +251,7 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_pairs(corpus, "text", "doc_id", max_hamming=3,
                       max_bucket=SKETCH_MAX_BUCKET), "tk"
     ).filter(F.col("_exact_j") >= 0.5)
-    lexical = mh.select(
+    return mh.select(
         F.lit("minhash").alias("method"),
         "id_a",
         "id_b",
@@ -271,7 +264,6 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hamming").cast("double").alias("score"),
         )
     )
-    return lexical.unionByName(_semdedup_rows(spark, sf_dir))
 
 
 #: SemDeDup planting/gate constants (method='semdedup' rows)
@@ -281,11 +273,18 @@ SEMDEDUP_COPY_STRIDE = 50
 
 
 def _semdedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """method='semdedup' rows for :func:`c2_minhash_simhash` — kept
-    vectors from SemDeDup over embeddings ∪ planted near-copies, with
-    the two in-plan gates described in the entry docstring. Gate
-    failures zero the row count (the c2_streaming_near_dedup broadcast
-    pattern), so the driver's rows-only count is an accuracy signal."""
+    """method='semdedup' rows for :func:`c2_streaming_near_dedup` —
+    kept vectors from SemDeDup (operators/semdedup.py, VERDICT r8 #2)
+    over the embeddings table ∪ one planted ε-near copy per 50 ids
+    (component bump, cos ≥ 0.99875 with its original by construction):
+    one row per KEPT vector ``(method, id_a=vec_id, id_b=cluster cell,
+    score=centroid cosine)``. Two in-plan gates zero the rows on
+    regression (the broadcast-count pattern), so the driver's
+    rows-only count is an accuracy signal: (a) every planted
+    (original, copy) group must keep EXACTLY one member; (b) every
+    dropped id must have a same-cell higher-ranked witness at cosine
+    ≥ eps, re-derived through an independently-written rank join
+    (catches marks-assembly bugs, not just clustering drift)."""
     from timescale_cdc_spark.operators.semdedup import semantic_dedup_marks
     from timescale_cdc_spark.operators.similarity import cosine
 
@@ -394,7 +393,14 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (The production path is a foreachBatch sink writing survivors out
     — see StreamingNearDedup.attach; this adapter exists so the driver
-    exercises the gate's semantics every round.)"""
+    exercises the gate's semantics every round.)
+
+    Round 9 (VERDICT r8 #2): the entry is method-tagged long format
+    ``(method, id_a, id_b, score)`` and additionally carries
+    method='semdedup' rows — SemDeDup semantic dedup with planted-copy
+    and drop-witness in-plan gates (see :func:`_semdedup_rows`). The
+    streaming-gate rows are method='stream_gate' with id_b = admitting
+    batch and score = surviving doc length."""
     import shutil
 
     from timescale_cdc_spark.operators.curation import StreamingNearDedup
@@ -420,12 +426,18 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs(admitted, "text", "doc_id", threshold=gate.threshold)
         .agg(F.count("*").alias("n_viol"))
     )
-    return (
+    gate_rows = (
         admitted.select("ingest_batch", "doc_id", F.length("text").alias("n_chars"))
         .crossJoin(F.broadcast(viol))
         .filter(F.col("n_viol") == 0)
-        .drop("n_viol")
+        .select(
+            F.lit("stream_gate").alias("method"),
+            F.col("doc_id").alias("id_a"),
+            F.col("ingest_batch").cast("long").alias("id_b"),
+            F.col("n_chars").cast("double").alias("score"),
+        )
     )
+    return gate_rows.unionByName(_semdedup_rows(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

@@ -245,45 +245,22 @@ def b18_b24_join_inner_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b19_join_left_outer",
+    "b19_b20_join_outer_semi_anti",
     """
-    SELECT c_custkey, c_name,
-           COUNT(o_orderkey) AS n_orders,
+    SELECT 'left_outer' AS variant,
+           CAST(c_custkey AS VARCHAR) AS key1, c_name AS key2,
+           COUNT(o_orderkey) AS n,
            CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE)
-             AS total_spend
+             AS amount
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
-    """,
-)
-def b19_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join (B19): customers kept with zero orders — the
-    snapshot-diff building block (full-outer variant drives CDC op
-    derivation, see cdc/capture.py)."""
-    cu = t(spark, sf_dir, "customer")
-    od = t(spark, sf_dir, "orders")
-    return (
-        cu.join(od, cu.c_custkey == od.o_custkey, "left")
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(
-                F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))")), F.lit(0)
-            )
-            .cast("double")
-            .alias("total_spend"),
-        )
-    )
-
-
-@register(
-    "b20_join_semi_anti",
-    """
-    SELECT 'semi' AS join_kind, c_mktsegment, COUNT(*) AS n
+    UNION ALL
+    SELECT 'semi', c_mktsegment, NULL, COUNT(*), NULL
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_mktsegment
     UNION ALL
-    SELECT 'anti' AS join_kind, c_mktsegment, COUNT(*) AS n
+    SELECT 'anti', c_mktsegment, NULL, COUNT(*), NULL
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
@@ -291,19 +268,52 @@ def b19_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_mktsegment
     """,
 )
-def b20_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi + left-anti joins (B20), tagged and unioned: 'assets
-    that have ≥1 change event' per segment and 'assets with no change
-    event in the recent window' per segment. Semi never duplicates the
-    left side — cheaper than inner+distinct; anti is the dormant-entity
-    audit."""
+def b19_b20_join_outer_semi_anti(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B19 left-outer + B20 semi/anti joins, variant-tagged in one
+    entry (round 9 merge — the b18_b24 pattern; every merged
+    operator's rows stay hash-checked; the freed slot went to the
+    LTTB/ASAP downsample entry).
+
+    variant='left_outer': customers kept with zero orders — the
+    snapshot-diff building block (full-outer variant drives CDC op
+    derivation, see cdc/capture.py). variant='semi': 'assets with ≥1
+    change event' per segment — semi never duplicates the left side,
+    cheaper than inner+distinct. variant='anti': the dormant-entity
+    audit ('no change event in the recent window')."""
     cu = t(spark, sf_dir, "customer")
     od = t(spark, sf_dir, "orders")
+    outer = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.coalesce(
+                F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))")), F.lit(0)
+            )
+            .cast("double")
+            .alias("amount"),
+        )
+        .select(
+            F.lit("left_outer").alias("variant"),
+            F.col("c_custkey").cast("string").alias("key1"),
+            F.col("c_name").alias("key2"),
+            "n",
+            "amount",
+        )
+    )
     semi = (
         cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"))
-        .select(F.lit("semi").alias("join_kind"), "c_mktsegment", "n")
+        .select(
+            F.lit("semi").alias("variant"),
+            F.col("c_mktsegment").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            "n",
+            F.lit(None).cast("double").alias("amount"),
+        )
     )
     recent = od.filter(
         F.col("o_orderdate") >= F.lit("2001-05-01 00:00:00").cast("timestamp")
@@ -312,9 +322,15 @@ def b20_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.join(recent, cu.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"))
-        .select(F.lit("anti").alias("join_kind"), "c_mktsegment", "n")
+        .select(
+            F.lit("anti").alias("variant"),
+            F.col("c_mktsegment").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            "n",
+            F.lit(None).cast("double").alias("amount"),
+        )
     )
-    return semi.unionByName(anti)
+    return outer.unionByName(semi).unionByName(anti)
 
 
 @register(
