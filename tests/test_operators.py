@@ -1430,3 +1430,71 @@ def test_lttb_asap_registered_row_counts(spark):
     }
     # lttb: 5 series x n_out=100; asap: Σ per-series (reduced_len - w + 1)
     assert per == {"lttb": 500, "asap": 979}, per
+
+
+# ---------------------------------------------------------------------------
+# decontamination (operators/decontam.py)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Planted eval-overlapping docs flag; clean docs don't; counts and
+    ratios are exact on a hand-computable corpus."""
+    from timescale_cdc_spark.operators.decontam import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains "quick brown fox" (one eval 3-gram), 4 grams total
+            (10, "a very quick brown fox appears"),
+            # no eval 3-gram
+            (11, "completely unrelated training text here"),
+            # full eval sentence embedded -> many hits
+            (12, "prefix the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, eval_df, "text", "doc_id", n=3).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[10]["contaminated"] and rows[10]["n_hits"] == 1
+    assert rows[10]["n_grams"] == 4
+    assert not rows[11]["contaminated"] and rows[11]["n_hits"] == 0
+    # doc 12: grams = 8 (10 words -> 8 trigrams); eval grams = 7, the
+    # embedded sentence contributes all 7 ("prefix the quick" is new)
+    assert rows[12]["n_hits"] == 7 and rows[12]["n_grams"] == 8
+    assert abs(rows[12]["contamination_ratio"] - 7 / 8) < 1e-12
+
+
+def test_decontaminate_hashed_matches_exact(spark):
+    """The production xxhash64 path and the portable string path agree
+    exactly on a real corpus slice (collisions are 2^-64 events)."""
+    from timescale_cdc_spark.operators.decontam import decontaminate
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    a = decontaminate(train, eval_df, "text", "doc_id", n=5, hashed=True)
+    b = decontaminate(train, eval_df, "text", "doc_id", n=5, hashed=False)
+    cols = ["doc_id", "n_grams", "n_hits", "contaminated"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_decontaminate_short_doc_edge(spark):
+    """Docs shorter than n words still produce their single all-words
+    gram and can be flagged by an identical short eval doc."""
+    from timescale_cdc_spark.operators.decontam import decontaminate
+
+    eval_df = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, "tiny doc"), (11, "other words")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate(train, eval_df, "text", "doc_id", n=13).collect()
+    }
+    assert rows[10]["contaminated"] and rows[10]["n_grams"] == 1
+    assert not rows[11]["contaminated"]

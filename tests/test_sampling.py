@@ -224,3 +224,67 @@ def test_det_hash_null_columns_distinct(spark, sf_dir):
         ).fetchall()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mixture_epochs
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_epochs_counts_and_determinism(spark, docs):
+    from timescale_cdc_spark.operators.sampling import mixture_epochs
+
+    weights = {"en": 0.5, "fr": 2.4, "de": 1.0, "es": 3.0}
+    out = mixture_epochs(
+        docs.select("doc_id", "lang"), "lang", weights, ["doc_id"], salt="t"
+    )
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    src = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # integer-weight sources are EXACT multiples; zh (absent) drops
+    assert per["de"] == src["de"]
+    assert per["es"] == 3 * src["es"]
+    assert "zh" not in per
+    # fractional sources land between floor and ceil epochs
+    assert 0 < per["en"] < src["en"]
+    assert 2 * src["fr"] < per["fr"] < 3 * src["fr"]
+    # deterministic: identical second run, row-for-row
+    out2 = mixture_epochs(
+        docs.select("doc_id", "lang"), "lang", weights, ["doc_id"], salt="t"
+    )
+    assert out.exceptAll(out2).count() == 0
+    assert out2.exceptAll(out).count() == 0
+    # partitioning-invariant
+    out3 = mixture_epochs(
+        docs.select("doc_id", "lang").repartition(17),
+        "lang", weights, ["doc_id"], salt="t",
+    )
+    assert out.exceptAll(out3).count() == 0
+
+
+def test_mixture_epochs_copy_indices(spark):
+    from timescale_cdc_spark.operators.sampling import mixture_epochs
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)], "id long, src string"
+    )
+    out = mixture_epochs(df, "src", {"a": 2.0}, ["id"], salt="t")
+    # every row exactly twice, copies indexed 0 and 1
+    assert out.count() == 200
+    per = out.groupBy("id").agg(
+        F.sort_array(F.collect_list("epoch_copy")).alias("c")
+    )
+    assert per.filter(F.col("c") != F.array(F.lit(0), F.lit(1))).count() == 0
+
+
+def test_mixture_epochs_rejects_negative_weight(spark):
+    from timescale_cdc_spark.operators.sampling import mixture_epochs
+
+    df = spark.createDataFrame([(1, "a")], "id long, src string")
+    with pytest.raises(ValueError):
+        mixture_epochs(df, "src", {"a": -0.1}, ["id"])

@@ -5,6 +5,7 @@ search, text analysis, multimodal columns — each designed for 100 TB
 Python loops, Pandas UDFs only at the genuinely-custom edges).
 """
 
+from timescale_cdc_spark.operators.decontam import decontaminate
 from timescale_cdc_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -27,6 +28,7 @@ from timescale_cdc_spark.operators.downsample import (
 )
 from timescale_cdc_spark.operators.sampling import (
     hash_split,
+    mixture_epochs,
     reservoir_per_group,
     stratified_sample,
 )
@@ -42,6 +44,7 @@ __all__ = [
     "assign_packs",
     "assign_packs_exact",
     "brute_force_topk",
+    "decontaminate",
     "embedding_dup_pairs",
     "exact_dedup",
     "fingerprint",
@@ -51,6 +54,7 @@ __all__ = [
     "lttb",
     "m4_downsample",
     "minhash_lsh_pairs",
+    "mixture_epochs",
     "ngram_jaccard_pairs",
     "quality_score",
     "reservoir_per_group",

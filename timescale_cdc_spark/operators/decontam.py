@@ -1,0 +1,108 @@
+"""Train/eval decontamination: flag training documents that share word
+n-grams with an evaluation corpus.
+
+The standard pretraining hygiene step (the GPT-3 paper's appendix-C
+13-gram overlap filter; Dolma and most open corpora ship the same
+shape): any training document containing an n-gram that also appears
+in a benchmark/eval document is contaminated — its presence inflates
+eval scores — and must be flagged (and usually dropped or split)
+before training.
+
+100 TB shape
+------------
+The eval side is SMALL by construction (benchmarks are thousands of
+documents, not billions), so its distinct n-gram set broadcasts and
+the contamination check is a map-side hash probe over the exploded
+training grams — ZERO shuffle until the final per-doc count, which
+partial-aggregates map-side (grams are distinct per doc, so the
+combine is a plain count). Nothing in the plan scales with
+|train|×|eval|. When the eval gram set outgrows the broadcast
+threshold (concatenated benchmark suites), the same declarative plan
+degrades gracefully to a shuffle semi-join — AQE picks the strategy
+from the actual built-side size; the code does not force broadcast.
+
+``hashed=True`` (production default) joins on ``xxhash64(gram)``
+instead of the gram string: 8-byte fixed keys instead of ~100-byte
+strings through the probe and the count. A 64-bit collision marks one
+innocent gram as a hit (P ≈ |eval grams|·|doc grams|/2^64 per doc —
+negligible against ``min_hits``); set ``hashed=False`` for exact
+string matching (also the cross-engine parity mode — portable SQL
+can't reproduce xxhash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from timescale_cdc_spark.operators.dedup import word_shingles
+
+__all__ = ["doc_ngrams", "decontaminate"]
+
+
+def doc_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hashed: bool = True,
+) -> DataFrame:
+    """Distinct word n-grams per document: ``(_id, _gram)`` rows.
+
+    A document shorter than ``n`` words yields its single
+    all-words gram (word_shingles' greatest(size-n, 0) floor) — it can
+    still be contaminated by an eval doc with the same short text.
+    """
+    gram = F.explode(word_shingles(text_col, n)).alias("_gram")
+    out = df.select(F.col(id_col).alias("_id"), gram)
+    if hashed:
+        out = out.select("_id", F.xxhash64("_gram").alias("_gram"))
+    return out
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+    hashed: bool = True,
+) -> DataFrame:
+    """Annotate every ``train`` row with its eval-overlap evidence.
+
+    Returns ``train`` plus:
+
+    - ``n_grams``  — the doc's distinct word-``n``-gram count;
+    - ``n_hits``   — how many of those grams appear anywhere in
+      ``eval_df`` (distinct grams, so ``n_hits <= n_grams``);
+    - ``contamination_ratio`` — ``n_hits / n_grams`` (0.0 for empty
+      docs);
+    - ``contaminated`` — ``n_hits >= min_hits``.
+
+    The caller decides the policy (drop, quarantine, or route to a
+    held-out split); this operator only measures. ``min_hits=1`` is
+    the GPT-3 rule at n=13; smaller ``n`` wants a larger ``min_hits``
+    because short grams collide organically.
+    """
+    tg = doc_ngrams(train, text_col, id_col, n, hashed=hashed)
+    eg = doc_ngrams(eval_df, text_col, id_col, n, hashed=hashed).select(
+        "_gram"
+    ).distinct()
+    per_doc = tg.join(eg, "_gram", "left_semi").groupBy("_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    totals = tg.groupBy("_id").agg(F.count("*").alias("n_grams"))
+    stats = totals.join(per_doc, "_id", "left").na.fill({"n_hits": 0})
+    return (
+        train.join(stats, train[id_col] == stats["_id"], "left")
+        .drop("_id")
+        .na.fill({"n_grams": 0, "n_hits": 0})
+        .withColumn(
+            "contamination_ratio",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_hits") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= F.lit(min_hits))
+    )

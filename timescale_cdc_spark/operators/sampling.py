@@ -169,3 +169,56 @@ def reservoir_per_group(
         .where(F.col("_rk") <= k)
         .drop("_h", "_rk")
     )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    source_col: str,
+    epochs: dict[str, float],
+    on: list[str],
+    salt: str = "",
+    copy_col: str = "epoch_copy",
+) -> DataFrame:
+    """Deterministic training-mixture upsampling: emit each row of
+    source ``s`` exactly ``floor(epochs[s])`` times, plus one more iff
+    its hash falls below ``frac(epochs[s])`` of the space — so a
+    source weighted 2.4 contributes every row twice and a
+    deterministic 40% of rows a third time, and the realized token
+    proportions converge to the published mixture weights (the
+    Pile/Dolma/LLaMA "epochs over each source" recipe) without any
+    RNG state.
+
+    Sources absent from ``epochs`` are dropped (weight 0). Output rows
+    gain ``copy_col`` (0-based copy index) so downstream shard
+    writers / sequence packers can keep copies apart; the (identity,
+    copy) pair is a stable global key for resume-safe export.
+
+    Deterministic in (identity, salt) like every assignment in this
+    module: the same doc gets the same copy count on any cluster
+    layout, and the oracle can re-derive every copy from sha256.
+
+    Scale shape: a when-chain over ``source_col`` + one sha2 + an
+    explode of a ≤ceil(w)-element sequence — pure map-side projection,
+    zero shuffle; output size is Σ_s |s|·epochs[s] by construction.
+    """
+    if any(w < 0 for w in epochs.values()):
+        raise ValueError("epoch weights must be non-negative")
+    h = det_hash(on, salt)
+    src = F.col(source_col)
+    full = F.lit(0)
+    bound = F.lit(0)
+    for name, w in epochs.items():
+        full = F.when(src == F.lit(name), F.lit(int(w))).otherwise(full)
+        bound = F.when(
+            src == F.lit(name), F.lit(int((w - int(w)) * HASH_SPACE))
+        ).otherwise(bound)
+    copies = full + (h < bound).cast("int")
+    return (
+        df.withColumn("_n_copies", copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )

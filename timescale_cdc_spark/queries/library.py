@@ -986,6 +986,12 @@ _SAMPLE_FRACTION = 0.2
 _SAMPLE_SALT = "s8"
 _RESERVOIR_K = 5
 _RESERVOIR_SALT = "rv8"
+#: Mixture weights: fractional epochs per source language (zh absent
+#: → weight 0 → dropped). en exercises the pure-Bernoulli case
+#: (floor 0), de the pure-integer case (no fractional copy), fr/es
+#: the mixed and multi-epoch cases.
+_MIXTURE_EPOCHS = {"en": 0.5, "fr": 2.4, "de": 1.0, "es": 3.0}
+_MIXTURE_SALT = "mx9"
 
 
 def _m4_split_oracle() -> str:
@@ -997,6 +1003,16 @@ def _m4_split_oracle() -> str:
     split_hash = det_hash_sql(["doc_id"], _SPLIT_SALT)
     sample_hash = det_hash_sql(["doc_id"], _SAMPLE_SALT)
     res_hash = det_hash_sql(["doc_id"], _RESERVOIR_SALT)
+    mix_hash = det_hash_sql(["doc_id"], _MIXTURE_SALT)
+    # Same arithmetic as operators/sampling.py::mixture_epochs — the
+    # IDENTICAL Python floats produce identical integer bounds.
+    mix_full = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in _MIXTURE_EPOCHS.items()
+    )
+    mix_bound = " ".join(
+        f"WHEN '{s}' THEN {int((w - int(w)) * HASH_SPACE)}"
+        for s, w in _MIXTURE_EPOCHS.items()
+    )
     train_hi = int(_SPLITS["train"] * HASH_SPACE)
     val_hi = int((_SPLITS["train"] + _SPLITS["val"]) * HASH_SPACE)
     sample_hi = int(_SAMPLE_FRACTION * HASH_SPACE)
@@ -1053,11 +1069,26 @@ res_rows AS (
                               ORDER BY {res_hash}, doc_id) AS rk
     FROM documents
   ) WHERE rk <= {_RESERVOIR_K}
+),
+mixture_rows AS (
+  SELECT 'mixture' AS family, CAST(doc_id AS VARCHAR) AS key,
+         CAST(NULL AS TIMESTAMP) AS bucket,
+         CAST(NULL AS TIMESTAMP) AS ts,
+         CAST(u.i AS DOUBLE) AS value, lang AS item
+  FROM (
+    SELECT doc_id, lang,
+           (CASE lang {mix_full} ELSE 0 END)
+           + (CASE WHEN {mix_hash} < (CASE lang {mix_bound} ELSE 0 END)
+              THEN 1 ELSE 0 END) AS n_copies
+    FROM documents
+  ) c, UNNEST(generate_series(0, c.n_copies - 1)) AS u(i)
+  WHERE c.n_copies > 0
 )
 SELECT * FROM m4_rows
 UNION ALL SELECT * FROM split_rows
 UNION ALL SELECT * FROM sample_rows
 UNION ALL SELECT * FROM res_rows
+UNION ALL SELECT * FROM mixture_rows
 """
 
 
@@ -1078,6 +1109,12 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves the splits are reproducible outside Spark —
     the audit-trail property randomSplit cannot give.
 
+    family='mixture' (round 9): mixture_epochs — deterministic
+    fractional-epoch source weighting ({'en': 0.5, 'fr': 2.4,
+    'de': 1.0, 'es': 3.0}, zh dropped); value = 0-based copy index.
+    The oracle re-derives every COPY (floor(w) full epochs + the
+    sha256-gated fractional copy) per document.
+
     100 TB shape: M4 is one fact shuffle (min_by/max_by hash agg);
     split/sample are zero-shuffle map-side projections; reservoir
     plans as WindowGroupLimit (top-k per partition before the
@@ -1085,6 +1122,7 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timescale_cdc_spark.operators.downsample import m4_downsample
     from timescale_cdc_spark.operators.sampling import (
         hash_split,
+        mixture_epochs,
         reservoir_per_group,
         stratified_sample,
     )
@@ -1140,8 +1178,25 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("value"),
         F.col("lang").alias("item"),
     )
+    mixture = mixture_epochs(
+        docs.select("doc_id", "lang"),
+        "lang",
+        _MIXTURE_EPOCHS,
+        ["doc_id"],
+        salt=_MIXTURE_SALT,
+    ).select(
+        F.lit("mixture").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        null_bucket.alias("bucket"),
+        null_ts.alias("ts"),
+        F.col("epoch_copy").cast("double").alias("value"),
+        F.col("lang").alias("item"),
+    )
     return (
-        m4.unionByName(split).unionByName(sample).unionByName(reservoir)
+        m4.unionByName(split)
+        .unionByName(sample)
+        .unionByName(reservoir)
+        .unionByName(mixture)
     )
 
 

@@ -754,6 +754,98 @@ def c4_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Decontamination constants: eval slice + planted-contamination ids.
+DECON_EVAL_MOD = 37
+DECON_PLANT_OFFSET = 200_000
+DECON_PLANT_PREFIX = "decontam probe prefix "
+DECON_NGRAM = 5
+
+
+@register(
+    "c4_decontamination",
+    f"""
+    WITH eval_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0
+    ),
+    train_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0
+      UNION ALL
+      SELECT doc_id + {DECON_PLANT_OFFSET} AS doc_id,
+             '{DECON_PLANT_PREFIX}' || text AS text
+      FROM eval_docs
+    ),
+    tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM train_docs),
+    tg AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g
+      FROM tw, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+    ),
+    ew AS (SELECT string_split(text, ' ') AS w FROM eval_docs),
+    eg AS (
+      SELECT DISTINCT concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g
+      FROM ew, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+    hits AS (
+      SELECT tg.doc_id, COUNT(*) AS n_hits
+      FROM tg JOIN eg ON tg.g = eg.g
+      GROUP BY tg.doc_id
+    )
+    SELECT t.doc_id,
+           t.n_grams,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CASE WHEN t.n_grams > 0
+                THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_grams
+                ELSE 0.0 END AS contamination_ratio,
+           COALESCE(h.n_hits, 0) >= 1 AS contaminated
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def c4_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 train/eval decontamination (operators/decontam.py — the
+    GPT-3 appendix-C / Dolma n-gram overlap filter): eval = every
+    37th document, train = the rest ∪ one PLANTED contaminated copy
+    per eval doc (prefixed eval text at doc_id+200000 — shares all
+    but the first few n-grams without being an exact duplicate).
+    Every train doc is annotated with its distinct word-5-gram count,
+    the number of those grams that appear in the eval corpus, the
+    contamination ratio, and the ≥1-hit flag.
+
+    n=5 (not the production 13) because fixture docs are short; the
+    operator's gram construction is word_shingles — the exact
+    convention the c2_ngram_jaccard oracle already proves portable.
+    ``hashed=False`` here so the join key is the gram STRING the
+    DuckDB oracle can reproduce; production uses the xxhash64 default
+    (8-byte probe keys, same semantics modulo 2^-64 collisions).
+
+    Scale shape: the eval gram set is broadcast-small by construction
+    (benchmarks, not corpora) → map-side semi-join probe over exploded
+    train grams, partial-agg counts; nothing scales with
+    |train|×|eval|."""
+    from timescale_cdc_spark.operators.decontam import decontaminate
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    planted = eval_docs.select(
+        (F.col("doc_id") + DECON_PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.lit(DECON_PLANT_PREFIX), F.col("text")).alias("text"),
+    )
+    train = docs.filter(
+        F.col("doc_id") % DECON_EVAL_MOD != 0
+    ).unionByName(planted)
+    return decontaminate(
+        train,
+        eval_docs,
+        "text",
+        "doc_id",
+        n=DECON_NGRAM,
+        min_hits=1,
+        hashed=False,
+    ).select(
+        "doc_id", "n_grams", "n_hits", "contamination_ratio", "contaminated"
+    )
+
+
 # --------------------------------------------------------------------------
 # C5 multimodal columns (storage layout + Arrow feature extraction)
 # --------------------------------------------------------------------------

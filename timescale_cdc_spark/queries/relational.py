@@ -120,30 +120,17 @@ def b12_b17_scan_projection_computed(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
-    "b15_filter_time_slice",
+    "b15_b16_filter_predicates",
     """
-    SELECT event_id, ts, user_id, event_type, value
+    SELECT 'time_slice' AS variant, event_id, ts, user_id, event_type,
+           value, CAST(NULL AS VARCHAR) AS props
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
       AND ts <  TIMESTAMP '2024-01-20 00:00:00'
-    """,
-)
-def b15_filter_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-range slice (B15) — the hypertable chunk-pruning analog
-    (reference init.sql:70): with an event_date-partitioned log this
-    becomes Hive partition pruning; on raw parquet it is row-group
-    min/max skipping on ts."""
-    ev = t(spark, sf_dir, "events")
-    return ev.filter(
-        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
-
-
-@register(
-    "b16_predicates",
-    """
-    SELECT event_id, event_type, props
+    UNION ALL
+    SELECT 'predicates' AS variant, event_id, CAST(NULL AS TIMESTAMP) AS ts,
+           CAST(NULL AS BIGINT) AS user_id, event_type,
+           CAST(NULL AS DOUBLE) AS value, props
     FROM events
     WHERE event_type IN ('click', 'view', 'signup')
       AND props LIKE '%"k"%'
@@ -152,20 +139,53 @@ def b15_filter_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND event_type ILIKE '%I%'
     """,
 )
-def b16_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B16 predicate family in one conjunction: IN / LIKE / IS NULL
-    (the envelope's null-convention filters, reference readme.md:262-265)
-    plus regex (rlike == DuckDB regexp_matches, unanchored) and
-    case-insensitive LIKE (ilike == ILIKE). IN/LIKE/NULL push into the
-    parquet scan; regex evaluates post-scan inside codegen."""
+def b15_b16_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 + B16 filter families, variant-tagged (round-9 merge — the
+    a15_a16/b18_b24 pattern; every row of both former entries stays
+    hash-checked; the freed registry slot went to c4_decontamination).
+
+    variant='time_slice' (B15): time-range slice — the hypertable
+    chunk-pruning analog (reference init.sql:70): with an
+    event_date-partitioned log this becomes Hive partition pruning; on
+    raw parquet it is row-group min/max skipping on ts.
+
+    variant='predicates' (B16): the predicate family in one
+    conjunction: IN / LIKE / IS NULL (the envelope's null-convention
+    filters, reference readme.md:262-265) plus regex (rlike == DuckDB
+    regexp_matches, unanchored) and case-insensitive LIKE (ilike ==
+    ILIKE). IN/LIKE/NULL push into the parquet scan; regex evaluates
+    post-scan inside codegen — per UNION branch, pushdown is
+    unchanged from the standalone entries."""
     ev = t(spark, sf_dir, "events")
-    return ev.filter(
+    ts_type = ev.schema["ts"].dataType
+    time_slice = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast(ts_type))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast(ts_type))
+    ).select(
+        F.lit("time_slice").alias("variant"),
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.lit(None).cast("string").alias("props"),
+    )
+    predicates = ev.filter(
         F.col("event_type").isin("click", "view", "signup")
         & F.col("props").like('%"k"%')
         & F.col("ts").isNotNull()
         & F.col("props").rlike('"k": [0-9]?[0-9]}$')
         & F.col("event_type").ilike("%I%")
-    ).select("event_id", "event_type", "props")
+    ).select(
+        F.lit("predicates").alias("variant"),
+        "event_id",
+        F.lit(None).cast(ts_type).alias("ts"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        "event_type",
+        F.lit(None).cast("double").alias("value"),
+        "props",
+    )
+    return time_slice.unionByName(predicates)
 
 
 # ---------------------------------------------------------------------------
