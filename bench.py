@@ -81,7 +81,9 @@ HEADLINE = [
     "cdc_continuous_aggregate",  # incremental cagg refresh + rt view
     "lib_state_heartbeat_freq",  # state/heartbeat/freq hourly->daily rollups
     "lib_stats_counter_candle",  # stats/counter/candle hourly->daily rollups
-    "lib_m4_split_sample",  # M4 hourly + deterministic split/sample
+    "lib_m4_split_sample",  # M4 hourly + deterministic split/sample/mixture
+    # Round 9: new family benched from birth (the r8 convention).
+    "c4_decontamination",  # train/eval n-gram overlap flagging
 ]
 
 # Entries whose CONTENT changed this round — so the round-over-round
@@ -98,7 +100,11 @@ COVERAGE_NOTES = {
         "cascade_refresh; was single-level)"
     ),
     "lib_state_heartbeat_freq": "round 9: fact scan cached (1 physical scan)",
-    "lib_m4_split_sample": "round 9: fact scans cached",
+    "lib_m4_split_sample": (
+        "round 9: fact scans cached; +mixture family (fractional-epoch "
+        "source weighting)"
+    ),
+    "c4_decontamination": "round 9: NEW — train/eval n-gram overlap",
 }
 
 

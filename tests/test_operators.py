@@ -1498,3 +1498,38 @@ def test_decontaminate_short_doc_edge(spark):
     }
     assert rows[10]["contaminated"] and rows[10]["n_grams"] == 1
     assert not rows[11]["contaminated"]
+
+
+def test_curate_with_decontamination_stage(spark):
+    """curate(eval_docs=...) drops eval-overlapping docs as
+    'contaminated' BEFORE the dedup stages, and the stage is inert
+    when eval_docs is None."""
+    from timescale_cdc_spark.operators.curation import curate
+
+    good = "this sentence has enough proper words to pass the filter"
+    corpus = spark.createDataFrame(
+        [
+            # clean: shares no 5-gram with the eval doc
+            (1, "an unrelated but perfectly fine training document "
+                "with many plain words"),
+            # contaminated: embeds the eval doc's text
+            (2, "prefix words here " + good),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, good)], "doc_id long, text string"
+    )
+    out = curate(
+        corpus, eval_docs=eval_df, decontam_n=5, min_quality=0.0
+    ).persist()
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["drop_reason"] == "contaminated" and not rows[2]["kept"]
+    assert rows[1]["kept"] and rows[1]["drop_reason"] is None
+    # without eval_docs nothing is contaminated
+    base = curate(corpus, min_quality=0.0)
+    assert (
+        base.filter(F.col("drop_reason") == "contaminated").count() == 0
+    )
+    assert base.filter(F.col("kept")).count() == 2
+    out.unpersist()

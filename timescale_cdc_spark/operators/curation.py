@@ -3,14 +3,18 @@ Tier C as one flow) — what a pretraining-data team actually runs, in
 the order that minimizes work at scale:
 
     1. quality filter   (map-side only — cheapest, run first)
-    2. exact dedup      (one shuffle on the normalized content hash)
-    3. near-dup removal (MinHash-LSH pairs → keep lowest doc_id per
+    2. decontamination  (optional, round 9 — broadcast eval-gram
+                         probe, operators/decontam.py; map-side, so
+                         it runs before any shuffle stage and keeps
+                         eval-tainted docs out of the dedup graphs)
+    3. exact dedup      (one shuffle on the normalized content hash)
+    4. near-dup removal (MinHash-LSH pairs → keep lowest doc_id per
                          connected group, via the pair graph)
-    4. semantic dedup   (optional, round 8 — SemDeDup over an
+    5. semantic dedup   (optional, round 8 — SemDeDup over an
                          embedding table, cluster-bounded; runs LAST
                          among the drop stages so the quadratic-in-
                          cell scan sees only lexical survivors)
-    5. token accounting (map-side stats over survivors)
+    6. token accounting (map-side stats over survivors)
 
 Each stage only sees the previous stage's survivors, so the expensive
 LSH stage runs on the post-filter, post-exact-dedup corpus. The
@@ -53,10 +57,22 @@ def curate(
     semantic_clusters: int = 16,
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 13,
+    decontam_min_hits: int = 1,
 ) -> DataFrame:
     """Run the full curation pipeline; returns ALL input docs with
-    `kept` (bool), `drop_reason` (quality | exact_dup | near_dup |
-    semantic_dup | null) and, for survivors, token statistics.
+    `kept` (bool), `drop_reason` (quality | contaminated | exact_dup |
+    near_dup | semantic_dup | null) and, for survivors, token
+    statistics.
+
+    ``eval_docs`` (optional, round 9): a (id_col, text_col) benchmark
+    corpus enables the decontamination stage (operators/decontam.py) —
+    any quality survivor sharing ≥ ``decontam_min_hits`` word-
+    ``decontam_n``-grams with it drops as 'contaminated'. Runs right
+    after the quality filter: it is map-side cheap (broadcast eval
+    gram probe) and removing eval-tainted docs before the shuffle
+    stages keeps them out of the dedup graphs entirely.
 
     ``embeddings`` (optional): a (emb_id_col, vec_col) table aligned
     with ``docs`` by id enables the SemDeDup stage
@@ -81,7 +97,26 @@ def curate(
     quality_ok = scored.filter(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
-    exact_kept = exact_dedup(quality_ok, text_col, id_col)
+
+    if eval_docs is not None:
+        from timescale_cdc_spark.operators.decontam import decontaminate
+
+        contam_ids = (
+            decontaminate(
+                quality_ok.select(id_col, text_col),
+                eval_docs.select(id_col, text_col),
+                text_col,
+                id_col,
+                n=decontam_n,
+                min_hits=decontam_min_hits,
+            )
+            .where(F.col("contaminated"))
+            .select(id_col)
+        )
+        clean = quality_ok.join(contam_ids, id_col, "left_anti")
+    else:
+        clean = quality_ok
+    exact_kept = exact_dedup(clean, text_col, id_col)
 
     pairs = minhash_lsh_pairs(
         exact_kept,
@@ -138,11 +173,13 @@ def curate(
     # provenance: why did each dropped doc fall out?
     base = docs.select(id_col)
     q_ids = quality_ok.select(id_col)
+    d_ids = clean.select(id_col)
     e_ids = exact_kept.select(id_col)
     n_ids = lexical.select(id_col)
     s_ids = survivors.select(id_col)
     tagged = (
         base.join(q_ids.withColumn("_q", F.lit(True)), id_col, "left")
+        .join(d_ids.withColumn("_d", F.lit(True)), id_col, "left")
         .join(e_ids.withColumn("_e", F.lit(True)), id_col, "left")
         .join(n_ids.withColumn("_n", F.lit(True)), id_col, "left")
         .join(s_ids.withColumn("_s", F.lit(True)), id_col, "left")
@@ -150,6 +187,7 @@ def curate(
             id_col,
             F.col("_s").isNotNull().alias("kept"),
             F.when(F.col("_q").isNull(), "quality")
+            .when(F.col("_d").isNull(), "contaminated")
             .when(F.col("_e").isNull(), "exact_dup")
             .when(F.col("_n").isNull(), "near_dup")
             .when(F.col("_s").isNull(), "semantic_dup")
