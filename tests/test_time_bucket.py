@@ -1,0 +1,139 @@
+"""time_bucket Timescale-signature semantics (functions/time.py),
+proven cross-engine: every width/origin/offset/timezone variant is
+compared against DuckDB's NATIVE time_bucket (same 2000-01-03 /
+2000-01-01 default origins as TimescaleDB) over the events fixture —
+not against a reimplementation.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.catalog import load_table
+from timescale_cdc_spark.functions.time import bucket_seconds, time_bucket
+
+from conftest import SF_DIR
+
+EVENTS_PQ = f"{SF_DIR}/events.parquet"
+
+
+def _spark_buckets(spark, width, **kw):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    rows = ev.select(
+        "event_id", time_bucket(width, "ts", **kw).alias("b")
+    ).collect()
+    return {r["event_id"]: r["b"] for r in rows}
+
+
+def _duck_buckets(sql_args: str):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_id,
+               time_bucket({sql_args}) AS b
+        FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM '{EVENTS_PQ}')
+        """
+    ).fetchall()
+    con.close()
+    return {eid: b for eid, b in rows}
+
+
+@pytest.mark.parametrize(
+    "width",
+    [
+        "90 seconds",
+        "15 minutes",
+        "2 hours",
+        "1 day",
+        "7 days",  # origin-sensitive: epoch-floor would give Thursdays
+        "1 week",
+        "1 month",
+        "3 months",
+        "1 year",
+    ],
+)
+def test_time_bucket_matches_duckdb_native(spark, width):
+    got = _spark_buckets(spark, width)
+    want = _duck_buckets(f"INTERVAL '{width}', ts")
+    assert got == want
+
+
+def test_time_bucket_custom_origin_matches_duckdb(spark):
+    got = _spark_buckets(spark, "2 hours", origin="2024-01-01 00:30:00")
+    want = _duck_buckets(
+        "INTERVAL '2 hours', ts, TIMESTAMP '2024-01-01 00:30:00'"
+    )
+    assert got == want
+
+
+def test_time_bucket_offset_matches_duckdb(spark):
+    got = _spark_buckets(spark, "1 day", offset="30 minutes")
+    want = _duck_buckets("INTERVAL '1 day', ts, INTERVAL '30 minutes'")
+    assert got == want
+
+
+def test_time_bucket_weekly_starts_monday(spark):
+    """The Timescale origin property in one assertion: every weekly
+    bucket start is a Monday (2000-01-03 anchor), which plain
+    epoch-floor (1970-01-01, a Thursday) cannot produce."""
+    ev = load_table(spark, SF_DIR, "events")
+    days = (
+        ev.select(F.dayofweek(time_bucket("1 week", "ts")).alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert {r["d"] for r in days} == {2}  # Spark dayofweek: Monday == 2
+
+
+def test_time_bucket_timezone_wall_clock(spark):
+    """timezone='America/New_York': daily buckets start at local
+    midnight (05:00 UTC in winter), verified against DuckDB's ICU
+    time_bucket over the same instants."""
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    got = {
+        r["event_id"]: r["b"]
+        for r in ev.select(
+            "event_id",
+            time_bucket("1 day", "ts", timezone="America/New_York").alias(
+                "b"
+            ),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("SET TimeZone = 'UTC'")
+    rows = con.execute(
+        f"""
+        SELECT event_id,
+               CAST(time_bucket(INTERVAL '1 day',
+                                CAST(CAST(ts AS TIMESTAMP) AS TIMESTAMPTZ),
+                                'America/New_York') AS TIMESTAMP) AS b
+        FROM (SELECT event_id, ts FROM '{EVENTS_PQ}')
+        """
+    ).fetchall()
+    con.close()
+    want = {eid: b for eid, b in rows}
+    assert got == want
+
+
+def test_time_bucket_month_origin_and_errors(spark):
+    df = spark.createDataFrame(
+        [(1, "1999-02-15 10:00:00")], "id long, s string"
+    ).select("id", F.col("s").cast("timestamp").alias("ts"))
+    # pre-origin month bucket floors correctly (negative index)
+    row = df.select(
+        time_bucket("3 months", "ts").alias("b")
+    ).collect()[0]
+    assert str(row["b"]) == "1999-01-01 00:00:00"
+    # custom month origin re-anchors the grid (..., 1999-02, 1999-05,
+    # ..., 2000-02, ...) — DuckDB-confirmed
+    row = df.select(
+        time_bucket("3 months", "ts", origin="2000-02-01").alias("b")
+    ).collect()[0]
+    assert str(row["b"]) == "1999-02-01 00:00:00"
+    with pytest.raises(ValueError):
+        bucket_seconds("1 month")
+    with pytest.raises(ValueError):
+        time_bucket("5 fortnights", "ts")

@@ -2,13 +2,25 @@
 (hypertable bucketing, reference readme.md:220 motivation; SURVEY §4
 'optional syntactic sugar').
 
-Implemented as epoch-floor arithmetic so ANY bucket width works (not
-just the calendar units date_trunc supports) and the result is
-engine-portable: to_timestamp(floor(epoch/width)*width), epoch-aligned
-exactly like F.window's tumbling windows.
+Fixed widths (seconds…weeks) are floor arithmetic relative to
+Timescale's default origin **2000-01-03 00:00:00 UTC** (a Monday, so
+'1 week' buckets start Mondays) — the same convention DuckDB's native
+time_bucket uses, which is what makes the cross-engine parity tests
+possible. For widths that divide a day (every width this repo's
+queries use) the 2000-01-03 alignment is bit-identical to plain
+epoch-floor, so adopting the Timescale origin in round 9 changed no
+existing bucket. Month-based widths ('N months', 'N years') use
+calendar arithmetic from origin 2000-01-01, like Timescale/DuckDB.
+
+Optional Timescale-signature parameters: ``origin`` (re-anchor the
+grid), ``offset`` (shift every boundary by an interval), and
+``timezone`` (bucket in local wall-clock time, return UTC instants).
+Everything is a pure Catalyst expression — no Python in the plan.
 """
 
 from __future__ import annotations
+
+from datetime import datetime, timezone as _tz
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -22,25 +34,116 @@ _UNITS = {
     "hours": 3600,
     "day": 86400,
     "days": 86400,
+    "week": 604800,
+    "weeks": 604800,
 }
+
+_MONTH_UNITS = {"month": 1, "months": 1, "year": 12, "years": 12}
+
+#: Timescale/DuckDB default origin for fixed-width buckets:
+#: 2000-01-03 00:00:00 UTC (a Monday — weekly buckets start Mondays).
+TS_ORIGIN_EPOCH = 946_857_600
+
+#: Default origin for month-based buckets: 2000-01-01.
+TS_MONTH_ORIGIN = (2000, 1)
+
+
+def _parse_width(width: str) -> tuple[str, int]:
+    """('seconds', n_secs) or ('months', n_months)."""
+    parts = width.strip().split()
+    if len(parts) == 2 and parts[1].lower() in _UNITS:
+        return "seconds", int(parts[0]) * _UNITS[parts[1].lower()]
+    if len(parts) == 2 and parts[1].lower() in _MONTH_UNITS:
+        return "months", int(parts[0]) * _MONTH_UNITS[parts[1].lower()]
+    raise ValueError(f"unsupported bucket width: {width!r}")
 
 
 def bucket_seconds(width: str) -> int:
-    """Parse '15 minutes' / '1 hour' / '90 seconds' into seconds."""
-    parts = width.strip().split()
-    if len(parts) != 2 or parts[1].lower() not in _UNITS:
-        raise ValueError(f"unsupported bucket width: {width!r}")
-    return int(parts[0]) * _UNITS[parts[1].lower()]
+    """Parse '15 minutes' / '1 hour' / '90 seconds' into seconds
+    (fixed widths only — month widths have no fixed second length)."""
+    kind, n = _parse_width(width)
+    if kind != "seconds":
+        raise ValueError(
+            f"month-based width {width!r} has no fixed second length"
+        )
+    return n
 
 
-def time_bucket(width: str, ts: Column | str) -> Column:
-    """Floor `ts` to the start of its `width`-sized epoch-aligned
-    bucket — `time_bucket('15 minutes', ts)`."""
+def _parse_origin(origin: str | datetime) -> datetime:
+    if isinstance(origin, datetime):
+        return origin
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(origin, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable origin: {origin!r}")
+
+
+def time_bucket(
+    width: str,
+    ts: Column | str,
+    origin: str | datetime | None = None,
+    offset: str | None = None,
+    timezone: str | None = None,
+) -> Column:
+    """Floor `ts` to the start of its `width`-sized bucket —
+    `time_bucket('15 minutes', ts)` — with the full Timescale
+    signature:
+
+    - fixed widths ('90 seconds' … '2 weeks'): grid anchored at
+      ``origin`` (default 2000-01-03, the Timescale/DuckDB Monday);
+    - month widths ('1 month', '3 months', '1 year'): calendar
+      arithmetic from ``origin`` (default 2000-01-01); day-of-month /
+      time-of-day of a custom origin is ignored, like Timescale;
+    - ``offset``: a fixed-width interval string shifting every bucket
+      boundary (e.g. '1 day' — months accept fixed offsets too);
+    - ``timezone``: bucket in that zone's wall-clock time (DST-aware
+      via from_utc_timestamp) and return the bucket start as a UTC
+      instant.
+    """
     col = F.col(ts) if isinstance(ts, str) else ts
-    secs = bucket_seconds(width)
-    return F.timestamp_seconds(
-        F.floor(F.unix_timestamp(col) / secs).cast("long") * secs
-    )
+    kind, n = _parse_width(width)
+    off = bucket_seconds(offset) if offset else 0
+    if timezone:
+        col = F.from_utc_timestamp(col, timezone)
+    if kind == "seconds":
+        if origin is not None:
+            # naive origins are UTC (session timezone is UTC repo-wide)
+            o = int(
+                _parse_origin(origin)
+                .replace(tzinfo=_tz.utc)
+                .timestamp()
+            )
+        else:
+            o = TS_ORIGIN_EPOCH
+        o += off
+        e = F.unix_timestamp(col)
+        out = F.timestamp_seconds(
+            F.floor((e - F.lit(o)) / n).cast("long") * n + F.lit(o)
+        )
+    else:
+        if origin is not None:
+            od = _parse_origin(origin)
+            y0, m0 = od.year, od.month
+        else:
+            y0, m0 = TS_MONTH_ORIGIN
+        # zero-based absolute month index of ts and of the origin
+        idx = (F.year(col) - y0) * 12 + (F.month(col) - m0)
+        base = F.floor(idx / n).cast("long") * n + F.lit(y0 * 12 + m0 - 1)
+        out = F.make_timestamp(
+            F.floor(base / 12).cast("int"),
+            (F.pmod(base, F.lit(12)) + 1).cast("int"),
+            F.lit(1),
+            F.lit(0),
+            F.lit(0),
+            F.lit(0),
+        )
+        if off:
+            out = F.timestamp_seconds(F.unix_timestamp(out) + off)
+    if timezone:
+        out = F.to_utc_timestamp(out, timezone)
+    return out
 
 
 #: SQL-text width→seconds fragment shared by the SQL time_bucket
@@ -52,6 +155,7 @@ _SQL_WIDTH_SECS = """
      WHEN 'minute' THEN 60 WHEN 'minutes' THEN 60
      WHEN 'hour' THEN 3600 WHEN 'hours' THEN 3600
      WHEN 'day' THEN 86400 WHEN 'days' THEN 86400
+     WHEN 'week' THEN 604800 WHEN 'weeks' THEN 604800
    END)
 """
 
@@ -73,6 +177,8 @@ def register_sql_functions(spark) -> None:
             width STRING, ts TIMESTAMP)
         RETURNS TIMESTAMP
         RETURN timestamp_seconds(
-            CAST(floor(unix_timestamp(ts) / {secs}) AS BIGINT) * {secs})
+            CAST(floor((unix_timestamp(ts) - {TS_ORIGIN_EPOCH})
+                       / {secs}) AS BIGINT) * {secs}
+            + {TS_ORIGIN_EPOCH})
         """
     )

@@ -196,6 +196,8 @@ def _b33_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
            CAST(ts AS DATE) + 7 AS week_later,
            make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS bucket_15m,
+           time_bucket(INTERVAL '1 week', CAST(ts AS TIMESTAMP)) AS bucket_1w,
+           time_bucket(INTERVAL '3 months', CAST(ts AS TIMESTAMP)) AS bucket_3mo,
            ts - INTERVAL 1 HOUR AS ts_minus_1h,
            ts + INTERVAL 20 MINUTE AS ts_plus_20m,
            round(value, 1) AS value_r1,
@@ -222,10 +224,13 @@ def b34_b35_datetime_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     both former entries hash-checked.
 
     Date/time half: date_trunc / extract / epoch / date_add, the
-    Timescale-signature time_bucket (functions/time.py — epoch-floor
-    15-minute buckets, the hypertable bucketing init.sql:70), and
-    NOW() - INTERVAL arithmetic (init.sql:130-136, readme.md:114).
-    The aggregated-bucket form (GROUP BY time_bucket) is b43's shape.
+    Timescale-signature time_bucket (functions/time.py — the
+    hypertable bucketing init.sql:70) at three widths: 15 minutes,
+    1 week (Monday-anchored via the 2000-01-03 Timescale origin —
+    the oracle is DuckDB's NATIVE time_bucket, same convention), and
+    3 months (calendar arithmetic, 2000-01-01 origin), plus NOW() -
+    INTERVAL arithmetic (init.sql:130-136, readme.md:114). The
+    aggregated-bucket form (GROUP BY time_bucket) is b43's shape.
 
     Math half: round/abs/ceil/floor/sqrt (IEEE-exact cross-engine),
     exp/ln/log10/fractional power (transcendental → pinned at 4-6
@@ -242,6 +247,8 @@ def b34_b35_datetime_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("epoch_s"),
         F.date_add(F.col("ts").cast("date"), 7).alias("week_later"),
         time_bucket("15 minutes", "ts").alias("bucket_15m"),
+        time_bucket("1 week", "ts").alias("bucket_1w"),
+        time_bucket("3 months", "ts").alias("bucket_3mo"),
         (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts_minus_1h"),
         (F.col("ts") + F.expr("INTERVAL 20 MINUTE")).alias("ts_plus_20m"),
         F.round("value", 1).alias("value_r1"),
