@@ -105,6 +105,15 @@ COVERAGE_NOTES = {
         "source weighting)"
     ),
     "c4_decontamination": "round 9: NEW — train/eval n-gram overlap",
+    "c4_text_analysis": (
+        "round 9: +Gopher repetition signals (top_bigram_frac, "
+        "dup_trigram_frac — adds two gram aggregations to the "
+        "formerly map-side-only plan)"
+    ),
+    "b34_b35_datetime_math_fns": (
+        "round 9: +1-week and 3-month time_bucket columns "
+        "(Timescale-origin semantics)"
+    ),
 }
 
 

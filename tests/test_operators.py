@@ -1533,3 +1533,40 @@ def test_curate_with_decontamination_stage(spark):
     )
     assert base.filter(F.col("kept")).count() == 2
     out.unpersist()
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition signals on hand-computable docs: a looping
+    doc scores high on every metric, a natural doc scores low, and
+    the line metrics see duplicated lines."""
+    from timescale_cdc_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # pure loop: "spam ham " x 4 -> bigram "spam ham" dominates
+            (1, "spam ham spam ham spam ham spam ham"),
+            # all-distinct words -> every gram unique
+            (2, "one two three four five six seven eight"),
+            # 3 lines, two identical
+            (3, "dup line\nunique line here\ndup line"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_stats(docs, "text").collect()
+    }
+    # doc 1: 7 bigrams, "spam ham" occurs 4x -> 4/7; trigrams: 6
+    # occurrences, 2 distinct -> dup = 1 - 2/6
+    assert abs(rows[1]["top_bigram_frac"] - 4 / 7) < 1e-9
+    assert abs(rows[1]["dup_trigram_frac"] - (1 - 2 / 6)) < 1e-9
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    assert abs(rows[2]["top_bigram_frac"] - 1 / 7) < 1e-9
+    # doc 3 line metrics: 3 lines, 2 distinct; 2 of 3 lines are dups
+    assert rows[3]["n_lines"] == 3
+    assert abs(rows[3]["dup_line_frac"] - (1 - 2 / 3)) < 1e-9
+    dup_chars = 2 * len("dup line")
+    total = 2 * len("dup line") + len("unique line here")
+    assert abs(rows[3]["dup_line_char_frac"] - dup_chars / total) < 1e-9
+    # single-line docs: line metrics degenerate to 1 / 0 / 0
+    assert rows[1]["n_lines"] == 1 and rows[1]["dup_line_frac"] == 0.0

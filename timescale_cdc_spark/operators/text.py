@@ -167,3 +167,102 @@ def winnow_fingerprints(
             F.size("fingerprints").alias("n_fingerprints"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 repetition quality signals — the Gopher/MassiveText filter
+    family (Rae et al. 2021, arXiv:2112.11446 Appendix A1.1): natural
+    documents repeat themselves a little; scraped boilerplate, SEO
+    spam, and generation loops repeat a LOT. Adds per-document:
+
+    - ``n_lines``, ``dup_line_frac`` (1 − distinct/total lines),
+      ``dup_line_char_frac`` (fraction of line characters inside
+      lines occurring more than once) — pure per-row expressions
+      (line counts are bounded per doc, the O(lines²) membership
+      scan is map-side CPU);
+    - ``top_bigram_frac`` — occurrences of the most frequent word
+      2-gram over total 2-gram occurrences;
+    - ``dup_trigram_frac`` — 1 − distinct/total word-3-gram
+      occurrences.
+
+    The n-gram metrics use the scalable explode → (id, gram) count →
+    per-doc aggregate shape (both aggregations combine map-side; the
+    shuffle carries one row per DISTINCT gram per doc, not per
+    occurrence) rather than per-row O(words²) array scans — at 100 TB
+    a 10k-word doc costs 10k shuffled rows, not 10⁸ comparisons.
+
+    Gopher's published keep-thresholds for these signals:
+    dup_line_frac ≤ 0.30, dup_line_char_frac ≤ 0.20,
+    top_bigram_frac ≤ 0.18, dup_trigram_frac ≤ 0.48 (their
+    "fraction of characters in duplicate n-grams" family collapsed
+    to the occurrence-fraction form here).
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines,
+    ).otherwise(F.lit(0.0))
+    total_line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    dup_line_chars = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    dup_line_char_frac = F.when(
+        total_line_chars > 0, dup_line_chars / total_line_chars
+    ).otherwise(F.lit(0.0))
+
+    words = F.split(F.col(text_col), r"\s+")
+
+    def _grams(n: int) -> F.Column:
+        # all n-gram OCCURRENCES (word_shingles dedupes; these must not)
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _grams(2).alias("_g2"),
+        _grams(3).alias("_g3"),
+    )
+    g2 = (
+        base.select("_id", F.explode("_g2").alias("g"))
+        .groupBy("_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("_id")
+        .agg(
+            (F.max("c") / F.sum("c")).alias("top_bigram_frac"),
+        )
+    )
+    g3 = (
+        base.select("_id", F.explode("_g3").alias("g"))
+        .groupBy("_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("_id")
+        .agg(
+            (1.0 - F.count("*") / F.sum("c")).alias("dup_trigram_frac"),
+        )
+    )
+    return (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("dup_line_char_frac", dup_line_char_frac)
+        .join(
+            g2.withColumnRenamed("_id", id_col), id_col, "left"
+        )
+        .join(
+            g3.withColumnRenamed("_id", id_col), id_col, "left"
+        )
+        .na.fill({"top_bigram_frac": 0.0, "dup_trigram_frac": 0.0})
+    )

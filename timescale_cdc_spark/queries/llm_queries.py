@@ -32,6 +32,7 @@ from timescale_cdc_spark.operators.text import (
     language_scores,
     quality_score,
     token_stats,
+    trunc6,
 )
 from timescale_cdc_spark.queries.base import register, scratch_path, t
 
@@ -694,6 +695,29 @@ _PRED = (
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                AS content_fingerprint
       FROM documents
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g2 AS (
+      SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS gr
+      FROM w, UNNEST(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)
+    ),
+    g2c AS (SELECT doc_id, gr, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    g2s AS (
+      SELECT doc_id,
+             floor(CAST(MAX(c) AS DOUBLE) / SUM(c) * 1000000) / 1000000
+               AS top_bigram_frac
+      FROM g2c GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS gr
+      FROM w, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+    ),
+    g3c AS (SELECT doc_id, gr, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+    g3s AS (
+      SELECT doc_id,
+             floor((1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 1000000)
+               / 1000000 AS dup_trigram_frac
+      FROM g3c GROUP BY doc_id
     )
     SELECT s.doc_id, s.lang,
            score_de, score_en, score_es, score_fr, score_zh,
@@ -713,8 +737,13 @@ _PRED = (
              / 1000000 AS quality,
            m.n_tokens AS ws_tokens,
            m.bpe_tokens,
-           m.content_fingerprint
-    FROM scored s JOIN m ON s.doc_id = m.doc_id
+           m.content_fingerprint,
+           g2s.top_bigram_frac,
+           g3s.dup_trigram_frac
+    FROM scored s
+    JOIN m ON s.doc_id = m.doc_id
+    JOIN g2s ON s.doc_id = g2s.doc_id
+    JOIN g3s ON s.doc_id = g3s.doc_id
     """,
 )
 def c4_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,6 +763,9 @@ def c4_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = quality_score(out, "text")
     out = token_stats(out, "text")
     out = fingerprint(out, "text")
+    from timescale_cdc_spark.operators.text import repetition_stats
+
+    out = repetition_stats(out, "text", id_col="doc_id")
     return out.select(
         "doc_id",
         "lang",
@@ -751,6 +783,8 @@ def c4_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ws_tokens",
         "bpe_tokens",
         "content_fingerprint",
+        trunc6(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+        trunc6(F.col("dup_trigram_frac")).alias("dup_trigram_frac"),
     )
 
 
