@@ -2,9 +2,10 @@
 """End-to-end training-data curation — the Tier C pipeline on the
 driver's documents fixture, stage by stage with yield accounting:
 
-  1. curate(): quality filter → exact dedup → MinHash-LSH near-dedup
-     (transitive component resolution) → token stats, with
-     per-document drop_reason provenance
+  1. curate(): quality filter → eval-set decontamination (every 37th
+     doc stands in as the "benchmark" corpus) → exact dedup →
+     MinHash-LSH near-dedup (transitive component resolution) →
+     token stats, with per-document drop_reason provenance
   2. assign_packs(): pack the survivors into fixed token-budget
      sequences (partition-local greedy — the pretraining batch shape)
   3. print the corpus datasheet: per-stage yields, pack fill rate
@@ -34,10 +35,17 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="curation_pipeline", master="local[8]",
                       shuffle_partitions=8)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    all_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    # every 37th doc plays the held-out benchmark; the rest is train
+    eval_docs = all_docs.filter(F.col("doc_id") % 37 == 0)
+    docs = all_docs.filter(F.col("doc_id") % 37 != 0)
     n0 = docs.count()
 
-    curated = curate(docs, transitive=True).cache()
+    curated = curate(
+        docs, transitive=True, eval_docs=eval_docs, decontam_n=5
+    ).cache()
     yields = {
         r["drop_reason"]: r["n"]
         for r in curated.groupBy("drop_reason")
@@ -58,7 +66,7 @@ def main() -> None:
 
     print("=== corpus datasheet ===")
     print(f"input docs            {n0}")
-    for reason in ("quality", "exact_dup", "near_dup"):
+    for reason in ("quality", "contaminated", "exact_dup", "near_dup"):
         print(f"dropped: {reason:<12} {yields.get(reason, 0)}")
     print(f"kept                  {yields.get(None, 0)}")
     print(f"packs (budget {BUDGET})   {n_packs}")

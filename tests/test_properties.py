@@ -88,9 +88,14 @@ def test_replay_equals_final_state(spark, snapshots):
     st.lists(
         st.integers(min_value=0, max_value=2_000_000_000), min_size=1, max_size=50
     ),
-    st.sampled_from(["90 seconds", "5 minutes", "15 minutes", "1 hour", "1 day"]),
+    st.sampled_from(
+        ["90 seconds", "5 minutes", "15 minutes", "1 hour", "1 day",
+         "7 days", "1 week"]
+    ),
 )
 def test_time_bucket_laws(spark, epochs, width):
+    from timescale_cdc_spark.functions.time import TS_ORIGIN_EPOCH
+
     secs = bucket_seconds(width)
     df = spark.createDataFrame([(e,) for e in epochs], "epoch long").select(
         F.timestamp_seconds("epoch").alias("ts")
@@ -103,6 +108,73 @@ def test_time_bucket_laws(spark, epochs, width):
     for r in out:
         b_epoch = int(r.b.replace(tzinfo=dt.timezone.utc).timestamp())
         ts_epoch = int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp())
-        assert b_epoch % secs == 0  # epoch-aligned
+        # aligned to the Timescale 2000-01-03 origin grid (equals plain
+        # epoch alignment for widths dividing a day; differs for 7-day/
+        # week widths, where the grid starts Mondays)
+        assert (b_epoch - TS_ORIGIN_EPOCH) % secs == 0
         assert b_epoch <= ts_epoch < b_epoch + secs  # contains its input
         assert r.bb == r.b  # idempotent
+
+
+@slow_settings
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2_000_000_000), min_size=1, max_size=50
+    ),
+    st.sampled_from(["1 month", "3 months", "1 year"]),
+)
+def test_time_bucket_month_laws(spark, epochs, width):
+    n = {"1 month": 1, "3 months": 3, "1 year": 12}[width]
+    df = spark.createDataFrame([(e,) for e in epochs], "epoch long").select(
+        F.timestamp_seconds("epoch").alias("ts")
+    )
+    out = df.select(
+        "ts",
+        time_bucket(width, "ts").alias("b"),
+        time_bucket(width, time_bucket(width, "ts")).alias("bb"),
+    ).collect()
+    for r in out:
+        # bucket start is a month boundary on the 2000-01 grid
+        assert r.b.day == 1 and (r.b.hour, r.b.minute, r.b.second) == (0, 0, 0)
+        assert ((r.b.year - 2000) * 12 + r.b.month - 1) % n == 0
+        assert r.b <= r.ts.replace(tzinfo=None) if r.ts.tzinfo else r.b <= r.ts
+        assert r.bb == r.b  # idempotent
+
+
+@slow_settings
+@given(
+    st.floats(min_value=0.0, max_value=4.0, allow_nan=False),
+    st.integers(min_value=1, max_value=60),
+)
+def test_mixture_epochs_laws(spark, w, n_rows):
+    """Every row of a source with weight w appears floor(w) or
+    floor(w)+1 times (never anything else), and the same (id, salt)
+    always makes the same floor-vs-ceil choice."""
+    from timescale_cdc_spark.operators.sampling import mixture_epochs
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(n_rows)], "id long, src string"
+    )
+    out = (
+        mixture_epochs(df, "src", {"s": w}, ["id"], salt="p")
+        .groupBy("id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    import math
+
+    lo = math.floor(w)
+    counts = {r["id"]: r["c"] for r in out}
+    for c in counts.values():
+        assert c in (lo, lo + 1)
+    # rows absent from the output correspond to copies == 0 (w < 1)
+    assert len(counts) == n_rows or lo == 0
+    # deterministic: identical second evaluation
+    again = {
+        r["id"]: r["c"]
+        for r in mixture_epochs(df, "src", {"s": w}, ["id"], salt="p")
+        .groupBy("id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert counts == again
