@@ -220,15 +220,25 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (SemDeDup's driver rows live in ``c2_streaming_near_dedup`` — this
     entry is in the headline bench, and the KMeans fit + gate joins
-    would triple its cost for coverage the cheaper entry carries.)"""
-    corpus = _planted_docs(spark, sf_dir)
+    would triple its cost for coverage the cheaper entry carries.)
+
+    The corpus and the exact-verify feature arrays are materialized
+    once (localCheckpoint): four join branches consume ``feats`` and
+    their canonical forms differ (different column selections), so
+    AQE stage reuse cannot collapse them — without the pin the
+    text→shingle/token expressions re-execute per branch (measured
+    ~14% of entry wall-clock at sf0.1). At 100 TB the same pin is a
+    MEMORY_AND_DISK persist of the feature frame — standard for a
+    multi-consumer intermediate; the sketch pipelines themselves stay
+    fully declarative."""
     from timescale_cdc_spark.operators.dedup import word_shingles
 
+    corpus = _planted_docs(spark, sf_dir).localCheckpoint()
     feats = corpus.select(
         F.col("doc_id"),
         word_shingles("text", 3).alias("sh"),
         F.array_distinct(F.split("text", r"\s+")).alias("tk"),
-    )
+    ).localCheckpoint()
 
     def _attach(pairs: DataFrame, col: str) -> DataFrame:
         fa = feats.select(
