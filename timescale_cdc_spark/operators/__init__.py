@@ -12,6 +12,7 @@ from timescale_cdc_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from timescale_cdc_spark.operators.layout import zorder_key, zorder_write
 from timescale_cdc_spark.operators.packing import (
     assign_packs,
     assign_packs_exact,
@@ -61,4 +62,6 @@ __all__ = [
     "simhash_pairs",
     "stratified_sample",
     "token_stats",
+    "zorder_key",
+    "zorder_write",
 ]

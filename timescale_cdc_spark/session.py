@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Write timestamps as TIMESTAMP_MICROS, not legacy INT96:
+        # INT96 columns carry NO parquet min/max statistics, which
+        # silently disables row-group pruning on every time-range
+        # predicate over data this engine writes (chunk exclusion —
+        # the reason hypertables exist). Values are identical; only
+        # the physical encoding (and the stats) change.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
