@@ -106,6 +106,8 @@ def b13_scan_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'sink' AS layout, * FROM agg
     UNION ALL
     SELECT 'compressed' AS layout, * FROM agg
+    UNION ALL
+    SELECT 'zordered' AS layout, * FROM agg
     """,
 )
 def b14_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +124,14 @@ def b14_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically. The hash match proves the compressed rewrite is
     READ-TRANSPARENT (loses and changes nothing); the chunk-wise
     atomic-swap machinery itself is pytest-covered
-    (tests/test_cdc.py::test_compress_partition*)."""
+    (tests/test_cdc.py::test_compress_partition*).
+
+    Round 9 also adds layout='zordered' rows: the same events
+    rewritten Morton-ordered on (user_id, ts)
+    (operators/layout.py::zorder_write — the space-dimension
+    chunk-exclusion layout, pruning measured in soak_zorder.py) and
+    aggregated identically — the hash match proves the z-order
+    rewrite is also a pure reorder."""
     path = _scratch(sf_dir, "events_partitioned")
     src = t(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
@@ -140,6 +149,12 @@ def b14_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zback = spark.read.parquet(zpath)
 
+    from timescale_cdc_spark.operators.layout import zorder_write
+
+    opath = _scratch(sf_dir, "events_zordered")
+    zorder_write(back, opath, ["user_id", "ts"])
+    oback = spark.read.parquet(opath)
+
     def agg(df: DataFrame, layout: str) -> DataFrame:
         return (
             df.groupBy(F.col("event_date").cast("date").alias("event_date"))
@@ -150,7 +165,11 @@ def b14_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(layout).alias("layout"), "*")
         )
 
-    return agg(back, "sink").unionByName(agg(zback, "compressed"))
+    return (
+        agg(back, "sink")
+        .unionByName(agg(zback, "compressed"))
+        .unionByName(agg(oback, "zordered"))
+    )
 
 
 # ---------------------------------------------------------------------------
