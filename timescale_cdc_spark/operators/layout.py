@@ -150,7 +150,8 @@ def rowgroup_prune_stats(
         return v
 
     must_open = total = 0
-    for f in sorted(pathlib.Path(path).glob("*.parquet")):
+    # rglob: also covers Hive-partitioned layouts (part dirs)
+    for f in sorted(pathlib.Path(path).rglob("*.parquet")):
         md = pq.ParquetFile(str(f)).metadata
         names = {
             md.schema.column(i).name: i for i in range(md.num_columns)
