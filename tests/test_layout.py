@@ -44,6 +44,37 @@ def test_zorder_key_validates(spark):
         zorder_key([F.lit(1), F.lit(2)], bits=32)  # 64 bits > BIGINT
 
 
+def test_zorder_write_three_dims_default_bits(spark, tmp_path):
+    """Three z-columns at default bits must work (ADVICE r9: 3×21=63
+    overflowed BIGINT; the default now caps at 62//3=20 bits/dim)."""
+    from timescale_cdc_spark.operators.layout import default_bits
+
+    assert default_bits(3) == 20
+    assert default_bits(2) == 21
+    assert default_bits(3, bits=7) == 7  # explicit passes through
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("a"),
+        (F.col("id") % 7).alias("b"),
+        (F.col("id") % 3).alias("c"),
+    )
+    bounds = zorder_write(df, str(tmp_path / "z3"), ["a", "b", "c"])
+    assert set(bounds) == {"a", "b", "c"}
+    assert spark.read.parquet(str(tmp_path / "z3")).count() == 1000
+
+
+def test_zorder_write_rejects_unbounded_columns(spark, tmp_path):
+    """Empty input / all-NULL z column → a clear ValueError naming the
+    column, not an opaque None-arithmetic TypeError (ADVICE r9)."""
+    empty = spark.range(0).select(F.col("id").alias("a"))
+    with pytest.raises(ValueError, match="'a'"):
+        zorder_write(empty, str(tmp_path / "e"), ["a"])
+    nulls = spark.range(5).select(
+        F.col("id").alias("a"), F.lit(None).cast("long").alias("b")
+    )
+    with pytest.raises(ValueError, match="'b'"):
+        zorder_write(nulls, str(tmp_path / "n"), ["a", "b"])
+
+
 @pytest.fixture(scope="module")
 def boxed(spark, tmp_path_factory):
     """200k rows over (user_id 0..999, 10 days of ts), written both

@@ -75,6 +75,52 @@ def test_time_bucket_offset_matches_duckdb(spark):
     assert got == want
 
 
+def test_time_bucket_month_offset_matches_duckdb(spark):
+    """Month width + offset (ADVICE r9: the bucket start must never be
+    later than ts — bucket(ts-offset)+offset, not bucket(ts)+offset),
+    verified against DuckDB's native time_bucket including the
+    boundary-straddling case."""
+    got = _spark_buckets(spark, "1 month", offset="1 day")
+    want = _duck_buckets("INTERVAL '1 month', ts, INTERVAL '1 day'")
+    assert got == want
+    got = _spark_buckets(spark, "3 months", offset="36 hours")
+    want = _duck_buckets("INTERVAL '3 months', ts, INTERVAL '36 hours'")
+    assert got == want
+    # the exact regression shape: ts within `offset` of a month start
+    df = spark.createDataFrame(
+        [(1, "2024-02-01 00:30:00")], "id long, s string"
+    ).select("id", F.col("s").cast("timestamp").alias("ts"))
+    row = df.select(
+        time_bucket("1 month", "ts", offset="1 day").alias("b")
+    ).collect()[0]
+    assert str(row["b"]) == "2024-01-02 00:00:00"  # DuckDB-confirmed
+
+
+def test_time_bucket_rejects_nonpositive_width(spark):
+    with pytest.raises(ValueError):
+        time_bucket("0 minutes", "ts")
+    with pytest.raises(ValueError):
+        time_bucket("-5 minutes", "ts")
+    with pytest.raises(ValueError):
+        bucket_seconds("0 hours")
+
+
+def test_sql_time_bucket_raises_on_unknown_unit(spark):
+    """The SQL surface must raise on an unsupported width, not return
+    silent NULLs (ADVICE r9)."""
+    from timescale_cdc_spark.functions.time import register_sql_functions
+
+    register_sql_functions(spark)
+    ok = spark.sql(
+        "SELECT time_bucket('15 minutes', TIMESTAMP '2024-01-01 00:20:00') AS b"
+    ).collect()[0]["b"]
+    assert str(ok) == "2024-01-01 00:15:00"
+    with pytest.raises(Exception, match="unsupported bucket width"):
+        spark.sql(
+            "SELECT time_bucket('5 fortnights', TIMESTAMP '2024-01-01') AS b"
+        ).collect()
+
+
 def test_time_bucket_weekly_starts_monday(spark):
     """The Timescale origin property in one assertion: every weekly
     bucket start is a Monday (2000-01-03 anchor), which plain

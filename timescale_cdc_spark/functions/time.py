@@ -52,10 +52,17 @@ def _parse_width(width: str) -> tuple[str, int]:
     """('seconds', n_secs) or ('months', n_months)."""
     parts = width.strip().split()
     if len(parts) == 2 and parts[1].lower() in _UNITS:
-        return "seconds", int(parts[0]) * _UNITS[parts[1].lower()]
-    if len(parts) == 2 and parts[1].lower() in _MONTH_UNITS:
-        return "months", int(parts[0]) * _MONTH_UNITS[parts[1].lower()]
-    raise ValueError(f"unsupported bucket width: {width!r}")
+        kind, n = "seconds", int(parts[0]) * _UNITS[parts[1].lower()]
+    elif len(parts) == 2 and parts[1].lower() in _MONTH_UNITS:
+        kind, n = "months", int(parts[0]) * _MONTH_UNITS[parts[1].lower()]
+    else:
+        raise ValueError(f"unsupported bucket width: {width!r}")
+    # Timescale rejects non-positive widths; without this a '0 minutes'
+    # width divides by zero downstream and a negative one produces
+    # nonsense buckets (ADVICE r9).
+    if n < 1:
+        raise ValueError(f"bucket width must be positive: {width!r}")
+    return kind, n
 
 
 def bucket_seconds(width: str) -> int:
@@ -128,6 +135,14 @@ def time_bucket(
             y0, m0 = od.year, od.month
         else:
             y0, m0 = TS_MONTH_ORIGIN
+        if off:
+            # Timescale/DuckDB offset semantics: bucket(ts - offset)
+            # + offset. Shifting only the RESULT (+off) would leave a
+            # ts within `off` of a month boundary in the NEXT month's
+            # shifted bucket — a bucket start LATER than ts (ADVICE
+            # r9; DuckDB-confirmed: '1 month' offset '1 day' puts
+            # 2024-02-01 00:30 in 2024-01-02, not 2024-02-02).
+            col = F.timestamp_seconds(F.unix_timestamp(col) - off)
         # zero-based absolute month index of ts and of the origin
         idx = (F.year(col) - y0) * 12 + (F.month(col) - m0)
         base = F.floor(idx / n).cast("long") * n + F.lit(y0 * 12 + m0 - 1)
@@ -156,6 +171,7 @@ _SQL_WIDTH_SECS = """
      WHEN 'hour' THEN 3600 WHEN 'hours' THEN 3600
      WHEN 'day' THEN 86400 WHEN 'days' THEN 86400
      WHEN 'week' THEN 604800 WHEN 'weeks' THEN 604800
+     ELSE raise_error(concat('unsupported bucket width: ', {w}))
    END)
 """
 
@@ -169,7 +185,14 @@ def register_sql_functions(spark) -> None:
     Registered as a Spark SQL-defined function (``CREATE TEMPORARY
     FUNCTION ... RETURN <expr>``): pure expression, inlined by
     Catalyst into whole-stage codegen — NOT a Python UDF, zero
-    serialization cost."""
+    serialization cost.
+
+    Surface: FIXED widths only ('90 seconds' … '2 weeks') at the
+    default Timescale origin — month widths and the
+    origin/offset/timezone parameters are Python-API-only
+    (:func:`time_bucket`). An unrecognized unit raises at execution
+    (``raise_error`` in the width CASE) instead of silently returning
+    NULL buckets (ADVICE r9)."""
     secs = _SQL_WIDTH_SECS.format(w="width")
     spark.sql(
         f"""

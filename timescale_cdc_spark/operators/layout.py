@@ -38,10 +38,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zorder_key", "zorder_write", "rowgroup_prune_stats"]
+__all__ = [
+    "zorder_key",
+    "zorder_key_for",
+    "zorder_write",
+    "compute_bounds",
+    "default_bits",
+    "rowgroup_prune_stats",
+]
 
-#: bits per dimension in the interleaved key (2 dims × 21 bits = 42
-#: bits — fits a BIGINT with room for a third dimension).
+#: default bits per dimension in the interleaved key (2 dims × 21
+#: bits = 42 bits). ``zorder_write`` caps the default at
+#: ``62 // n_dims`` so three-column calls get 20 bits each instead of
+#: overflowing BIGINT (ADVICE r9); 2^20 distinct cells per dimension
+#: is far beyond row-group granularity either way.
 DEFAULT_BITS = 21
 
 
@@ -82,11 +92,84 @@ def zorder_key(
     return key
 
 
+def _zcol_exprs(df: DataFrame, cols: list[str]) -> list[Column]:
+    """Per-column double expressions the z-key normalizes (timestamps
+    by epoch seconds, numerics by cast, strings by xxhash64).
+
+    String dimensions (round 10): hashing has no range locality, but
+    clustering rows by hash(value) groups EQUAL values into few row
+    groups, so the column's ordinary string min/max footer stats
+    become tight and an equality predicate prunes — exactly the shape
+    of the reference's (table_name, ts) btree index (init.sql:64-66)
+    re-expressed as layout."""
+    exprs = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt.startswith("timestamp"):
+            exprs.append(F.unix_timestamp(c).cast("double"))
+        elif dt == "string":
+            exprs.append(F.xxhash64(c).cast("double"))
+        else:
+            exprs.append(F.col(c).cast("double"))
+    return exprs
+
+
+def compute_bounds(
+    df: DataFrame, cols: list[str]
+) -> dict[str, tuple[float, float]]:
+    """Per-column [min, max] normalization bounds — ONE tiny aggregate
+    (2 numbers per column to the driver). Raises if any column's
+    bounds are undefined (empty frame or all-NULL column) — the z-key
+    would otherwise crash opaquely downstream (ADVICE r9)."""
+    exprs = _zcol_exprs(df, cols)
+    row = df.agg(
+        *[f(e).alias(f"{tag}{i}")
+          for i, e in enumerate(exprs)
+          for tag, f in (("lo", F.min), ("hi", F.max))]
+    ).collect()[0]
+    bounds = {}
+    for i, c in enumerate(cols):
+        lo, hi = row[f"lo{i}"], row[f"hi{i}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"z-order column {c!r} has no min/max bounds "
+                "(empty input or all-NULL column)"
+            )
+        bounds[c] = (lo, hi)
+    return bounds
+
+
+def zorder_key_for(
+    df: DataFrame,
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    bits: int,
+) -> Column:
+    """The Morton sort key over ``cols`` under the given normalization
+    bounds — shared by ``zorder_write`` and incremental maintenance
+    rewrites (same bounds ⇒ keys comparable across separate rewrites
+    of sibling chunks)."""
+    exprs = _zcol_exprs(df, cols)
+    ints = [
+        _normalize(e, *bounds[c], bits) for c, e in zip(cols, exprs)
+    ]
+    return zorder_key(ints, bits)
+
+
+def default_bits(n_cols: int, bits: int | None = None) -> int:
+    """Resolve the per-dimension bit width: an explicit ``bits``
+    passes through (zorder_key still validates overflow); the default
+    is DEFAULT_BITS capped so ``n_cols`` dimensions fit a BIGINT."""
+    if bits is not None:
+        return bits
+    return min(DEFAULT_BITS, 62 // max(n_cols, 1))
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
     cols: list[str],
-    bits: int = DEFAULT_BITS,
+    bits: int | None = None,
     max_records_per_file: int = 50_000,
 ) -> dict[str, tuple[float, float]]:
     """Rewrite ``df`` to ``path`` ordered by the z-key over ``cols``
@@ -94,28 +177,12 @@ def zorder_write(
     Returns the normalization bounds used, so a reader (or a later
     incremental rewrite) can reproduce the key. ``max_records_per_file``
     bounds rows per file ⇒ per row group, which sets the pruning
-    granularity."""
-    exprs = []
-    for c in cols:
-        dt = df.schema[c].dataType.simpleString()
-        exprs.append(
-            F.unix_timestamp(c).cast("double")
-            if dt.startswith("timestamp")
-            else F.col(c).cast("double")
-        )
-    row = df.agg(
-        *[f(e).alias(f"{tag}{i}")
-          for i, e in enumerate(exprs)
-          for tag, f in (("lo", F.min), ("hi", F.max))]
-    ).collect()[0]
-    bounds = {
-        c: (row[f"lo{i}"], row[f"hi{i}"]) for i, c in enumerate(cols)
-    }
-    ints = [
-        _normalize(e, *bounds[c], bits) for c, e in zip(cols, exprs)
-    ]
+    granularity. ``bits=None`` (default) uses DEFAULT_BITS capped to
+    fit ``len(cols)`` dimensions in a BIGINT."""
+    bits = default_bits(len(cols), bits)
+    bounds = compute_bounds(df, cols)
     (
-        df.withColumn("_zk", zorder_key(ints, bits))
+        df.withColumn("_zk", zorder_key_for(df, cols, bounds, bits))
         # range-partition on the key (one global-sort exchange), then
         # sort within each partition: together a total order on _zk
         .repartitionByRange("_zk")
