@@ -22,7 +22,17 @@ unsorted layout opens ~100% everywhere. Also asserts read-back row
 equality for the z layout (the rewrite is a reorder, never a rewrite
 of values).
 
-Usage: python soak_zorder.py [n_rows]
+Round 10 (VERDICT r9 #1) adds the MAINTENANCE-PATH phase: the same
+z-order applied where it now lives in production — a cold event-log
+chunk rewritten by run_maintenance(zorder_by=('table_name', 'ts'))
+(cdc/retention.py::compress_partition) — with footer-measured pruning
+BEFORE and AFTER on the "one table × one hour" box the reference's
+(table_name, ts) btree index serves (init.sql:64-66), an
+order-insensitive content hash proving the rewrite is a pure reorder,
+and a second maintenance run proving the persisted _layout.json
+bounds are reused (bounds_source == 'manifest').
+
+Usage: python soak_zorder.py [n_rows] [n_log_rows]
 """
 
 from __future__ import annotations
@@ -50,6 +60,7 @@ T0 = 1_704_067_200  # 2024-01-01
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    n_log = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     spark = get_spark(app_name="soak_zorder")
     scratch = os.path.join(tempfile.gettempdir(), f"soak_zorder_{os.getpid()}")
 
@@ -104,6 +115,8 @@ def main() -> None:
     assert back.count() == n
     assert back.exceptAll(df).count() == 0
 
+    maint = _maintenance_phase(spark, scratch, n_log)
+
     print(
         json.dumps(
             {
@@ -114,10 +127,108 @@ def main() -> None:
                 "prune_fraction": {
                     k: round(frac(k), 4) for k in stats
                 },
+                "maintenance": maint,
             }
         )
     )
     shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _maintenance_phase(spark, scratch: str, n: int) -> dict:
+    """Z-order as a maintenance policy over a real event log."""
+    from timescale_cdc_spark.cdc.log import EventLog
+    from timescale_cdc_spark.cdc.retention import read_layout
+    from timescale_cdc_spark.maintenance import run_maintenance
+
+    cold_day = dt.date(2024, 1, 1)
+    now = dt.date(2024, 1, 10)
+    log = EventLog(spark, f"{scratch}/log")
+    # several appends → several unsorted files inside the cold chunk
+    per_batch = max(n // 4, 1)
+    for b in range(4):
+        env = spark.range(per_batch).select(
+            F.timestamp_seconds(
+                T0 + F.abs(F.xxhash64("id", F.lit(10 + b)) % 86400)
+            ).alias("ts"),
+            F.lit("dataschema").alias("schema_name"),
+            F.concat(
+                F.lit("t"),
+                (F.abs(F.xxhash64("id", F.lit(20 + b))) % 8).cast("string"),
+            ).alias("table_name"),
+            F.lit("INSERT").alias("operation"),
+            F.lit(None).cast("string").alias("before"),
+            F.to_json(F.struct((F.col("id") + b * per_batch).alias("id")))
+            .alias("after"),
+        )
+        log.append(env, distributed_ids=True)
+
+    part = os.path.join(log.data_path, f"event_date={cold_day.isoformat()}")
+    box = {
+        "table_name": ("t3", "t3"),
+        "ts": (
+            dt.datetime(2024, 1, 1, 9, 0),
+            dt.datetime(2024, 1, 1, 10, 0),
+        ),
+    }
+    opened0, total0 = rowgroup_prune_stats(part, box)
+
+    content_hash = lambda: log.read().select(  # noqa: E731
+        # bit_xor: order-insensitive and overflow-free under ANSI
+        F.expr(
+            "bit_xor(xxhash64(ts, schema_name, table_name, operation, "
+            "after, event_id))"
+        ).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    before = content_hash()
+
+    t0 = time.perf_counter()
+    report = run_maintenance(
+        f"{scratch}/log",
+        retention_days=365,
+        now=now,
+        compress_after_days=2,
+        zorder_by=("table_name", "ts"),
+        zorder_max_records_per_file=50_000,
+    )
+    rewrite_s = time.perf_counter() - t0
+    stats1 = report["compressed_partitions"][cold_day.isoformat()]
+    assert stats1["layout"] == "zordered", stats1
+    assert stats1["bounds_source"] == "computed", stats1
+
+    after = content_hash()
+    assert (before["h"], before["n"]) == (after["h"], after["n"])
+    opened1, total1 = rowgroup_prune_stats(part, box)
+    # the maintenance rewrite coalesces files — compare FRACTIONS
+    assert total1 > 0 and opened1 / total1 < 0.5, (opened1, total1)
+    assert opened0 / max(total0, 1) > 0.9, (opened0, total0)
+
+    # second run: bounds come from the persisted manifest
+    report2 = run_maintenance(
+        f"{scratch}/log",
+        retention_days=365,
+        now=now,
+        compress_after_days=2,
+        zorder_by=("table_name", "ts"),
+        zorder_max_records_per_file=50_000,
+    )
+    stats2 = report2["compressed_partitions"][cold_day.isoformat()]
+    assert stats2["bounds_source"] == "manifest", stats2
+    assert stats2["bounds"] == stats1["bounds"]
+    assert read_layout(part)["zorder_by"] == ["table_name", "ts"]
+    assert (before["h"], before["n"]) == (
+        content_hash()["h"], content_hash()["n"]
+    )
+
+    return {
+        "n_log_rows": before["n"],
+        "rewrite_s": round(rewrite_s, 2),
+        "box_open_before": [opened0, total0],
+        "box_open_after": [opened1, total1],
+        "prune_fraction_before": round(opened0 / max(total0, 1), 4),
+        "prune_fraction_after": round(opened1 / total1, 4),
+        "bounds_source_run2": stats2["bounds_source"],
+    }
 
 
 if __name__ == "__main__":

