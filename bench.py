@@ -34,6 +34,13 @@ judge re-run to adjudicate as environmental. The bench now records:
   ``pass_wall_s``: wall-clock of each complete pass, so a reader can
   see exactly which passes a load burst hit.
 
+Output (round 10, VERDICT r9 #4): TWO self-contained JSON lines — a
+``BENCH_DETAIL``-prefixed diagnostics line (samples, pass walls,
+coverage notes, load) followed by a compact (<1.5 KB) summary line
+with the headline metric, per-query mins, and calibration. The
+summary comes LAST and small so a tail-truncating log capture always
+keeps it whole (r9's single fat line lost its head fields).
+
 Round-over-round comparison (documented in README.md): divide each
 round's headline total by (calibration_jvm_sec_rN /
 calibration_jvm_sec_r{{N-1}}) before comparing — a machine-level
@@ -90,29 +97,22 @@ HEADLINE = [
 # per-query comparison knows a slower number means more coverage, not
 # a regression. Rewritten (not appended) each round.
 COVERAGE_NOTES = {
-    "lib_stats_counter_candle": (
-        "round 9: 9 families (was 5) — +exact percentile, UDDSketch "
-        "bins/accessors, histogram, HLL rollup; fact scan now cached "
-        "(1 physical scan)"
+    "c2_minhash_simhash": (
+        "round 10 adjudication of the r9 +33% (VERDICT r9 #2): "
+        "same-code r10 re-measure gave 7.06 s min at STABLE calib "
+        "0.18/0.18 vs r9's 8.10 s at calib 0.27→0.12 — part drift; "
+        "the real residual was profiled to the full-corpus verify "
+        "featurization (shingles+tokens localCheckpoint, 3.4 s of "
+        "~8 s) plus four attach joins, now REPLACED: pairs melt to "
+        "(role, doc_id) and join ONCE shuffle-hash against the "
+        "in-plan featurized corpus, any_value reassembly. Row counts "
+        "unchanged (1969 @ sf0.1, 152 @ sf0.01); interleaved A/B min "
+        "5.0 s vs old 7.1-8.1."
     ),
-    "cdc_continuous_aggregate": (
-        "round 9: two-level hierarchical cagg (hourly + daily via "
-        "cascade_refresh; was single-level)"
-    ),
-    "lib_state_heartbeat_freq": "round 9: fact scan cached (1 physical scan)",
-    "lib_m4_split_sample": (
-        "round 9: fact scans cached; +mixture family (fractional-epoch "
-        "source weighting)"
-    ),
-    "c4_decontamination": "round 9: NEW — train/eval n-gram overlap",
-    "c4_text_analysis": (
-        "round 9: +Gopher repetition signals (top_bigram_frac, "
-        "dup_trigram_frac — adds two gram aggregations to the "
-        "formerly map-side-only plan)"
-    ),
-    "b34_b35_datetime_math_fns": (
-        "round 9: +1-week and 3-month time_bucket columns "
-        "(Timescale-origin semantics)"
+    "c4_decontamination": (
+        "round 10: +family='span' rows (Dolma/Llama-3 span-level "
+        "removal, hash-checked incl. the surviving text) — entry "
+        "roughly doubles its work by construction"
     ),
 }
 
@@ -213,6 +213,29 @@ def main() -> None:
 
     timings = {n: min(s) for n, s in samples.items()}
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Truncation-proof output (VERDICT r9 #4): the driver records only
+    # the TAIL of stdout, and BENCH_r09's single fat line lost its head
+    # (metric/value) to Spark progress-bar noise ahead of it. Emit the
+    # bulky diagnostics (per-sample arrays, coverage notes) as a
+    # clearly-tagged detail line FIRST, then END with a compact summary
+    # line small enough (<1.5 KB) to always survive tail-truncation
+    # whole. Both lines are self-contained JSON.
+    print(
+        "BENCH_DETAIL "
+        + json.dumps(
+            {
+                "queries_run1": {n: s[0] for n, s in samples.items()},
+                "samples": samples,
+                "pass_wall_s": pass_wall_s,
+                "coverage_notes": COVERAGE_NOTES,
+                "load_avg_start": [round(x, 2) for x in load_start],
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+                "mem_available_kb": _mem_available_kb(),
+            }
+        ),
+        flush=True,
+    )
     print(
         json.dumps(
             {
@@ -220,20 +243,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_run1": {n: s[0] for n, s in samples.items()},
-                "samples": samples,
-                "pass_wall_s": pass_wall_s,
                 "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "calibration_jvm_sec": calib_jvm,
                 "calibration_jvm_sec_end": calib_jvm_end,
                 "calibration_py_sec": calib_py,
-                "coverage_notes": COVERAGE_NOTES,
-                "load_avg_start": [round(x, 2) for x in load_start],
-                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-                "mem_available_kb": _mem_available_kb(),
             }
-        )
+        ),
+        flush=True,
     )
 
 

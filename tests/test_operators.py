@@ -1500,6 +1500,66 @@ def test_decontaminate_short_doc_edge(spark):
     assert not rows[11]["contaminated"]
 
 
+def test_decontaminate_spans_hand_computed(spark):
+    """Span removal (Dolma/Llama-3 recipe): only the union of hit
+    [pos, pos+n) windows is cut, the rest of the doc survives
+    verbatim; whole-doc contamination yields an empty clean_text."""
+    from timescale_cdc_spark.operators.decontam import decontaminate_spans
+
+    eval_df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # one hit 3-gram at pos 2 → words 2,3,4 removed
+            (10, "a very quick brown fox appears happy today"),
+            # clean
+            (11, "completely unrelated training text here"),
+            # eval sentence embedded after 1 word: hit positions 1..7
+            # cover words 1..9 → only 'prefix' survives
+            (12, "prefix the quick brown fox jumps over the lazy dog"),
+            # shorter than n with an exact eval-substring gram: its
+            # single all-words gram hits → fully removed
+            (13, "quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(
+            train, eval_df, "text", "doc_id", n=3
+        ).collect()
+    }
+    assert rows[10]["clean_text"] == "a very appears happy today"
+    assert rows[10]["n_hit_positions"] == 1
+    assert rows[10]["n_removed_words"] == 3
+    assert not rows[11]["contaminated"]
+    assert rows[11]["clean_text"] == rows[11]["text"]
+    assert rows[11]["n_removed_words"] == 0
+    assert rows[12]["clean_text"] == "prefix"
+    assert rows[12]["n_hit_positions"] == 7
+    assert rows[12]["n_removed_words"] == 9
+    assert rows[13]["clean_text"] == "" and rows[13]["contaminated"]
+    assert abs(rows[13]["removal_ratio"] - 1.0) < 1e-12
+
+
+def test_decontaminate_spans_hashed_matches_exact(spark):
+    """xxhash64 and portable-string span removal agree on a real
+    corpus slice — including the surviving text itself."""
+    from timescale_cdc_spark.operators.decontam import decontaminate_spans
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0).limit(200)
+    cols = ["doc_id", "clean_text", "n_hit_positions", "n_removed_words"]
+    a = decontaminate_spans(train, eval_df, "text", "doc_id", n=5,
+                            hashed=True).select(cols)
+    b = decontaminate_spans(train, eval_df, "text", "doc_id", n=5,
+                            hashed=False).select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_curate_with_decontamination_stage(spark):
     """curate(eval_docs=...) drops eval-overlapping docs as
     'contaminated' BEFORE the dedup stages, and the stage is inert

@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from timescale_cdc_spark.operators.dedup import word_shingles
 
-__all__ = ["doc_ngrams", "decontaminate"]
+__all__ = [
+    "doc_ngrams",
+    "doc_ngram_positions",
+    "decontaminate",
+    "decontaminate_spans",
+]
 
 
 def doc_ngrams(
@@ -57,6 +62,105 @@ def doc_ngrams(
     if hashed:
         out = out.select("_id", F.xxhash64("_gram").alias("_gram"))
     return out
+
+
+def doc_ngram_positions(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hashed: bool = True,
+) -> DataFrame:
+    """Word n-grams per document WITH their 0-based starting word
+    index: ``(_id, _pos, _gram)`` rows — the positioned variant of
+    :func:`doc_ngrams` that span-level removal needs. Same gram
+    construction (a doc shorter than ``n`` words yields its single
+    all-words gram at position 0)."""
+    words = F.split(F.col(text_col), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    out = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(grams).alias("_pos", "_gram"),
+    )
+    if hashed:
+        out = out.select("_id", "_pos", F.xxhash64("_gram").alias("_gram"))
+    return out
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    hashed: bool = True,
+) -> DataFrame:
+    """Span-level decontamination (the Dolma / Llama-3 recipe,
+    VERDICT r9 #3): instead of flagging whole documents, REMOVE the
+    contaminated word spans and keep the rest — at 100 TB dropping a
+    full document over one 13-gram hit wastes real data.
+
+    A word at index k is removed iff some eval-overlapping n-gram
+    starting at position p covers it (p ≤ k < p+n) — the union of
+    [p, p+n) over all hit positions, exactly the overlap definition
+    :func:`decontaminate` counts. Returns ``train`` plus:
+
+    - ``clean_text`` — the surviving words re-joined (empty string
+      when the whole doc is contaminated, e.g. a doc shorter than
+      ``n`` whose single all-words gram hits);
+    - ``n_positions`` / ``n_hit_positions`` — gram positions total /
+      contaminated;
+    - ``n_words`` / ``n_removed_words`` and ``removal_ratio``;
+    - ``contaminated`` — ≥1 hit position.
+
+    100 TB shape: identical to :func:`decontaminate` — the eval gram
+    set broadcasts, the probe is a map-side semi-join over positioned
+    train grams, and the only added state is one ``collect_set`` of
+    hit POSITIONS per contaminated doc (bounded by the doc's own word
+    count, the same order as the text itself). The span cut is pure
+    codegen (filter/exists over the words array) — no Python, no
+    second text shuffle."""
+    words = F.split(F.col(text_col), r"\s+")
+    tg = doc_ngram_positions(train, text_col, id_col, n, hashed=hashed)
+    eg = doc_ngrams(eval_df, text_col, id_col, n, hashed=hashed).select(
+        "_gram"
+    ).distinct()
+    hit_pos = (
+        tg.join(eg, "_gram", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_set("_pos").alias("_hits"))
+    )
+    out = train.join(
+        hit_pos, train[id_col] == hit_pos["_id"], "left"
+    ).drop("_id")
+    hits = F.coalesce(F.col("_hits"), F.array().cast("array<int>"))
+    kept = F.filter(
+        words,
+        lambda _w, k: ~F.exists(
+            hits, lambda p: (p <= k) & (k < p + F.lit(n))
+        ),
+    )
+    n_words = F.size(words)
+    n_kept = F.size(kept)
+    return (
+        out.withColumn("clean_text", F.concat_ws(" ", kept))
+        .withColumn(
+            "n_positions",
+            F.greatest(n_words - n, F.lit(0)) + F.lit(1),
+        )
+        .withColumn("n_hit_positions", F.size(hits))
+        .withColumn("n_words", n_words)
+        .withColumn("n_removed_words", n_words - n_kept)
+        .withColumn(
+            "removal_ratio",
+            (n_words - n_kept) / F.greatest(n_words, F.lit(1)),
+        )
+        .withColumn("contaminated", F.size(hits) >= 1)
+        .drop("_hits")
+    )
 
 
 def decontaminate(
