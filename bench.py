@@ -114,6 +114,13 @@ COVERAGE_NOTES = {
         "removal, hash-checked incl. the surviving text) — entry "
         "roughly doubles its work by construction"
     ),
+    "lib_m4_split_sample": (
+        "round 10: +family='pack' (det_hash-partitioned token "
+        "packing, every pack id re-derived in SQL) and "
+        "+family='components' (iterative star-contraction CC vs a "
+        "recursive-CTE oracle) — the CC driver loop adds a few "
+        "rounds of shuffles to the entry"
+    ),
 }
 
 

@@ -27,18 +27,30 @@ variants (truncation is the tokenizer's job, not the packer's).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
 from pyspark.sql.window import Window
 
 
-def _with_partition(df: DataFrame, id_col: str, num_partitions: int) -> DataFrame:
+def _with_partition(
+    df: DataFrame,
+    id_col: str,
+    num_partitions: int,
+    partition_expr: Column | None = None,
+) -> DataFrame:
     # deterministic hash distribution: pack membership must be stable
-    # across runs for reproducible training batches
-    return df.withColumn(
-        "_part", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_partitions))
-    ).repartition(num_partitions, "_part")
+    # across runs for reproducible training batches. partition_expr
+    # overrides the xxhash64 default — e.g. sampling.det_hash for an
+    # assignment re-derivable outside Spark (the oracle contract).
+    part = (
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_partitions))
+        if partition_expr is None
+        else partition_expr
+    )
+    return df.withColumn("_part", part).repartition(
+        num_partitions, "_part"
+    )
 
 
 def assign_packs(
@@ -47,11 +59,18 @@ def assign_packs(
     id_col: str,
     budget: int,
     num_partitions: int = 32,
+    partition_expr: Column | None = None,
 ) -> DataFrame:
     """Window-cumsum packing: adds ``pack_id`` (string
     ``<partition>-<local>``). Packs can overflow the budget by less
-    than the largest packed doc; oversized docs get their own pack."""
-    parted = _with_partition(df, id_col, num_partitions)
+    than the largest packed doc; oversized docs get their own pack.
+
+    ``partition_expr`` (round 10): optional deterministic partition
+    assignment replacing the xxhash64 default — pass e.g.
+    ``det_hash([id_col], salt) % num_partitions`` to make the whole
+    pack assignment re-derivable in portable SQL (cumsum + floor are
+    plain window arithmetic; only the hash was engine-specific)."""
+    parted = _with_partition(df, id_col, num_partitions, partition_expr)
     w = (
         Window.partitionBy("_part")
         .orderBy(id_col)
