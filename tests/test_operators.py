@@ -830,7 +830,12 @@ def test_c2_streaming_registered_row_count(spark):
 
     stream_gate: 476 admitted survivors. semdedup: 500 kept vectors —
     the original embeddings table exactly, because every planted copy
-    deduped and both gates held (a gate trip zeroes the method)."""
+    deduped and both gates held (a gate trip zeroes the method).
+    curate: 666 verdict rows — one per corpus doc (500 docs minus 17
+    eval-reserved, plus 12+17+48+69+37 planted rows), present only because
+    all six composition gates held (conservation, junk→quality,
+    contaminated-never-kept, zero exact/near detector pairs among the
+    kept set, ≤1 survivor per semantic pair)."""
     from timescale_cdc_spark.queries.llm_queries import c2_streaming_near_dedup
 
     out = c2_streaming_near_dedup(spark, _sibling_sf_dir("sf0.01"))
@@ -838,7 +843,9 @@ def test_c2_streaming_registered_row_count(spark):
         r["method"]: r["n"]
         for r in out.groupBy("method").agg(F.count("*").alias("n")).collect()
     }
-    assert per_method == {"stream_gate": 476, "semdedup": 500}, per_method
+    assert per_method == {
+        "stream_gate": 476, "semdedup": 500, "curate": 666,
+    }, per_method
 
 
 def test_streaming_near_dedup_transitive_option(spark, tmp_path):
