@@ -109,6 +109,11 @@ COVERAGE_NOTES = {
         "unchanged (1969 @ sf0.1, 152 @ sf0.01); interleaved A/B min "
         "5.0 s vs old 7.1-8.1."
     ),
+    "c4_text_analysis": (
+        "round 10: +PII detection/redaction columns (n_pii_email/"
+        "phone/ip + redacted-text md5 over planted doc_id-derived "
+        "PII) — four more regexp passes per doc, map-side only"
+    ),
     "c4_decontamination": (
         "round 10: +family='span' rows (Dolma/Llama-3 span-level "
         "removal, hash-checked incl. the surviving text) — entry "

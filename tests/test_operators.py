@@ -1637,3 +1637,70 @@ def test_repetition_stats_hand_computed(spark):
     assert abs(rows[3]["dup_line_char_frac"] - dup_chars / total) < 1e-9
     # single-line docs: line metrics degenerate to 1 / 0 / 0
     assert rows[1]["n_lines"] == 1 and rows[1]["dup_line_frac"] == 0.0
+
+
+def test_pii_redaction_realistic_and_cross_engine(spark):
+    """PII detect+redact (Dolma recipe) on realistic strings: multiple
+    occurrences, adjacent categories, dotted phones, and a doc with
+    none. Every pattern stays in the RE2 ∩ Java subset, so the SAME
+    string must come back from DuckDB's regexp_replace — the property
+    the oracle hash-match of c4_text_analysis rests on."""
+    import duckdb
+
+    from timescale_cdc_spark.operators.text import (
+        PII_ORDER,
+        PII_PATTERNS,
+        PII_TOKENS,
+        pii_stats,
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jo.doe+spam@sub.example.co.uk or "
+                "alt_jo%x@mail.io thanks"),
+            (2, "call 415-555-2671 or 415.555.2671 from 10.0.0.1"),
+            (3, "server 192.168.100.255 and 8.8.8.8 port 80"),
+            (4, "adjacent a@b.io 123-456-7890 1.2.3.4 end"),
+            (5, "no pii here just words and numbers 12345"),
+        ],
+        "doc_id long, text string",
+    )
+    out = redact_pii(pii_stats(docs, "text"), "text")
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    assert (rows[1]["n_pii_email"], rows[1]["n_pii_phone"],
+            rows[1]["n_pii_ip"]) == (2, 0, 0)
+    assert (rows[2]["n_pii_email"], rows[2]["n_pii_phone"],
+            rows[2]["n_pii_ip"]) == (0, 2, 1)
+    assert rows[3]["n_pii_ip"] == 2
+    assert (rows[4]["n_pii_email"], rows[4]["n_pii_phone"],
+            rows[4]["n_pii_ip"]) == (1, 1, 1)
+    assert (rows[5]["n_pii_email"], rows[5]["n_pii_phone"],
+            rows[5]["n_pii_ip"]) == (0, 0, 0)
+    assert rows[5]["pii_redacted"] == rows[5]["text"]
+    assert rows[4]["pii_redacted"] == (
+        "adjacent |||EMAIL_ADDRESS||| |||PHONE_NUMBER||| "
+        "|||IP_ADDRESS||| end"
+    )
+    for r in rows.values():
+        for cat in PII_ORDER:
+            # a count>0 implies the category token is present and the
+            # raw match is gone
+            if r[f"n_pii_{cat}"]:
+                assert PII_TOKENS[cat] in r["pii_redacted"]
+
+    # cross-engine: DuckDB/RE2 must produce byte-identical redactions
+    con = duckdb.connect()
+    for r in rows.values():
+        got = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace("
+            "?, ?, ?, 'g'), ?, ?, 'g'), ?, ?, 'g')",
+            [
+                r["text"],
+                PII_PATTERNS["email"], PII_TOKENS["email"],
+                PII_PATTERNS["phone"], PII_TOKENS["phone"],
+                PII_PATTERNS["ip"], PII_TOKENS["ip"],
+            ],
+        ).fetchone()[0]
+        assert got == r["pii_redacted"], (r["doc_id"], got)

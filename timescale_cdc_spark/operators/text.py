@@ -266,3 +266,65 @@ def repetition_stats(
         )
         .na.fill({"top_bigram_frac": 0.0, "dup_trigram_frac": 0.0})
     )
+
+
+#: PII patterns (the Dolma postprocess tagger family — Soldaini et
+#: al. 2024, §Appendix "PII"; same categories as the CCNet/RefinedWeb
+#: scrubbers): email, North-American-style phone, IPv4. Deliberately
+#: restricted to the RE2 ∩ java.util.regex subset — no lookaround, no
+#: backreferences, ASCII classes only — so the SAME pattern string
+#: runs verbatim in Spark executors and in the DuckDB/RE2 oracle.
+#: Production deployments extend these; the operator machinery
+#: (count + ordered masked rewrite) is pattern-agnostic.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+#: Dolma-style replacement tokens — distinctive, unsplittable by the
+#: whitespace tokenizer, and category-preserving so downstream token
+#: accounting still sees one "word" per redacted span.
+PII_TOKENS: dict[str, str] = {
+    "email": "|||EMAIL_ADDRESS|||",
+    "phone": "|||PHONE_NUMBER|||",
+    "ip": "|||IP_ADDRESS|||",
+}
+
+#: Redaction order is load-bearing: emails are cut first (their
+#: domains contain dots but no digit runs, so later patterns cannot
+#: fire inside them), phones second (3-3-4 digit runs — cannot match
+#: inside a dotted IPv4 whose final octet is ≤3 digits), IPv4 last.
+PII_ORDER = ("email", "phone", "ip")
+
+
+def pii_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """C4 PII detection: per-category occurrence counts
+    (``n_pii_email``, ``n_pii_phone``, ``n_pii_ip``) as codegen'd
+    ``regexp_count`` columns — zero shuffle, zero Python; at 100 TB
+    this is a free rider on whatever scan already reads the text."""
+    out = df
+    for cat in PII_ORDER:
+        out = out.withColumn(
+            f"n_pii_{cat}",
+            F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[cat])).cast(
+                "long"
+            ),
+        )
+    return out
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "pii_redacted"
+) -> DataFrame:
+    """C4 PII redaction (Dolma recipe): rewrite ``text_col`` with every
+    PII match replaced by its category token, in ``PII_ORDER`` (see
+    the ordering note above). Pure chained ``regexp_replace`` —
+    deterministic, whole-stage-codegen, and byte-identical to the
+    RE2 oracle because the patterns stay inside the common subset."""
+    expr = F.col(text_col)
+    for cat in PII_ORDER:
+        expr = F.regexp_replace(
+            expr, PII_PATTERNS[cat], PII_TOKENS[cat]
+        )
+    return df.withColumn(out_col, expr)

@@ -28,6 +28,8 @@ from timescale_cdc_spark.operators.similarity import (
 )
 from timescale_cdc_spark.operators.text import (
     LANG_PROFILES,
+    PII_PATTERNS,
+    PII_TOKENS,
     fingerprint,
     language_scores,
     quality_score,
@@ -947,6 +949,33 @@ _PRED = (
              floor((1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 1000000)
                / 1000000 AS dup_trigram_frac
       FROM g3c GROUP BY doc_id
+    ),
+    p AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' cc admin' || doc_id || '@mail.test'
+                       ELSE '' END
+               || ' tel ' || (doc_id % 900 + 100) || '-555-'
+               || (doc_id % 9000 + 1000)
+               || ' host 10.' || (doc_id % 256) || '.'
+               || ((doc_id // 7) % 256) || '.' || (doc_id % 100) AS pt
+      FROM documents
+    ),
+    ps AS (
+      SELECT doc_id,
+             len(regexp_extract_all(pt, '{PII_PATTERNS["email"]}'))
+               AS n_pii_email,
+             len(regexp_extract_all(pt, '{PII_PATTERNS["phone"]}'))
+               AS n_pii_phone,
+             len(regexp_extract_all(pt, '{PII_PATTERNS["ip"]}'))
+               AS n_pii_ip,
+             md5(regexp_replace(regexp_replace(regexp_replace(pt,
+                 '{PII_PATTERNS["email"]}', '{PII_TOKENS["email"]}', 'g'),
+                 '{PII_PATTERNS["phone"]}', '{PII_TOKENS["phone"]}', 'g'),
+                 '{PII_PATTERNS["ip"]}', '{PII_TOKENS["ip"]}', 'g'))
+               AS pii_redacted_fp
+      FROM p
     )
     SELECT s.doc_id, s.lang,
            score_de, score_en, score_es, score_fr, score_zh,
@@ -968,11 +997,14 @@ _PRED = (
            m.bpe_tokens,
            m.content_fingerprint,
            g2s.top_bigram_frac,
-           g3s.dup_trigram_frac
+           g3s.dup_trigram_frac,
+           ps.n_pii_email, ps.n_pii_phone, ps.n_pii_ip,
+           ps.pii_redacted_fp
     FROM scored s
     JOIN m ON s.doc_id = m.doc_id
     JOIN g2s ON s.doc_id = g2s.doc_id
     JOIN g3s ON s.doc_id = g3s.doc_id
+    JOIN ps ON s.doc_id = ps.doc_id
     """,
 )
 def c4_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,16 +1017,58 @@ def c4_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining-corpus filter shape), token counting (whitespace + a
     BPE-ish pre-tokenizer regex), and md5 document fingerprinting
     (portable content identity; the xxhash64 companion column is
-    Spark-specific, excluded from the oracle). Zero shuffles, zero
-    Python — pure codegen'd expressions."""
+    Spark-specific, excluded from the oracle). Round 10: + PII
+    detection and redaction (pii_stats/redact_pii — the Dolma
+    email/phone/IPv4 scrubber; planted doc_id-derived PII because the
+    fixture corpus has none; the redacted-text md5 pins the rewrite
+    byte-for-byte cross-engine). The per-doc signal columns stay zero
+    shuffles, zero Python — pure codegen'd expressions."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     out = language_scores(docs, "text")
     out = quality_score(out, "text")
     out = token_stats(out, "text")
     out = fingerprint(out, "text")
-    from timescale_cdc_spark.operators.text import repetition_stats
+    from timescale_cdc_spark.operators.text import (
+        pii_stats,
+        redact_pii,
+        repetition_stats,
+    )
 
     out = repetition_stats(out, "text", id_col="doc_id")
+    # Round 10: PII detect + redact (operators/text.py, Dolma recipe).
+    # The fixture corpus is PII-free word soup, so plant deterministic
+    # doc_id-derived PII (two email shapes, a 3-3-4 phone, an IPv4) —
+    # the redacted-text fingerprint then checks the rewrite
+    # byte-for-byte against the RE2 oracle, non-degenerately.
+    out = out.withColumn(
+        "_pii_text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" cc admin"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.test"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" tel "),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-555-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit(" host 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.expr("doc_id DIV 7") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    )
+    out = pii_stats(out, "_pii_text")
+    out = redact_pii(out, "_pii_text", out_col="_pii_red")
     return out.select(
         "doc_id",
         "lang",
@@ -1014,6 +1088,10 @@ def c4_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_fingerprint",
         trunc6(F.col("top_bigram_frac")).alias("top_bigram_frac"),
         trunc6(F.col("dup_trigram_frac")).alias("dup_trigram_frac"),
+        "n_pii_email",
+        "n_pii_phone",
+        "n_pii_ip",
+        F.md5(F.col("_pii_red")).alias("pii_redacted_fp"),
     )
 
 
