@@ -121,10 +121,12 @@ COVERAGE_NOTES = {
     ),
     "lib_m4_split_sample": (
         "round 10: +family='pack' (det_hash-partitioned token "
-        "packing, every pack id re-derived in SQL) and "
+        "packing, every pack id re-derived in SQL), "
         "+family='components' (iterative star-contraction CC vs a "
-        "recursive-CTE oracle) — the CC driver loop adds a few "
-        "rounds of shuffles to the entry"
+        "recursive-CTE oracle — the CC driver loop adds a few "
+        "rounds of shuffles), and +family='ppl' (CCNet unigram-LM "
+        "perplexity corpus split, LM fit + scores + buckets all "
+        "hash-checked) — three more families than r9"
     ),
 }
 

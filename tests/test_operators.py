@@ -1704,3 +1704,49 @@ def test_pii_redaction_realistic_and_cross_engine(spark):
             ],
         ).fetchone()[0]
         assert got == r["pii_redacted"], (r["doc_id"], got)
+
+
+def test_perplexity_buckets_hand_computed(spark):
+    """Unigram LM + perplexity on a hand-computable corpus: reference
+    'a a b' -> counts {a:2, b:1}, N=3, V=2, denom=5; add-one logps
+    p(a)=3/5, p(b)=2/5, OOV=1/5. Scored docs get exact cross-entropy
+    means of those (quantized) logps; bucket order follows ppl."""
+    import math
+
+    from timescale_cdc_spark.operators.text import (
+        perplexity_buckets,
+        unigram_logprobs,
+    )
+
+    ref = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    lm, oov = unigram_logprobs(ref, "text")
+    lm_rows = {r["token"]: r["logp"] for r in lm.collect()}
+
+    def q6(x):
+        return math.floor(x * 1e6) / 1e6
+
+    assert lm_rows == {"a": q6(math.log(3 / 5)), "b": q6(math.log(2 / 5))}
+    assert oov == q6(math.log(1 / 5))
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b a b"), (3, "z z z z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in perplexity_buckets(docs, lm, oov, "text", "doc_id").collect()
+    }
+    # per-doc CE = -(mean of quantized logps); ppl = exp(CE), trunc6
+    ce1 = q6(-q6(math.log(3 / 5)))
+    ce2 = q6(-(2 * q6(math.log(3 / 5)) + 2 * q6(math.log(2 / 5))) / 4)
+    ce3 = q6(-q6(math.log(1 / 5)))
+    assert out[1]["cross_entropy"] == ce1
+    assert out[2]["cross_entropy"] == ce2
+    assert out[3]["cross_entropy"] == ce3
+    for i, ce in ((1, ce1), (2, ce2), (3, ce3)):
+        assert out[i]["ppl"] == q6(math.exp(ce))
+        assert out[i]["n_tokens"] == 4
+    # most-reference-like doc is head, all-OOV doc is tail
+    assert out[1]["ppl_bucket"] == "head"
+    assert out[2]["ppl_bucket"] == "middle"
+    assert out[3]["ppl_bucket"] == "tail"

@@ -328,3 +328,104 @@ def redact_pii(
             expr, PII_PATTERNS[cat], PII_TOKENS[cat]
         )
     return df.withColumn(out_col, expr)
+
+
+def unigram_logprobs(
+    ref_docs: DataFrame, text_col: str
+) -> tuple[DataFrame, float]:
+    """C4 reference language model for perplexity-based quality
+    filtering (the CCNet recipe — Wenzek et al. 2020, there a 5-gram
+    KenLM over Wikipedia; a unigram LM keeps the machinery
+    closed-form, oracle-checkable, and broadcastable). Add-one
+    smoothing: p(t) = (c_t + 1) / (N + V), OOV mass 1 / (N + V).
+
+    Returns ``(lm, oov_logp)`` where ``lm`` is (token, logp) with
+    logp floor-quantized to 6 decimals — the quantization (plus the
+    DECIMAL summation in :func:`perplexity_buckets`) is what makes
+    per-doc scores exactly reproducible across engines and partition
+    orders. One O(1) collect for the normalizer; the LM itself stays
+    distributed (and is vocabulary-sized, so it broadcasts)."""
+    import math
+
+    toks = ref_docs.select(
+        F.explode(_tokens(text_col)).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    row = counts.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    denom = float((row["n"] or 0) + row["v"])
+    if denom == 0:
+        raise ValueError("reference corpus has no tokens")
+    lm = counts.select(
+        "token",
+        (
+            F.floor(F.log((F.col("c") + 1) / F.lit(denom)) * 1000000.0)
+            / 1000000.0
+        ).alias("logp"),
+    )
+    oov_logp = math.floor(math.log(1.0 / denom) * 1000000.0) / 1000000.0
+    return lm, oov_logp
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    oov_logp: float,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Score documents by unigram cross-entropy against a reference
+    LM and split the corpus CCNet-style into equal ``n_buckets``
+    perplexity buckets (3 → head/middle/tail; head = closest to the
+    reference distribution). Returns (id, n_tokens, cross_entropy,
+    ppl, ppl_bucket).
+
+    Determinism contract: per-token logp is pre-quantized (see
+    :func:`unigram_logprobs`) and summed as DECIMAL — exact and
+    order-independent, the same trick the money aggregates use — so
+    the scores hash-match the SQL oracle; bucket assignment is
+    ntile over (ppl, id), a total order.
+
+    100 TB shape: the LM is vocabulary-sized → broadcast hash join
+    onto the exploded tokens, one partial-agg shuffle per doc id.
+    The exact ntile here sorts globally (fine for fixture-scale
+    corpora and tests); at production scale compute bucket THRESHOLDS
+    with approx percentiles in one pass and bucket map-side in a
+    second — same semantics modulo the approximation, zero global
+    sort."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    ).filter(F.length("token") > 0)
+    per = (
+        toks.join(F.broadcast(lm), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.coalesce(F.col("logp"), F.lit(oov_logp)).cast(
+                    "decimal(20,6)"
+                )
+            ).alias("_slp"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    ce = trunc6(-F.col("_slp").cast("double") / F.col("n_tokens"))
+    scored = per.select(
+        F.col(id_col),
+        "n_tokens",
+        ce.alias("cross_entropy"),
+        trunc6(F.exp(ce)).alias("ppl"),
+    )
+    names = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(1, n_buckets + 1)]
+    )
+    tile = F.ntile(n_buckets).over(Window.orderBy("ppl", id_col))
+    label = F.when(tile == 1, names[0])
+    for i in range(2, n_buckets + 1):
+        label = label.when(tile == i, names[i - 1])
+    return scored.withColumn("ppl_bucket", label)

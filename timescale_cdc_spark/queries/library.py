@@ -1005,6 +1005,11 @@ _PACK_SALT = "pk10"
 _COMP_STAR = 5
 _COMP_BRIDGE = 35
 
+#: family='ppl' (round 10): every 11th doc trains the reference LM;
+#: the rest are scored and split head/middle/tail CCNet-style.
+_PPL_REF_MOD = 11
+_PPL_BUCKETS = 3
+
 
 def _m4_split_oracle() -> str:
     from timescale_cdc_spark.operators.sampling import (
@@ -1146,6 +1151,54 @@ comp_rows AS (
          CAST(MIN(lab) AS DOUBLE) AS value,
          CAST(NULL AS VARCHAR) AS item
   FROM comp_reach GROUP BY node
+),
+ppl_rt AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token
+  FROM documents WHERE doc_id % {_PPL_REF_MOD} = 0
+),
+ppl_rc AS (
+  SELECT token, COUNT(*) AS c FROM ppl_rt
+  WHERE length(token) > 0 GROUP BY token
+),
+ppl_tot AS (SELECT CAST(SUM(c) + COUNT(*) AS DOUBLE) AS denom FROM ppl_rc),
+ppl_lm AS (
+  SELECT token,
+         floor(ln((c + 1) / (SELECT denom FROM ppl_tot)) * 1000000)
+           / 1000000 AS logp
+  FROM ppl_rc
+),
+ppl_tt AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents WHERE doc_id % {_PPL_REF_MOD} <> 0
+),
+ppl_j AS (
+  SELECT t.doc_id,
+         COALESCE(l.logp,
+                  floor(ln(1.0 / (SELECT denom FROM ppl_tot)) * 1000000)
+                    / 1000000) AS lp
+  FROM ppl_tt t LEFT JOIN ppl_lm l ON t.token = l.token
+  WHERE length(t.token) > 0
+),
+ppl_pd AS (
+  SELECT doc_id, SUM(CAST(lp AS DECIMAL(20,6))) AS slp, COUNT(*) AS n
+  FROM ppl_j GROUP BY doc_id
+),
+ppl_sc AS (
+  SELECT doc_id,
+         floor(-CAST(slp AS DOUBLE) / n * 1000000) / 1000000 AS ce
+  FROM ppl_pd
+),
+ppl_sc2 AS (
+  SELECT doc_id, floor(exp(ce) * 1000000) / 1000000 AS ppl FROM ppl_sc
+),
+ppl_rows AS (
+  SELECT 'ppl' AS family, CAST(doc_id AS VARCHAR) AS key,
+         CAST(NULL AS TIMESTAMP) AS bucket, CAST(NULL AS TIMESTAMP) AS ts,
+         ppl AS value,
+         CASE ntile({_PPL_BUCKETS}) OVER (ORDER BY ppl, doc_id)
+              WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS item
+  FROM ppl_sc2
 )
 SELECT * FROM m4_rows
 UNION ALL SELECT * FROM split_rows
@@ -1154,6 +1207,7 @@ UNION ALL SELECT * FROM res_rows
 UNION ALL SELECT * FROM mixture_rows
 UNION ALL SELECT * FROM pack_rows
 UNION ALL SELECT * FROM comp_rows
+UNION ALL SELECT * FROM ppl_rows
 """
 
 
@@ -1192,6 +1246,16 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted star+bridge pair graph; the oracle recomputes ground
     truth by recursive min-label propagation, so multi-hop collapse
     to the component minimum is hash-checked per node.
+
+    family='ppl' (round 10): CCNet-style perplexity corpus split
+    (operators/text.py::unigram_logprobs + perplexity_buckets —
+    Wenzek et al. 2020): a unigram reference LM fit on every 11th
+    doc scores the rest; value = perplexity, item = equal
+    head/middle/tail ntile bucket. Per-token logp is floor-quantized
+    to 6 decimals and summed as DECIMAL (exact, order-independent),
+    so the oracle re-derives every score AND every bucket — the LM
+    fit, smoothing, OOV mass, scoring, and split are all
+    hash-checked cross-engine.
 
     100 TB shape: M4 is one fact shuffle (min_by/max_by hash agg);
     split/sample are zero-shuffle map-side projections; reservoir
@@ -1326,6 +1390,38 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("item"),
     )
 
+    # family='ppl' (round 10): CCNet-style perplexity corpus split
+    # (operators/text.py::unigram_logprobs/perplexity_buckets —
+    # Wenzek et al. 2020). A unigram reference LM fit on every
+    # {_PPL_REF_MOD}th doc scores the rest; equal head/middle/tail
+    # buckets by perplexity. Quantized per-token logp + DECIMAL sums
+    # make every score exactly re-derivable in the DuckDB oracle.
+    from timescale_cdc_spark.operators.text import (
+        perplexity_buckets,
+        unigram_logprobs,
+    )
+
+    lm, oov = unigram_logprobs(
+        docs.filter(F.col("doc_id") % _PPL_REF_MOD == 0), "text"
+    )
+    ppl = perplexity_buckets(
+        docs.filter(F.col("doc_id") % _PPL_REF_MOD != 0).select(
+            "doc_id", "text"
+        ),
+        lm,
+        oov,
+        "text",
+        "doc_id",
+        n_buckets=_PPL_BUCKETS,
+    ).select(
+        F.lit("ppl").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        null_bucket.alias("bucket"),
+        null_ts.alias("ts"),
+        F.col("ppl").alias("value"),
+        F.col("ppl_bucket").alias("item"),
+    )
+
     return (
         m4.unionByName(split)
         .unionByName(sample)
@@ -1333,6 +1429,7 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mixture)
         .unionByName(pack)
         .unionByName(comp)
+        .unionByName(ppl)
     )
 
 
