@@ -1750,3 +1750,32 @@ def test_perplexity_buckets_hand_computed(spark):
     assert out[1]["ppl_bucket"] == "head"
     assert out[2]["ppl_bucket"] == "middle"
     assert out[3]["ppl_bucket"] == "tail"
+
+
+def test_curate_redact_pii_before_dedup(spark):
+    """curate(redact=True) masks PII before hashing (the Dolma
+    ordering), so two docs differing ONLY in the PII they leak
+    become exact duplicates; without redaction both survive."""
+    from timescale_cdc_spark.operators.curation import curate
+
+    body = ("a perfectly reasonable document body with enough "
+            "distinct words to pass the quality and token filters "
+            "contact me at ")
+    docs = spark.createDataFrame(
+        [(1, body + "alice@example.com"), (2, body + "bob@other.org")],
+        "doc_id long, text string",
+    )
+    plain = {
+        r["doc_id"]: r
+        for r in curate(docs, min_quality=0.0,
+                        near_dup_threshold=0.98).collect()
+    }
+    assert plain[1]["kept"] and plain[2]["kept"]
+
+    red = {
+        r["doc_id"]: r
+        for r in curate(docs, min_quality=0.0, near_dup_threshold=0.98,
+                        redact=True).collect()
+    }
+    assert red[1]["kept"] and not red[2]["kept"]
+    assert red[2]["drop_reason"] == "exact_dup"

@@ -60,11 +60,20 @@ def curate(
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
     decontam_min_hits: int = 1,
+    redact: bool = False,
 ) -> DataFrame:
     """Run the full curation pipeline; returns ALL input docs with
     `kept` (bool), `drop_reason` (quality | contaminated | exact_dup |
     near_dup | semantic_dup | null) and, for survivors, token
     statistics.
+
+    ``redact=True`` (round 10) rewrites ``text_col`` through
+    :func:`operators.text.redact_pii` BEFORE any filter or hash —
+    the Dolma ordering: PII masking must precede dedup so content
+    hashes, shingles, and n-grams see the normalized text (two docs
+    differing only in the PII they leak ARE duplicates), and must
+    precede decontamination for the same reason. Map-side regex
+    only; every downstream stage is unchanged.
 
     ``eval_docs`` (optional, round 9): a (id_col, text_col) benchmark
     corpus enables the decontamination stage (operators/decontam.py) —
@@ -92,6 +101,13 @@ def curate(
     collapses byte-identical clusters, but near-identical template
     spam still lands whole clusters in one band bucket; star pairing
     keeps the task bounded (see dedup._banded_candidates)."""
+    if redact:
+        from timescale_cdc_spark.operators.text import redact_pii
+
+        docs = redact_pii(
+            docs.select(id_col, text_col), text_col, out_col="_red"
+        ).select(id_col, F.col("_red").alias(text_col))
+
     scored = quality_score(docs.select(id_col, text_col), text_col)
 
     quality_ok = scored.filter(
