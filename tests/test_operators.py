@@ -845,6 +845,10 @@ def test_c2_streaming_registered_row_count(spark):
     }
     assert per_method == {
         "stream_gate": 476, "semdedup": 500, "curate": 666,
+        # 500 held-out docs (250 clean + 250 planted junk), present
+        # only because the accuracy and probability-separation gates
+        # held (round 10, quality_model)
+        "quality_model": 500,
     }, per_method
 
 
@@ -1779,3 +1783,50 @@ def test_curate_redact_pii_before_dedup(spark):
     }
     assert red[1]["kept"] and not red[2]["kept"]
     assert red[2]["drop_reason"] == "exact_dup"
+
+
+def test_quality_classifier_and_pareto_keep(spark):
+    """The learned quality filter separates lexically-disjoint junk
+    from clean text, and the deterministic Pareto retention rule
+    (GPT-3 appendix A) keeps high-scored docs at a much higher rate
+    while letting SOME low-scored docs through (tail diversity, not
+    a hard cutoff) — reproducibly, since the draw is content-hashed."""
+    from timescale_cdc_spark.operators.quality_model import (
+        fit_quality_classifier,
+        pareto_keep,
+        score_quality,
+    )
+
+    clean = [(i, "the quick brown fox jumps over the lazy dog "
+                 f"variant {i} with plain natural words") for i in range(40)]
+    junk = [(1000 + i, f"zxq{i} vvkk{i} qqzz jjxx wwvv kkqq zzvv "
+                       f"xxjj vvww qqkk") for i in range(40)]
+    labeled = spark.createDataFrame(
+        [(i, t, 1.0) for i, t in clean] + [(i, t, 0.0) for i, t in junk],
+        "doc_id long, text string, label double",
+    )
+    train = labeled.filter("doc_id % 2 = 0")
+    test = labeled.filter("doc_id % 2 = 1")
+    model = fit_quality_classifier(train, num_features=1 << 14)
+    scored = score_quality(model, test)
+    rows = scored.collect()
+    acc = sum(r["quality_pred"] == r["label"] for r in rows) / len(rows)
+    assert acc == 1.0, acc
+
+    # pareto_keep over a synthetic score spread
+    probs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 0.95).otherwise(0.05)
+         .alias("quality_prob"),
+    )
+    kept = pareto_keep(probs).groupBy(
+        (F.col("doc_id") % 2 == 0).alias("hi")
+    ).agg(F.avg(F.col("keep").cast("double")).alias("rate")).collect()
+    rates = {r["hi"]: r["rate"] for r in kept}
+    assert rates[True] > 0.5 > rates[False]          # ordering
+    assert rates[False] > 0.0                        # tail diversity
+    # deterministic: same input -> same decisions
+    again = {r["hi"]: r["rate"] for r in pareto_keep(probs).groupBy(
+        (F.col("doc_id") % 2 == 0).alias("hi")
+    ).agg(F.avg(F.col("keep").cast("double")).alias("rate")).collect()}
+    assert again == rates

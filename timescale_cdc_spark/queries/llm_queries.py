@@ -600,6 +600,75 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("method", "id_a", "id_b", "score")
 
 
+#: quality-classifier planting arithmetic (method='quality_model')
+QM_JUNK_OFF = 600_000
+QM_TRAIN_MOD = 2
+
+
+def _quality_model_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """method='quality_model' rows (round 10): the GPT-3/fastText
+    LEARNED quality filter (operators/quality_model.py — tokenize →
+    hashed tf-idf → logistic regression) fit and applied end-to-end:
+
+    - positives = the real documents (label 1); negatives = a planted
+      vocabulary-shifted copy per doc (character-reversed text,
+      +600000): distributionally disjoint tokens — the lexical
+      signature a learned filter keys on (same-vocabulary repetition
+      junk is the RULE filters' job, repetition_stats);
+    - fit on the doc_id%2==0 half, score the held-out half;
+    - gates (any trip zeroes the method's rows): held-out accuracy
+      ≥ 0.95, and mean P[quality] separation between held-out clean
+      and junk ≥ 0.5.
+
+    Emitted row per held-out doc: id_a = doc_id, id_b = predicted
+    label, score = P[quality]. Model scores are float-path (MLlib),
+    hence rows-only; the gates make the row count a real signal."""
+    from timescale_cdc_spark.operators.quality_model import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    junk = docs.select(
+        (F.col("doc_id") + QM_JUNK_OFF).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    labeled = (
+        docs.withColumn("label", F.lit(1.0))
+        .unionByName(junk.withColumn("label", F.lit(0.0)))
+        .localCheckpoint()  # flat plan for the iterative fit
+    )
+    train = labeled.filter(F.col("doc_id") % QM_TRAIN_MOD == 0)
+    test = labeled.filter(F.col("doc_id") % QM_TRAIN_MOD != 0)
+    model = fit_quality_classifier(train)
+    scored = score_quality(model, test).localCheckpoint()
+
+    gates = scored.agg(
+        (
+            F.avg(
+                (F.col("quality_pred") == F.col("label")).cast("double")
+            )
+            < 0.95
+        ).cast("int").alias("g1"),
+        (
+            F.avg(F.when(F.col("label") == 1.0, F.col("quality_prob")))
+            - F.avg(F.when(F.col("label") == 0.0, F.col("quality_prob")))
+            < 0.5
+        ).cast("int").alias("g2"),
+    )
+    rows = scored.select(
+        F.lit("quality_model").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.col("quality_pred").cast("long").alias("id_b"),
+        F.col("quality_prob").cast("double").alias("score"),
+    )
+    return (
+        rows.crossJoin(F.broadcast(gates))
+        .filter((F.col("g1") == 0) & (F.col("g2") == 0))
+        .select("method", "id_a", "id_b", "score")
+    )
+
+
 @register("c2_streaming_near_dedup")  # xxhash64 sketches → rows-only
 def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 ⊕ B45: the streaming near-dup ingest gate
@@ -669,6 +738,7 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         gate_rows.unionByName(_semdedup_rows(spark, sf_dir))
         .unionByName(_curate_rows(spark, sf_dir))
+        .unionByName(_quality_model_rows(spark, sf_dir))
     )
 
 
