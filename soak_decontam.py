@@ -19,7 +19,13 @@ What it proves at scale:
   in the plan (BroadcastHashJoin LeftSemi, no SortMergeJoin/
   CartesianProduct) so a planner regression fails loudly;
 - throughput: reported docs/s and gram-rows/s for the full
-  annotate-everything pass.
+  annotate-everything pass;
+- span policy (round 10): decontaminate_spans must return every
+  planted doc as EXACTLY its 3-word noise prefix (the embedded eval
+  text is the union of hit windows; boundary-straddling grams
+  correctly miss) and must not touch a single background word — the
+  expected prefix is re-synthesized in-plan, so the equality check
+  covers all 10k planted docs with zero collects.
 
 Docs are synthesized deterministically from xxhash64 (the
 soak_semdedup.py pattern) so the run is reproducible without
@@ -143,6 +149,49 @@ def main() -> None:
     assert agg["false_neg"] == 0, agg
     assert agg["n_flagged"] == n_planted
 
+    # Span phase (round 10, operators/decontam.py::decontaminate_spans
+    # — the Dolma/Llama-3 policy): every planted doc must come back as
+    # EXACTLY its 3-word noise prefix (the embedded eval text is the
+    # union of hit [pos, pos+n) windows: positions 3..33 all covered,
+    # the boundary-straddling grams contain 'w'-vocab words and
+    # correctly do NOT hit), and NO background doc may lose a word.
+    # The expected prefix is re-synthesized in-plan, so the check is
+    # exact string equality on 10k docs with zero collects.
+    from timescale_cdc_spark.operators.decontam import decontaminate_spans
+
+    spans = decontaminate_spans(
+        train, eval_df, "text", "doc_id", n=NGRAM, hashed=True
+    )
+    plan2 = spans._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastHashJoin" in plan2 and "LeftSemi" in plan2, (
+        "span probe must broadcast"
+    )
+    t0 = time.perf_counter()
+    expected_prefix = _words("w", F.col("doc_id"), 3, TRAIN_VOCAB, "px")
+    sagg = spans.agg(
+        F.sum(
+            (
+                (F.col("doc_id") < n_planted)
+                & (F.col("clean_text") == expected_prefix)
+                & (F.col("n_removed_words") == DOC_WORDS)
+                & F.col("contaminated")
+            ).cast("long")
+        ).alias("planted_exact"),
+        F.sum(
+            (
+                (F.col("doc_id") >= n_planted)
+                & (
+                    (F.col("clean_text") != F.col("text"))
+                    | (F.col("n_removed_words") != 0)
+                )
+            ).cast("long")
+        ).alias("bg_touched"),
+    ).collect()[0]
+    span_wall = time.perf_counter() - t0
+    assert sagg["planted_exact"] == n_planted, sagg
+    assert sagg["bg_touched"] == 0, sagg
+
     print(
         json.dumps(
             {
@@ -157,6 +206,10 @@ def main() -> None:
                 "wall_s": round(wall, 2),
                 "docs_per_s": round(n_train / wall),
                 "gram_rows_per_s": round(agg["gram_rows"] / wall),
+                "span_planted_exact": sagg["planted_exact"],
+                "span_bg_touched": sagg["bg_touched"],
+                "span_wall_s": round(span_wall, 2),
+                "span_docs_per_s": round(n_train / span_wall),
             }
         )
     )
