@@ -295,8 +295,9 @@ def test_c3_ann_registered_query_has_all_families(spark, ann_sf):
     """The registered c3_ann_lsh_ivf query self-gates each index
     family on recall@5 ≥ 0.5 (and the folded-in vec_gate rows on the
     zero-admitted-dups invariant) and silently DROPS a failing
-    family's rows. Pin the full expected shape — 4 ANN families × 10
-    queries × 5 (lsh, ivf, round 7's pq, round 8's residual ivfpq),
+    family's rows. Pin the full expected shape — 5 ANN families × 10
+    queries × 5 (lsh, ivf, round 7's pq, round 8's residual ivfpq,
+    round 10's sq8 scalar quantization),
     plus one vec_gate row per distinct planted vector — so a future
     family dropout fails pytest, not just the driver's rows-only
     artifact (VERDICT r4 #1/'process gap' #2)."""
@@ -316,6 +317,7 @@ def test_c3_ann_registered_query_has_all_families(spark, ann_sf):
         "ivf": 50,
         "pq": 50,
         "ivfpq": 50,
+        "sq8": 50,
         "vec_gate": n_vecs,
     }, f"family dropout: {counts}"
 
@@ -1830,3 +1832,42 @@ def test_quality_classifier_and_pareto_keep(spark):
         (F.col("doc_id") % 2 == 0).alias("hi")
     ).agg(F.avg(F.col("keep").cast("double")).alias("rate")).collect()}
     assert again == rates
+
+
+def test_sq8_topk_exact_on_separated_corpus(spark):
+    """SQ8 scalar quantization: a planted near-identical vector must
+    come back at rank 1 with the EXACT cosine (the refine step scores
+    original vectors, so quantization error affects only candidate
+    selection), a constant dimension must not divide-by-zero, and
+    recall@3 vs brute force must be perfect on a well-separated
+    corpus (int8 error ≪ the margin)."""
+    import math
+    import random
+
+    from timescale_cdc_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    rng = random.Random(7)
+    # 40 well-separated random vectors + one near-copy of vec 0;
+    # dimension 5 is constant 0.5 across the corpus (degenerate).
+    base = [[rng.uniform(-1, 1) for _ in range(5)] + [0.5]
+            for _ in range(40)]
+    near = [x + 0.001 for x in base[0][:5]] + [0.5]
+    rows = [(i, v) for i, v in enumerate(base)] + [(100, near)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = corpus.filter("vec_id = 100")
+    got = sq8_topk(corpus, q, k=3).collect()
+    assert got[0]["c_id"] == 0 and got[0]["rank"] == 1
+    # exact cosine from the refine step, not a dequantized estimate
+    dot = sum(a * b for a, b in zip(near, base[0]))
+    na = math.sqrt(sum(a * a for a in near))
+    nb = math.sqrt(sum(b * b for b in base[0]))
+    assert abs(got[0]["cos"] - round(dot / (na * nb), 4)) <= 1e-12
+    exact = {(r["q_id"], r["c_id"])
+             for r in brute_force_topk(corpus, q, k=3).collect()}
+    approx = {(r["q_id"], r["c_id"]) for r in got}
+    assert approx == exact

@@ -615,3 +615,104 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cos", "rank")
     )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """C3 approximate top-K via 8-bit scalar quantization (FAISS's
+    ``SQ8`` flat index — the other billion-scale compression
+    workhorse next to PQ): per-dimension linear int8 codes trained
+    from corpus min/max, a compressed-domain scan (dequantize + cosine
+    on codes — 4× less I/O than float32), then exact re-rank of the
+    approx top-``rerank`` against the ORIGINAL vectors fetched by id
+    (the FAISS refine step — the wide float scan touches only
+    |queries|·rerank rows, never the corpus).
+
+    Scale shape: training is one O(dim) collect (per-dimension
+    min/max); the bounds ride in a one-row broadcast frame so plan
+    size stays O(1) in dimension; the code scan is one
+    embarrassingly-parallel pass with broadcast queries, same as
+    :func:`brute_force_topk` but over 1-byte-per-dim codes. Compose
+    with IVF cells for the probe-pruned variant (this function is the
+    SQ analog of PqIndex's ADC scan)."""
+    spark = corpus.sparkSession
+    stats = (
+        corpus.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "_j", "_x"
+            )
+        )
+        .groupBy("_j")
+        .agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
+        .orderBy("_j")
+        .collect()
+    )
+    vmins = [r["_lo"] for r in stats]
+    # degenerate (constant) dimensions quantize to code 0 via scale 1
+    scales = [
+        ((r["_hi"] - r["_lo"]) / 255.0) or 1.0 for r in stats
+    ]
+    bounds = spark.createDataFrame(
+        [(vmins, scales)], "_vmin array<double>, _scale array<double>"
+    )
+
+    def _encode(vec):
+        return F.transform(
+            vec,
+            lambda x, j: F.least(
+                F.greatest(
+                    F.round(
+                        (x.cast("double") - F.element_at(F.col("_vmin"), j + 1))
+                        / F.element_at(F.col("_scale"), j + 1)
+                    ),
+                    F.lit(0.0),
+                ),
+                F.lit(255.0),
+            ).cast("int"),
+        )
+
+    codes = (
+        corpus.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(id_col).alias("c_id"),
+            _encode(F.col(vec_col)).alias("_code"),
+            "_vmin",
+            "_scale",
+        )
+    )
+    deq = F.transform(
+        F.col("_code"),
+        lambda c, j: F.element_at(F.col("_vmin"), j + 1)
+        + c.cast("double") * F.element_at(F.col("_scale"), j + 1),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    approx = (
+        codes.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+        .withColumn("_acos", cosine(F.col("q_vec"), deq))
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.desc("_acos"), F.asc("c_id"))
+    cand = (
+        approx.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= rerank)
+        .select("q_id", "q_vec", "c_id")
+    )
+    refined = cand.join(
+        corpus.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_id",
+    ).withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )

@@ -798,6 +798,11 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       over RESIDUALS, probe-pruned partition reads × compressed
       codes; the FAISS billion-scale design, recall-gated like the
       other families so the driver sees its recall signal too.
+    - method='sq8': 8-bit scalar quantization (round 10,
+      operators/similarity.py::sq8_topk) — per-dimension int8 codes
+      trained from corpus min/max, compressed-domain cosine scan
+      (4× less I/O), exact refine of the approx top-50 by id; FAISS's
+      SQ8 flat index, recall-gated like the other families.
     - method='vec_gate': the streaming vector-dedup ingest gate
       (operators/ann_index.py::StreamingVectorDedup) driven over the
       planted vector corpus as three micro-batches — one row per
@@ -851,8 +856,14 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ivfpq").alias("method"), "q_id", "c_id", "cos", "rank"
         )
     )
+    from timescale_cdc_spark.operators.similarity import sq8_topk
+
+    sq8 = sq8_topk(em, q, k=5, rerank=50).select(
+        F.lit("sq8").alias("method"), "q_id", "c_id", "cos", "rank"
+    )
     approx = (
         lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq)
+        .unionByName(sq8)
     )
     exact = brute_force_topk(em, q, k=5).select(
         "q_id", "c_id", F.lit(1).alias("_hit")
