@@ -368,35 +368,24 @@ def unigram_logprobs(
     return lm, oov_logp
 
 
-def perplexity_buckets(
+def perplexity_scores(
     docs: DataFrame,
     lm: DataFrame,
     oov_logp: float,
     text_col: str,
     id_col: str,
-    n_buckets: int = 3,
 ) -> DataFrame:
-    """Score documents by unigram cross-entropy against a reference
-    LM and split the corpus CCNet-style into equal ``n_buckets``
-    perplexity buckets (3 → head/middle/tail; head = closest to the
-    reference distribution). Returns (id, n_tokens, cross_entropy,
-    ppl, ppl_bucket).
+    """Per-document unigram cross-entropy / perplexity against a
+    reference LM from :func:`unigram_logprobs`. Returns (id,
+    n_tokens, cross_entropy, ppl).
 
     Determinism contract: per-token logp is pre-quantized (see
     :func:`unigram_logprobs`) and summed as DECIMAL — exact and
     order-independent, the same trick the money aggregates use — so
-    the scores hash-match the SQL oracle; bucket assignment is
-    ntile over (ppl, id), a total order.
+    the scores hash-match the SQL oracle.
 
     100 TB shape: the LM is vocabulary-sized → broadcast hash join
-    onto the exploded tokens, one partial-agg shuffle per doc id.
-    The exact ntile here sorts globally (fine for fixture-scale
-    corpora and tests); at production scale compute bucket THRESHOLDS
-    with approx percentiles in one pass and bucket map-side in a
-    second — same semantics modulo the approximation, zero global
-    sort."""
-    from pyspark.sql import Window
-
+    onto the exploded tokens, one partial-agg shuffle per doc id."""
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("token")
     ).filter(F.length("token") > 0)
@@ -413,12 +402,33 @@ def perplexity_buckets(
         )
     )
     ce = trunc6(-F.col("_slp").cast("double") / F.col("n_tokens"))
-    scored = per.select(
+    return per.select(
         F.col(id_col),
         "n_tokens",
         ce.alias("cross_entropy"),
         trunc6(F.exp(ce)).alias("ppl"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    oov_logp: float,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """:func:`perplexity_scores` plus the CCNet corpus split: equal
+    ``n_buckets`` perplexity buckets (3 → head/middle/tail; head =
+    closest to the reference distribution), assigned by ntile over
+    (ppl, id) — a total order, so deterministic. The exact ntile
+    sorts globally (fine for fixture-scale corpora and tests); at
+    production scale compute bucket THRESHOLDS with approx
+    percentiles in one pass and bucket map-side in a second — same
+    semantics modulo the approximation, zero global sort."""
+    from pyspark.sql import Window
+
+    scored = perplexity_scores(docs, lm, oov_logp, text_col, id_col)
     names = (
         ["head", "middle", "tail"]
         if n_buckets == 3
