@@ -1871,3 +1871,48 @@ def test_sq8_topk_exact_on_separated_corpus(spark):
              for r in brute_force_topk(corpus, q, k=3).collect()}
     approx = {(r["q_id"], r["c_id"]) for r in got}
     assert approx == exact
+
+
+def test_curate_perplexity_stage(spark):
+    """curate(ppl_ref=..., max_ppl=...) drops out-of-distribution docs
+    as 'perplexity' after the rule filter and before decontam/dedup:
+    an all-OOV doc exceeds the ceiling; in-distribution docs pass and
+    flow through the rest of the pipeline untouched."""
+    import math
+
+    from timescale_cdc_spark.operators.curation import curate
+    from timescale_cdc_spark.operators.text import (
+        perplexity_scores,
+        unigram_logprobs,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the plain words we expect to see in reference text "
+             "appear here with usual frequency and order")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the plain words we expect appear here with usual order"),
+            (2, "zq vx qk jw zz xv kq wj zv xq"),  # all-OOV
+        ],
+        "doc_id long, text string",
+    )
+    # ceiling between the two observed scores, derived not guessed
+    lm, oov = unigram_logprobs(ref, "text")
+    scores = {
+        r["doc_id"]: r["ppl"]
+        for r in perplexity_scores(docs, lm, oov, "text", "doc_id").collect()
+    }
+    assert scores[2] > scores[1]
+    ceiling = math.sqrt(scores[1] * scores[2])
+
+    out = {
+        r["doc_id"]: r
+        for r in curate(
+            docs, min_quality=0.0, min_tokens=3,
+            ppl_ref=ref, max_ppl=ceiling,
+        ).collect()
+    }
+    assert out[1]["kept"] and out[1]["drop_reason"] is None
+    assert not out[2]["kept"] and out[2]["drop_reason"] == "perplexity"

@@ -2,19 +2,24 @@
 Tier C as one flow) — what a pretraining-data team actually runs, in
 the order that minimizes work at scale:
 
+    0. PII redaction    (optional, round 10 — masking before any
+                         hash so dedup sees normalized text)
     1. quality filter   (map-side only — cheapest, run first)
-    2. decontamination  (optional, round 9 — broadcast eval-gram
+    2. perplexity filter (optional, round 10 — CCNet reference-LM
+                         filter; broadcast LM + one per-doc partial
+                         agg, cheap enough to shrink the dedup input)
+    3. decontamination  (optional, round 9 — broadcast eval-gram
                          probe, operators/decontam.py; map-side, so
                          it runs before any shuffle stage and keeps
                          eval-tainted docs out of the dedup graphs)
-    3. exact dedup      (one shuffle on the normalized content hash)
-    4. near-dup removal (MinHash-LSH pairs → keep lowest doc_id per
+    4. exact dedup      (one shuffle on the normalized content hash)
+    5. near-dup removal (MinHash-LSH pairs → keep lowest doc_id per
                          connected group, via the pair graph)
-    5. semantic dedup   (optional, round 8 — SemDeDup over an
+    6. semantic dedup   (optional, round 8 — SemDeDup over an
                          embedding table, cluster-bounded; runs LAST
                          among the drop stages so the quadratic-in-
                          cell scan sees only lexical survivors)
-    6. token accounting (map-side stats over survivors)
+    7. token accounting (map-side stats over survivors)
 
 Each stage only sees the previous stage's survivors, so the expensive
 LSH stage runs on the post-filter, post-exact-dedup corpus. The
@@ -61,11 +66,13 @@ def curate(
     decontam_n: int = 13,
     decontam_min_hits: int = 1,
     redact: bool = False,
+    ppl_ref: DataFrame | None = None,
+    max_ppl: float | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns ALL input docs with
-    `kept` (bool), `drop_reason` (quality | contaminated | exact_dup |
-    near_dup | semantic_dup | null) and, for survivors, token
-    statistics.
+    `kept` (bool), `drop_reason` (quality | perplexity | contaminated
+    | exact_dup | near_dup | semantic_dup | null) and, for survivors,
+    token statistics.
 
     ``redact=True`` (round 10) rewrites ``text_col`` through
     :func:`operators.text.redact_pii` BEFORE any filter or hash —
@@ -74,6 +81,15 @@ def curate(
     differing only in the PII they leak ARE duplicates), and must
     precede decontamination for the same reason. Map-side regex
     only; every downstream stage is unchanged.
+
+    ``ppl_ref`` + ``max_ppl`` (round 10) enable the CCNet-style
+    perplexity filter: a unigram reference LM is fit on ``ppl_ref``
+    (operators/text.py::unigram_logprobs) and any quality survivor
+    whose perplexity against it exceeds ``max_ppl`` drops as
+    'perplexity'. Runs right after the rule-based quality filter —
+    it is a broadcast-LM map-side pass plus one per-doc partial agg,
+    so like decontamination it is cheap enough to run before every
+    shuffle-heavy dedup stage and shrinks their input.
 
     ``eval_docs`` (optional, round 9): a (id_col, text_col) benchmark
     corpus enables the decontamination stage (operators/decontam.py) —
@@ -114,12 +130,36 @@ def curate(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
 
+    if ppl_ref is not None and max_ppl is not None:
+        from timescale_cdc_spark.operators.text import (
+            perplexity_scores,
+            unigram_logprobs,
+        )
+
+        lm, oov_logp = unigram_logprobs(
+            ppl_ref.select(text_col), text_col
+        )
+        high_ppl_ids = (
+            perplexity_scores(
+                quality_ok.select(id_col, text_col),
+                lm,
+                oov_logp,
+                text_col,
+                id_col,
+            )
+            .where(F.col("ppl") > max_ppl)
+            .select(id_col)
+        )
+        fluent = quality_ok.join(high_ppl_ids, id_col, "left_anti")
+    else:
+        fluent = quality_ok
+
     if eval_docs is not None:
         from timescale_cdc_spark.operators.decontam import decontaminate
 
         contam_ids = (
             decontaminate(
-                quality_ok.select(id_col, text_col),
+                fluent.select(id_col, text_col),
                 eval_docs.select(id_col, text_col),
                 text_col,
                 id_col,
@@ -129,9 +169,9 @@ def curate(
             .where(F.col("contaminated"))
             .select(id_col)
         )
-        clean = quality_ok.join(contam_ids, id_col, "left_anti")
+        clean = fluent.join(contam_ids, id_col, "left_anti")
     else:
-        clean = quality_ok
+        clean = fluent
     # Stage-boundary materialization: exact_kept feeds BOTH sides of
     # the LSH self-join plus the lexical anti-join and the provenance
     # join; lexical feeds the SemDeDup fit (an eager count + iterative
@@ -198,12 +238,14 @@ def curate(
     # provenance: why did each dropped doc fall out?
     base = docs.select(id_col)
     q_ids = quality_ok.select(id_col)
+    p_ids = fluent.select(id_col)
     d_ids = clean.select(id_col)
     e_ids = exact_kept.select(id_col)
     n_ids = lexical.select(id_col)
     s_ids = survivors.select(id_col)
     tagged = (
         base.join(q_ids.withColumn("_q", F.lit(True)), id_col, "left")
+        .join(p_ids.withColumn("_p", F.lit(True)), id_col, "left")
         .join(d_ids.withColumn("_d", F.lit(True)), id_col, "left")
         .join(e_ids.withColumn("_e", F.lit(True)), id_col, "left")
         .join(n_ids.withColumn("_n", F.lit(True)), id_col, "left")
@@ -212,6 +254,7 @@ def curate(
             id_col,
             F.col("_s").isNotNull().alias("kept"),
             F.when(F.col("_q").isNull(), "quality")
+            .when(F.col("_p").isNull(), "perplexity")
             .when(F.col("_d").isNull(), "contaminated")
             .when(F.col("_e").isNull(), "exact_dup")
             .when(F.col("_n").isNull(), "near_dup")
