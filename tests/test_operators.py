@@ -1916,3 +1916,26 @@ def test_curate_perplexity_stage(spark):
     }
     assert out[1]["kept"] and out[1]["drop_reason"] is None
     assert not out[2]["kept"] and out[2]["drop_reason"] == "perplexity"
+
+
+def test_curate_language_stage(spark):
+    """curate(allowed_langs=['en']) drops off-language docs as
+    'language' (CCNet's first stage) while in-language docs continue
+    through the pipeline."""
+    from timescale_cdc_spark.operators.curation import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is in the house"),
+            (2, "der Hund und die Katze sind nicht in der Küche heute"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate(
+            docs, min_quality=0.0, min_tokens=3, allowed_langs=["en"]
+        ).collect()
+    }
+    assert out[1]["kept"] and out[1]["drop_reason"] is None
+    assert not out[2]["kept"] and out[2]["drop_reason"] == "language"

@@ -5,21 +5,23 @@ the order that minimizes work at scale:
     0. PII redaction    (optional, round 10 — masking before any
                          hash so dedup sees normalized text)
     1. quality filter   (map-side only — cheapest, run first)
-    2. perplexity filter (optional, round 10 — CCNet reference-LM
+    2. language filter  (optional, round 10 — marker-profile
+                         language-ID, map-side; CCNet's first stage)
+    3. perplexity filter (optional, round 10 — CCNet reference-LM
                          filter; broadcast LM + one per-doc partial
                          agg, cheap enough to shrink the dedup input)
-    3. decontamination  (optional, round 9 — broadcast eval-gram
+    4. decontamination  (optional, round 9 — broadcast eval-gram
                          probe, operators/decontam.py; map-side, so
                          it runs before any shuffle stage and keeps
                          eval-tainted docs out of the dedup graphs)
-    4. exact dedup      (one shuffle on the normalized content hash)
-    5. near-dup removal (MinHash-LSH pairs → keep lowest doc_id per
+    5. exact dedup      (one shuffle on the normalized content hash)
+    6. near-dup removal (MinHash-LSH pairs → keep lowest doc_id per
                          connected group, via the pair graph)
-    6. semantic dedup   (optional, round 8 — SemDeDup over an
+    7. semantic dedup   (optional, round 8 — SemDeDup over an
                          embedding table, cluster-bounded; runs LAST
                          among the drop stages so the quadratic-in-
                          cell scan sees only lexical survivors)
-    7. token accounting (map-side stats over survivors)
+    8. token accounting (map-side stats over survivors)
 
 Each stage only sees the previous stage's survivors, so the expensive
 LSH stage runs on the post-filter, post-exact-dedup corpus. The
@@ -66,13 +68,14 @@ def curate(
     decontam_n: int = 13,
     decontam_min_hits: int = 1,
     redact: bool = False,
+    allowed_langs: list[str] | None = None,
     ppl_ref: DataFrame | None = None,
     max_ppl: float | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns ALL input docs with
-    `kept` (bool), `drop_reason` (quality | perplexity | contaminated
-    | exact_dup | near_dup | semantic_dup | null) and, for survivors,
-    token statistics.
+    `kept` (bool), `drop_reason` (quality | language | perplexity |
+    contaminated | exact_dup | near_dup | semantic_dup | null) and,
+    for survivors, token statistics.
 
     ``redact=True`` (round 10) rewrites ``text_col`` through
     :func:`operators.text.redact_pii` BEFORE any filter or hash —
@@ -81,6 +84,13 @@ def curate(
     differing only in the PII they leak ARE duplicates), and must
     precede decontamination for the same reason. Map-side regex
     only; every downstream stage is unchanged.
+
+    ``allowed_langs`` (round 10) enables the language filter (CCNet's
+    first stage): docs whose marker-word-profile ``predicted_lang``
+    (operators/text.py::language_scores) is not in the list drop as
+    'language'. Runs right after the rule quality filter and BEFORE
+    the perplexity filter — a single reference LM only makes sense
+    within one language. Pure map-side scoring.
 
     ``ppl_ref`` + ``max_ppl`` (round 10) enable the CCNet-style
     perplexity filter: a unigram reference LM is fit on ``ppl_ref``
@@ -130,6 +140,20 @@ def curate(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
 
+    if allowed_langs:
+        from timescale_cdc_spark.operators.text import language_scores
+
+        lang_ok_ids = (
+            language_scores(
+                quality_ok.select(id_col, text_col), text_col
+            )
+            .filter(F.col("predicted_lang").isin(list(allowed_langs)))
+            .select(id_col)
+        )
+        in_lang = quality_ok.join(lang_ok_ids, id_col, "left_semi")
+    else:
+        in_lang = quality_ok
+
     if ppl_ref is not None and max_ppl is not None:
         from timescale_cdc_spark.operators.text import (
             perplexity_scores,
@@ -141,7 +165,7 @@ def curate(
         )
         high_ppl_ids = (
             perplexity_scores(
-                quality_ok.select(id_col, text_col),
+                in_lang.select(id_col, text_col),
                 lm,
                 oov_logp,
                 text_col,
@@ -150,9 +174,9 @@ def curate(
             .where(F.col("ppl") > max_ppl)
             .select(id_col)
         )
-        fluent = quality_ok.join(high_ppl_ids, id_col, "left_anti")
+        fluent = in_lang.join(high_ppl_ids, id_col, "left_anti")
     else:
-        fluent = quality_ok
+        fluent = in_lang
 
     if eval_docs is not None:
         from timescale_cdc_spark.operators.decontam import decontaminate
@@ -238,6 +262,7 @@ def curate(
     # provenance: why did each dropped doc fall out?
     base = docs.select(id_col)
     q_ids = quality_ok.select(id_col)
+    l_ids = in_lang.select(id_col)
     p_ids = fluent.select(id_col)
     d_ids = clean.select(id_col)
     e_ids = exact_kept.select(id_col)
@@ -245,6 +270,7 @@ def curate(
     s_ids = survivors.select(id_col)
     tagged = (
         base.join(q_ids.withColumn("_q", F.lit(True)), id_col, "left")
+        .join(l_ids.withColumn("_l", F.lit(True)), id_col, "left")
         .join(p_ids.withColumn("_p", F.lit(True)), id_col, "left")
         .join(d_ids.withColumn("_d", F.lit(True)), id_col, "left")
         .join(e_ids.withColumn("_e", F.lit(True)), id_col, "left")
@@ -254,6 +280,7 @@ def curate(
             id_col,
             F.col("_s").isNotNull().alias("kept"),
             F.when(F.col("_q").isNull(), "quality")
+            .when(F.col("_l").isNull(), "language")
             .when(F.col("_p").isNull(), "perplexity")
             .when(F.col("_d").isNull(), "contaminated")
             .when(F.col("_e").isNull(), "exact_dup")
