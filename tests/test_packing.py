@@ -160,3 +160,40 @@ def test_curate_then_pack_composition(spark):
     assert got == want
     assert 3 not in got  # min_tokens drop
     assert len(got) < len(rows)  # exact-dup of 1/2 dropped one
+
+
+def test_pack_sequences_materialization(spark):
+    """pack_sequences emits one row per pack with members joined in
+    id order by the EOS separator — byte-deterministic, budget
+    respected through to the artifact."""
+    from pyspark.sql import functions as F
+
+    from timescale_cdc_spark.operators.packing import (
+        assign_packs,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} body", 40) for i in range(6)],
+        "doc_id long, text string, n_tokens long",
+    )
+    packed = assign_packs(
+        docs, "n_tokens", "doc_id", budget=90, num_partitions=1,
+        partition_expr=F.lit(0),
+    )
+    seqs = {r["pack_id"]: r for r in
+            pack_sequences(packed, "text", "doc_id",
+                           token_col="n_tokens").collect()}
+    # 6 docs x 40 tokens, budget 90: the cumsum rule assigns each doc
+    # to the 90-token window its START falls in (starts 0,40,80,120,
+    # 160,200 -> windows 0,0,0,1,1,2), members join in id order
+    assert len(seqs) == 3
+    assert seqs["0-0"]["packed_text"] == (
+        "doc0 body<|eos|>doc1 body<|eos|>doc2 body"
+    )
+    assert seqs["0-1"]["packed_text"] == "doc3 body<|eos|>doc4 body"
+    assert seqs["0-2"]["packed_text"] == "doc5 body"
+    assert [seqs[k]["n_docs"] for k in ("0-0", "0-1", "0-2")] == [3, 2, 1]
+    assert [seqs[k]["n_tokens"] for k in ("0-0", "0-1", "0-2")] == [
+        120, 80, 40,
+    ]

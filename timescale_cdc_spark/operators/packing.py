@@ -124,3 +124,40 @@ def assign_packs_exact(
         return out
 
     return parted.groupBy("_part").applyInPandas(pack, schema=out_schema)
+
+
+def pack_sequences(
+    packed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pack_col: str = "pack_id",
+    sep: str = "<|eos|>",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Materialize the actual training sequences from an
+    :func:`assign_packs` result: one row per pack with member docs
+    concatenated in deterministic ``id_col`` order, joined by ``sep``
+    (the EOS boundary the loader's attention mask splits on).
+    Returns (pack_id, n_docs, packed_text[, n_tokens]).
+
+    Deterministic by construction — collect_list order is
+    normalized by array_sort over (id, text) structs before the
+    join, so the emitted sequence is byte-reproducible (and
+    oracle-checkable via ordered string_agg). One shuffle on
+    ``pack_col``; sequence size is bounded by the pack budget, so
+    rows stay small no matter the corpus size."""
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(id_col, text_col))
+                ),
+                lambda s: s.getField(text_col),
+            ),
+            sep,
+        ).alias("packed_text"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    return packed.groupBy(pack_col).agg(*aggs)

@@ -1127,6 +1127,23 @@ pack_rows AS (
               ELSE 'solo-' || CAST(doc_id AS VARCHAR) END AS item
   FROM pack_cum
 ),
+pack_assign AS (
+  SELECT p.doc_id, d.text,
+         CASE WHEN p.n_tokens <= {_PACK_BUDGET}
+              THEN CAST(p.part AS VARCHAR) || '-' ||
+                   CAST(CAST(floor((p.cum - p.n_tokens) / {_PACK_BUDGET})
+                        AS BIGINT) AS VARCHAR)
+              ELSE 'solo-' || CAST(p.doc_id AS VARCHAR) END AS pack_id
+  FROM pack_cum p JOIN documents d USING (doc_id)
+),
+packtext_rows AS (
+  SELECT 'packtext' AS family, pack_id AS key,
+         CAST(NULL AS TIMESTAMP) AS bucket,
+         CAST(NULL AS TIMESTAMP) AS ts,
+         CAST(COUNT(*) AS DOUBLE) AS value,
+         md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS item
+  FROM pack_assign GROUP BY pack_id
+),
 comp_edges AS (
   SELECT doc_id AS u, doc_id - (doc_id % {_COMP_STAR}) AS v
   FROM documents WHERE doc_id % {_COMP_STAR} <> 0
@@ -1206,6 +1223,7 @@ UNION ALL SELECT * FROM sample_rows
 UNION ALL SELECT * FROM res_rows
 UNION ALL SELECT * FROM mixture_rows
 UNION ALL SELECT * FROM pack_rows
+UNION ALL SELECT * FROM packtext_rows
 UNION ALL SELECT * FROM comp_rows
 UNION ALL SELECT * FROM ppl_rows
 """
@@ -1240,6 +1258,13 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sha256 → partition, window cumsum → local pack, solo path for
     over-budget docs), so packing is hash-checked, not just gated;
     budget 90 keeps both paths active on the 10-100-token fixture.
+
+    family='packtext' (round 10): the materialized training
+    sequences (operators/packing.py::pack_sequences) — per pack, the
+    member docs concatenated in id order with an EOS separator;
+    value = n_docs, item = md5 of the packed sequence, re-derived by
+    the oracle's ordered string_agg, so the emitted batch ARTIFACT
+    is hash-checked, not just the assignment.
 
     family='components' (round 10, VERDICT r9 #5): exact connected
     components (operators/components.py large-star/small-star) over a
@@ -1345,22 +1370,40 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timescale_cdc_spark.operators.sampling import det_hash
 
     toks = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        "doc_id", "text", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    pack = assign_packs(
+    packed = assign_packs(
         toks,
         "n_tokens",
         "doc_id",
         budget=_PACK_BUDGET,
         num_partitions=_PACK_PARTS,
         partition_expr=det_hash(["doc_id"], _PACK_SALT) % _PACK_PARTS,
-    ).select(
+    )
+    pack = packed.select(
         F.lit("pack").alias("family"),
         F.col("doc_id").cast("string").alias("key"),
         null_bucket.alias("bucket"),
         null_ts.alias("ts"),
         F.col("n_tokens").cast("double").alias("value"),
         F.col("pack_id").alias("item"),
+    )
+
+    # family='packtext' (round 10): the MATERIALIZED training
+    # sequences (operators/packing.py::pack_sequences) — member docs
+    # concatenated in id order with an EOS separator; the md5 of
+    # every packed sequence is re-derived by the oracle's ordered
+    # string_agg, so the emitted batch artifact itself is
+    # hash-checked, not just the pack assignment.
+    from timescale_cdc_spark.operators.packing import pack_sequences
+
+    packtext = pack_sequences(packed, "text", "doc_id").select(
+        F.lit("packtext").alias("family"),
+        F.col("pack_id").alias("key"),
+        null_bucket.alias("bucket"),
+        null_ts.alias("ts"),
+        F.col("n_docs").cast("double").alias("value"),
+        F.md5(F.col("packed_text")).alias("item"),
     )
 
     # family='components' (round 10, VERDICT r9 #5): exact connected
@@ -1428,6 +1471,7 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(reservoir)
         .unionByName(mixture)
         .unionByName(pack)
+        .unionByName(packtext)
         .unionByName(comp)
         .unionByName(ppl)
     )
