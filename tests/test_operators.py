@@ -1939,3 +1939,121 @@ def test_curate_language_stage(spark):
     }
     assert out[1]["kept"] and out[1]["drop_reason"] is None
     assert not out[2]["kept"] and out[2]["drop_reason"] == "language"
+
+
+def test_curate_all_stages_composed(spark):
+    """Every curate() stage active at once, one planted drop each, in
+    the documented stage order: PII redaction collapses a pii-twin
+    pair into exact dups, junk drops as quality, German as language,
+    OOV soup as perplexity, an eval-overlapping doc as contaminated,
+    a byte-twin as exact_dup, a near-twin as near_dup, and an
+    embedding-twin as semantic_dup — everything else survives."""
+    from timescale_cdc_spark.operators.curation import curate
+
+    base = ("the plain english words we expect appear here in the "
+            "usual order with nothing strange about them at all")
+    other = ("a different but equally plain english document with "
+             "many common words and a calm ordinary tone overall")
+    rows = [
+        (1, base),
+        (2, other),
+        (3, "x x"),                                      # quality
+        (4, "der Hund und die Katze sind nicht in der "
+            "Küche heute Abend zusammen"),               # language
+        # English-marked (passes language-ID) but OOV-heavy vs the
+        # reference LM -> drops at the perplexity stage
+        (5, "the zq of vx and qk to jw in zz the xv of kq and wj"),
+        # carries the eval text contiguously AND en marker words so
+        # it reaches the decontamination stage
+        (6, "the quick note says held out secret eval sentence "
+            "nobody may train on ever and more of the words"),
+        (7, base),                                       # exact dup of 1
+        (8, other + " qq ww"),                           # near dup of 2
+        # 9/10: identical embeddings, disjoint words -> semantic
+        (9, "first semantic twin phrased one way entirely on its own "
+            "terms and quite verbose about it"),
+        (10, "a second paraphrase worded differently yet pointing "
+             "to the identical meaning through other vocabulary"),
+        # 11/12: differ only in leaked PII -> exact dups after redact
+        (11, base + " reach me at alice@example.com"),
+        (12, base + " reach me at bob@other.org"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(100, "held out secret eval sentence nobody may train on "
+               "ever")],
+        "doc_id long, text string",
+    )  # doc 6 embeds this text contiguously
+    # the reference corpus covers every legitimate doc's vocabulary
+    # (a reference LM only separates junk if the clean docs are
+    # in-distribution); doc 5's zq/vx/qk tokens stay OOV
+    ppl_ref = spark.createDataFrame(
+        [(200 + i, t) for i, t in enumerate(
+            [base, other] + [t for i_, t in rows if i_ in (6, 9, 10)]
+        )],
+        "doc_id long, text string",
+    )
+    # ceiling between every in-distribution doc and the OOV-heavy
+    # doc, derived from observed scores rather than guessed
+    from timescale_cdc_spark.operators.text import (
+        perplexity_scores,
+        unigram_logprobs,
+    )
+
+    lm, oov = unigram_logprobs(ppl_ref, "text")
+    ppls = {
+        r["doc_id"]: r["ppl"]
+        for r in perplexity_scores(
+            docs.filter("doc_id in (1, 2, 5, 6, 9, 10, 11, 12)"),
+            lm, oov, "text", "doc_id",
+        ).collect()
+    }
+    in_dist = max(v for k, v in ppls.items() if k != 5)
+    assert ppls[5] > in_dist, ppls
+    import math
+
+    ceiling = math.sqrt(in_dist * ppls[5])
+    emb = spark.createDataFrame(
+        # doc 1's distinct vector gives KMeans a second point; alone
+        # in its cell it is kept, so only the 9/10 twins collide
+        [(1, [0.0, 1.0, 0.0]), (9, [1.0, 0.0, 0.0]),
+         (10, [1.0, 0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate(
+            docs,
+            min_quality=0.0,
+            min_tokens=3,
+            near_dup_threshold=0.7,
+            redact=True,
+            allowed_langs=["en"],
+            ppl_ref=ppl_ref,
+            max_ppl=ceiling,
+            eval_docs=eval_docs,
+            decontam_n=5,
+            embeddings=emb,
+            emb_id_col="doc_id",
+            semantic_eps=0.95,
+            semantic_clusters=2,
+        ).collect()
+    }
+    reasons = {i: out[i]["drop_reason"] for i in out}
+    assert out[1]["kept"] and out[2]["kept"], reasons
+    assert reasons[3] == "quality"
+    assert reasons[4] == "language"
+    assert reasons[5] == "perplexity"
+    assert reasons[6] == "contaminated"
+    assert reasons[7] == "exact_dup"
+    assert reasons[8] == "near_dup"
+    # semantic pair: exactly one of 9/10 survives, loser is semantic
+    kept9, kept10 = out[9]["kept"], out[10]["kept"]
+    assert kept9 != kept10
+    assert reasons[10 if kept9 else 9] == "semantic_dup"
+    # PII twins: after redaction they are byte-identical, so the
+    # higher id is an exact dup; the survivor of the pair is itself a
+    # near dup of doc 1 (base plus four tokens) and drops there —
+    # exactly the masking-before-dedup cascade the stage order buys
+    assert reasons[12] == "exact_dup"
+    assert reasons[11] == "near_dup"

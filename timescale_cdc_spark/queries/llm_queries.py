@@ -698,7 +698,10 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 10 (VERDICT r9 #6): + method='curate' rows — the composed
     curate() pipeline end-to-end with one planted group per stage and
-    six in-plan gates (see :func:`_curate_rows`)."""
+    six in-plan gates (see :func:`_curate_rows`) — and
+    method='quality_model' rows — the learned GPT-3/fastText-style
+    quality filter with accuracy + separation gates (see
+    :func:`_quality_model_rows`)."""
     import shutil
 
     from timescale_cdc_spark.operators.curation import StreamingNearDedup
