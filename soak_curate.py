@@ -16,6 +16,13 @@ Invariants checked in-run:
   where the middle doc bridges the ends);
 - pack budgets hold exactly (assign_packs_exact) over survivors.
 
+Phase 2 (round 10) composes the FILTER stages at the same scale —
+redact + perplexity + decontamination over the base corpus with one
+planted group per stage (PII twin pairs that must collapse post-
+redaction, OOV docs that must drop at the perplexity stage under a
+score-derived ceiling, eval-embedding docs that must drop as
+contaminated) and zero tolerated base-corpus false drops.
+
 Prints one JSON line with stage wall-times and counts for SCALE.md.
 
 Usage: python soak_curate.py [n_normal] [n_hot]
@@ -150,6 +157,139 @@ def main() -> None:
     out["pack_fill_avg"] = round(
         pack_stats.agg(F.avg("tok")).collect()[0][0] / 2048, 3
     )
+
+    # ------------------------------------------------------------------
+    # Phase 2 (round 10): the FILTER stages at scale — redact +
+    # perplexity + decontamination composed with the dedup stages,
+    # one planted group per stage over the same base corpus:
+    #   * PII twin pairs (unique vocab, same text modulo the leaked
+    #     email) — redaction must collapse each pair to its minimum,
+    #     the loser dropping as exact_dup;
+    #   * OOV docs (disjoint 'z' vocabulary) — must drop as
+    #     'perplexity' against a base-fit reference LM;
+    #   * contaminated docs (an eval doc's full text behind a 3-word
+    #     noise prefix) — must drop as 'contaminated'. Eval (and PII)
+    #     docs draw from the BASE vocabulary with different salts so
+    #     they pass the perplexity stage and reach their own: shared
+    #     words, never shared 8-gram sequences (collision odds
+    #     ~5000^-8), so a base doc dropping as contaminated is a bug;
+    #   * and ZERO base docs may drop at the ppl/contam stages.
+    # The ppl ceiling is derived from observed base-vs-OOV scores.
+    def _vocab_words(prefix: str, n_words: int, vocab: int, salt: str):
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(prefix),
+                    F.pmod(
+                        F.xxhash64(F.col("id"), F.lit(k), F.lit(salt)),
+                        F.lit(vocab),
+                    ).cast("string"),
+                )
+                for k in range(n_words)
+            ],
+        )
+
+    n_pii = max(n_normal // 500, 20)
+    n_oov = max(n_normal // 1000, 10)
+    n_eval, n_contam = 2000, 1000
+    pii_body = _vocab_words("w", 30, 5000, "pii")
+    pii_a = spark.range(n_pii).select(
+        (F.col("id") + 20_000_000).alias("doc_id"),
+        F.concat(
+            pii_body, F.lit(" contact user"), F.col("id").cast("string"),
+            F.lit("@example.com"),
+        ).alias("text"),
+    )
+    pii_b = spark.range(n_pii).select(
+        (F.col("id") + 21_000_000).alias("doc_id"),
+        F.concat(
+            pii_body, F.lit(" contact admin"), F.col("id").cast("string"),
+            F.lit("@other.org"),
+        ).alias("text"),
+    )
+    oov = spark.range(n_oov).select(
+        (F.col("id") + 23_000_000).alias("doc_id"),
+        _vocab_words("z", 40, 5000, "oov").alias("text"),
+    )
+    eval_df = spark.range(n_eval).select(
+        F.col("id").alias("doc_id"),
+        _vocab_words("w", 30, 5000, "ev").alias("text"),
+    ).localCheckpoint(eager=True)
+    contam = eval_df.filter(F.col("doc_id") < n_contam).select(
+        (F.col("doc_id") + 24_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("w1 w2 w3 "), F.col("text")
+        ).alias("text"),
+    )
+    corpus2 = (
+        docs.unionByName(pii_a).unionByName(pii_b)
+        .unionByName(oov).unionByName(contam)
+        .localCheckpoint(eager=True)
+    )
+
+    from timescale_cdc_spark.operators.text import (
+        perplexity_scores,
+        unigram_logprobs,
+    )
+
+    ppl_ref = docs.filter(F.col("doc_id") % 97 == 0)
+    lm, oov_logp = unigram_logprobs(ppl_ref, "text")
+    probe = perplexity_scores(
+        docs.filter(F.col("doc_id") % 101 == 0).unionByName(oov),
+        lm, oov_logp, "text", "doc_id",
+    ).select(
+        (F.col("doc_id") >= 23_000_000).alias("is_oov"), "ppl"
+    ).groupBy("is_oov").agg(
+        F.max("ppl").alias("hi"), F.min("ppl").alias("lo")
+    ).collect()
+    bands = {r["is_oov"]: r for r in probe}
+    assert bands[False]["hi"] < bands[True]["lo"], bands
+    ceiling = (bands[False]["hi"] * bands[True]["lo"]) ** 0.5
+
+    t0 = time.time()
+    curated2 = curate(
+        corpus2,
+        min_quality=0.0,
+        min_tokens=5,
+        near_dup_threshold=0.5,
+        near_dup_max_bucket=256,
+        redact=True,
+        ppl_ref=ppl_ref,
+        max_ppl=ceiling,
+        eval_docs=eval_df,
+        decontam_n=8,
+    ).localCheckpoint(eager=True)
+    out["stage_soak_sec"] = round(time.time() - t0, 2)
+
+    byreason = {
+        (r["lo"], r["reason"]): r["n"]
+        for r in curated2.select(
+            (F.floor(F.col("doc_id") / 1_000_000) * 1_000_000).alias("lo"),
+            F.coalesce("drop_reason", F.lit("kept")).alias("reason"),
+        ).groupBy("lo", "reason").agg(F.count("*").alias("n")).collect()
+    }
+    # PII pairs: every low twin kept, every high twin an exact dup
+    assert byreason.get((20_000_000, "kept")) == n_pii, byreason
+    assert byreason.get((21_000_000, "exact_dup")) == n_pii, byreason
+    # OOV docs: all drop at the perplexity stage
+    assert byreason.get((23_000_000, "perplexity")) == n_oov, byreason
+    # contaminated docs: all drop at the decontamination stage
+    assert byreason.get((24_000_000, "contaminated")) == n_contam, byreason
+    # and the base corpus never trips the new filters
+    base_reasons = {
+        k[1] for k in byreason if k[0] < 20_000_000
+    }
+    assert "perplexity" not in base_reasons, byreason
+    assert "contaminated" not in base_reasons, byreason
+    out["stage_soak"] = {
+        "n_pii_pairs": n_pii, "n_oov": n_oov, "n_contam": n_contam,
+        "pii_pairs_collapsed": byreason.get((21_000_000, "exact_dup"), 0),
+        "oov_dropped_ppl": byreason.get((23_000_000, "perplexity"), 0),
+        "contam_dropped": byreason.get((24_000_000, "contaminated"), 0),
+        "base_false_drops": 0,
+        "ppl_ceiling": round(ceiling, 2),
+    }
     print(json.dumps(out))
 
 
