@@ -2057,3 +2057,53 @@ def test_curate_all_stages_composed(spark):
     # exactly the masking-before-dedup cascade the stage order buys
     assert reasons[12] == "exact_dup"
     assert reasons[11] == "near_dup"
+
+
+def test_curate_learned_quality_stage(spark):
+    """curate(quality_clf=...) drops classifier-rejected docs as
+    'model_quality' (the GPT-3 filter as a pipeline stage); the
+    Pareto variant keeps the gate deterministic; passing both or
+    neither selector raises."""
+    import pytest
+
+    from timescale_cdc_spark.operators.curation import curate
+    from timescale_cdc_spark.operators.quality_model import (
+        fit_quality_classifier,
+    )
+
+    clean = [(i, "the quick brown fox jumps over the lazy dog "
+                 f"variant {i} with plain natural words") for i in range(30)]
+    junk = [(100 + i, f"zxq{i} vvkk{i} qqzz jjxx wwvv kkqq zzvv "
+                      "xxjj vvww qqkk") for i in range(30)]
+    labeled = spark.createDataFrame(
+        [(i, t, 1.0) for i, t in clean] + [(i, t, 0.0) for i, t in junk],
+        "doc_id long, text string, label double",
+    )
+    clf = fit_quality_classifier(
+        labeled.filter("doc_id % 2 = 0"), num_features=1 << 14
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in clean + junk if i % 2 == 1],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate(
+            docs, min_quality=0.0, min_tokens=3,
+            near_dup_threshold=1.01,  # variants near-dup each other
+            quality_clf=clf, min_clf_prob=0.5,
+        ).collect()
+    }
+    for i, _ in clean:
+        if i % 2 == 1:
+            assert out[i]["kept"], (i, out[i])
+    for i, _ in junk:
+        if i % 2 == 1:
+            assert out[i]["drop_reason"] == "model_quality", (i, out[i])
+
+    with pytest.raises(ValueError, match="exactly one"):
+        curate(docs, quality_clf=clf)
+    with pytest.raises(ValueError, match="exactly one"):
+        curate(docs, quality_clf=clf, min_clf_prob=0.5,
+               clf_pareto_alpha=9.0)

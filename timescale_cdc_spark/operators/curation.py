@@ -5,6 +5,9 @@ the order that minimizes work at scale:
     0. PII redaction    (optional, round 10 — masking before any
                          hash so dedup sees normalized text)
     1. quality filter   (map-side only — cheapest, run first)
+    1b. learned quality (optional, round 10 — broadcast-model
+                         classifier scoring, GPT-3's filter; hard
+                         cutoff or deterministic Pareto retention)
     2. language filter  (optional, round 10 — marker-profile
                          language-ID, map-side; CCNet's first stage)
     3. perplexity filter (optional, round 10 — CCNet reference-LM
@@ -68,14 +71,17 @@ def curate(
     decontam_n: int = 13,
     decontam_min_hits: int = 1,
     redact: bool = False,
+    quality_clf=None,
+    min_clf_prob: float | None = None,
+    clf_pareto_alpha: float | None = None,
     allowed_langs: list[str] | None = None,
     ppl_ref: DataFrame | None = None,
     max_ppl: float | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns ALL input docs with
-    `kept` (bool), `drop_reason` (quality | language | perplexity |
-    contaminated | exact_dup | near_dup | semantic_dup | null) and,
-    for survivors, token statistics.
+    `kept` (bool), `drop_reason` (quality | model_quality | language
+    | perplexity | contaminated | exact_dup | near_dup |
+    semantic_dup | null) and, for survivors, token statistics.
 
     ``redact=True`` (round 10) rewrites ``text_col`` through
     :func:`operators.text.redact_pii` BEFORE any filter or hash —
@@ -84,6 +90,16 @@ def curate(
     differing only in the PII they leak ARE duplicates), and must
     precede decontamination for the same reason. Map-side regex
     only; every downstream stage is unchanged.
+
+    ``quality_clf`` (round 10) enables the LEARNED quality stage (the
+    GPT-3 appendix-A recipe): a fitted
+    :mod:`operators.quality_model` classifier scores every rule-
+    filter survivor map-side; docs drop as 'model_quality' either
+    below ``min_clf_prob`` (hard cutoff) or by the deterministic
+    Pareto retention rule with ``clf_pareto_alpha`` (GPT-3's
+    tail-preserving gate — pass exactly one of the two). Runs right
+    after the rule quality filter: both are cheap per-doc scoring,
+    rules first because they are free.
 
     ``allowed_langs`` (round 10) enables the language filter (CCNet's
     first stage): docs whose marker-word-profile ``predicted_lang``
@@ -140,19 +156,50 @@ def curate(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
 
+    if quality_clf is not None:
+        if (min_clf_prob is None) == (clf_pareto_alpha is None):
+            raise ValueError(
+                "quality_clf needs exactly one of min_clf_prob or "
+                "clf_pareto_alpha"
+            )
+        from timescale_cdc_spark.operators.quality_model import (
+            pareto_keep,
+            score_quality,
+        )
+
+        scored_clf = score_quality(
+            quality_clf, quality_ok.select(id_col, text_col), text_col
+        )
+        if min_clf_prob is not None:
+            clf_ok_ids = scored_clf.filter(
+                F.col("quality_prob") >= min_clf_prob
+            ).select(id_col)
+        else:
+            clf_ok_ids = (
+                pareto_keep(
+                    scored_clf, "quality_prob", [id_col],
+                    alpha=clf_pareto_alpha,
+                )
+                .filter(F.col("keep"))
+                .select(id_col)
+            )
+        clf_ok = quality_ok.join(clf_ok_ids, id_col, "left_semi")
+    else:
+        clf_ok = quality_ok
+
     if allowed_langs:
         from timescale_cdc_spark.operators.text import language_scores
 
         lang_ok_ids = (
             language_scores(
-                quality_ok.select(id_col, text_col), text_col
+                clf_ok.select(id_col, text_col), text_col
             )
             .filter(F.col("predicted_lang").isin(list(allowed_langs)))
             .select(id_col)
         )
-        in_lang = quality_ok.join(lang_ok_ids, id_col, "left_semi")
+        in_lang = clf_ok.join(lang_ok_ids, id_col, "left_semi")
     else:
-        in_lang = quality_ok
+        in_lang = clf_ok
 
     if ppl_ref is not None and max_ppl is not None:
         from timescale_cdc_spark.operators.text import (
@@ -262,6 +309,7 @@ def curate(
     # provenance: why did each dropped doc fall out?
     base = docs.select(id_col)
     q_ids = quality_ok.select(id_col)
+    c_ids = clf_ok.select(id_col)
     l_ids = in_lang.select(id_col)
     p_ids = fluent.select(id_col)
     d_ids = clean.select(id_col)
@@ -270,6 +318,7 @@ def curate(
     s_ids = survivors.select(id_col)
     tagged = (
         base.join(q_ids.withColumn("_q", F.lit(True)), id_col, "left")
+        .join(c_ids.withColumn("_c", F.lit(True)), id_col, "left")
         .join(l_ids.withColumn("_l", F.lit(True)), id_col, "left")
         .join(p_ids.withColumn("_p", F.lit(True)), id_col, "left")
         .join(d_ids.withColumn("_d", F.lit(True)), id_col, "left")
@@ -280,6 +329,7 @@ def curate(
             id_col,
             F.col("_s").isNotNull().alias("kept"),
             F.when(F.col("_q").isNull(), "quality")
+            .when(F.col("_c").isNull(), "model_quality")
             .when(F.col("_l").isNull(), "language")
             .when(F.col("_p").isNull(), "perplexity")
             .when(F.col("_d").isNull(), "contaminated")
