@@ -290,6 +290,75 @@ def main() -> None:
         "base_false_drops": 0,
         "ppl_ceiling": round(ceiling, 2),
     }
+
+    # ------------------------------------------------------------------
+    # Phase 3 (round 10): the LEARNED quality filter at scale — fit
+    # the GPT-3-style classifier on a labeled sample (base = 1,
+    # reversed-text junk = 0; reversal shifts the vocabulary, the
+    # lexical signature a linear BOW model keys on), then run
+    # curate(quality_clf=...) over base + planted junk. Every planted
+    # junk doc must drop as 'model_quality'; zero base docs may.
+    from timescale_cdc_spark.operators.curation import curate as _curate
+    from timescale_cdc_spark.operators.quality_model import (
+        fit_quality_classifier,
+    )
+
+    n_junk = max(n_normal // 100, 100)
+    train_base = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "text", F.lit(1.0).alias("label")
+    )
+    train_junk = train_base.select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+        F.lit(0.0).alias("label"),
+    )
+    t0 = time.time()
+    clf = fit_quality_classifier(
+        train_base.unionByName(train_junk).localCheckpoint(eager=True)
+    )
+    t_fit = time.time() - t0
+    junk = docs.filter(
+        (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 11 == 0)
+        & (F.col("doc_id") < n_normal)
+    ).limit(n_junk).select(
+        (F.col("doc_id") + 31_000_000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    corpus3 = docs.filter(F.col("doc_id") < n_normal).unionByName(
+        junk
+    ).localCheckpoint(eager=True)
+    n_junk_actual = corpus3.filter(F.col("doc_id") >= 31_000_000).count()
+    t0 = time.time()
+    curated3 = _curate(
+        corpus3,
+        min_quality=0.0,
+        min_tokens=5,
+        near_dup_threshold=0.5,
+        near_dup_max_bucket=256,
+        quality_clf=clf,
+        min_clf_prob=0.5,
+    ).localCheckpoint(eager=True)
+    t_clf_soak = time.time() - t0
+    clf_counts = {
+        (r["hi"], r["reason"]): r["n"]
+        for r in curated3.select(
+            (F.col("doc_id") >= 31_000_000).alias("hi"),
+            F.coalesce("drop_reason", F.lit("kept")).alias("reason"),
+        ).groupBy("hi", "reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert clf_counts.get((True, "model_quality")) == n_junk_actual, (
+        clf_counts
+    )
+    assert (False, "model_quality") not in clf_counts, clf_counts
+    out["clf_soak"] = {
+        "n_junk": n_junk_actual,
+        "junk_dropped_model_quality": clf_counts.get(
+            (True, "model_quality"), 0
+        ),
+        "base_false_model_drops": 0,
+        "fit_sec": round(t_fit, 2),
+        "curate_clf_sec": round(t_clf_soak, 2),
+    }
     print(json.dumps(out))
 
 
