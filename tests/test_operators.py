@@ -2107,3 +2107,58 @@ def test_curate_learned_quality_stage(spark):
     with pytest.raises(ValueError, match="exactly one"):
         curate(docs, quality_clf=clf, min_clf_prob=0.5,
                clf_pareto_alpha=9.0)
+
+
+def test_pii_redaction_fuzz_cross_engine(spark):
+    """Fuzz the RE2 ∩ Java-regex subset claim: 400 adversarial
+    near-PII strings (valid/invalid emails, phones, IPs, fragments,
+    adjacency, repeats) must redact BYTE-IDENTICALLY in Spark and
+    DuckDB, and the per-category counts must agree with
+    regexp_extract_all. Deterministic seed — a failure is a real
+    divergence in the shared-subset assumption, not flake."""
+    import random
+
+    import duckdb
+
+    from timescale_cdc_spark.operators.text import (
+        PII_PATTERNS,
+        PII_TOKENS,
+        pii_stats,
+        redact_pii,
+    )
+
+    rng = random.Random(42)
+    frags = [
+        "a@b.co", "x.y+z@mail.example.org", "no-at-sign.com", "@", "a@b",
+        "a@b.c", "user@sub.domain.travel", "415-555-2671", "415.555.2671",
+        "41-555-2671", "415-55-2671", "1234-555-2671", "415-555-26711",
+        "1.2.3.4", "255.255.255.255", "999.999.999.999", "1.2.3",
+        "1.2.3.4.5", "12.34.56.78", "v1.2.3.4x", "a1.2.3.4",
+        "word", "w0rd5", "123", "...", "--", "a@@b.co", ".", "@b.co",
+    ]
+    docs = []
+    for i in range(400):
+        n = rng.randint(1, 12)
+        docs.append((i, " ".join(rng.choice(frags) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in redact_pii(pii_stats(df, "text"), "text").collect()
+    }
+    con = duckdb.connect()
+    for i, text in docs:
+        want_red = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace("
+            "?, ?, ?, 'g'), ?, ?, 'g'), ?, ?, 'g')",
+            [text,
+             PII_PATTERNS["email"], PII_TOKENS["email"],
+             PII_PATTERNS["phone"], PII_TOKENS["phone"],
+             PII_PATTERNS["ip"], PII_TOKENS["ip"]],
+        ).fetchone()[0]
+        assert got[i]["pii_redacted"] == want_red, (i, text)
+        for cat in ("email", "phone", "ip"):
+            want_n = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))",
+                [text, PII_PATTERNS[cat]],
+            ).fetchone()[0]
+            assert got[i][f"n_pii_{cat}"] == want_n, (i, cat, text)
