@@ -2162,3 +2162,43 @@ def test_pii_redaction_fuzz_cross_engine(spark):
                 [text, PII_PATTERNS[cat]],
             ).fetchone()[0]
             assert got[i][f"n_pii_{cat}"] == want_n, (i, cat, text)
+
+
+def test_perplexity_scores_partition_invariant(spark):
+    """The DECIMAL-summation determinism claim: per-doc cross-entropy
+    and ppl must be BIT-identical no matter how the token rows are
+    partitioned (double summation would reorder and drift) — the
+    property the family='ppl' oracle hash rests on."""
+    import random
+
+    from timescale_cdc_spark.operators.text import (
+        perplexity_scores,
+        unigram_logprobs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    ref = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(50)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab + ["oov1", "oov2"])
+                      for _ in range(80))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    lm, oov = unigram_logprobs(ref, "text")
+    base = {
+        r["doc_id"]: (r["cross_entropy"], r["ppl"])
+        for r in perplexity_scores(docs, lm, oov, "text", "doc_id").collect()
+    }
+    for n_parts in (1, 7, 64):
+        again = {
+            r["doc_id"]: (r["cross_entropy"], r["ppl"])
+            for r in perplexity_scores(
+                docs.repartition(n_parts), lm.repartition(3), oov,
+                "text", "doc_id",
+            ).collect()
+        }
+        assert again == base, n_parts  # exact, not approx
