@@ -888,3 +888,106 @@ def test_maintenance_compression_policy(spark, tmp_path):
     stats = report["compressed_partitions"][old_ts.date().isoformat()]
     assert stats["rows"] == 3 and stats["bytes_after"] > 0
     assert log.read().count() == 6
+
+
+def test_compact_partition_sweeps_zorder_manifest(spark, log):
+    """ADVICE r10: a plain compact_partition rewrite destroys the
+    z-ordered layout exactly like a non-zorder re-compress — the
+    chunk's _layout.json must not survive to claim layout=zordered
+    over re-sorted data."""
+    import os
+
+    from timescale_cdc_spark.cdc.retention import (
+        compact_partition,
+        compress_partition,
+        read_layout,
+    )
+
+    s0 = _assets(spark, [])
+    log.append(
+        cdc_transform(s0, _assets(spark, SEED), "id", "dataschema",
+                      "assets", F.lit(T0))
+    )
+    compress_partition(log, T0.date(), zorder_by=("table_name", "ts"))
+    part = os.path.join(log.data_path, f"event_date={T0.date()}")
+    assert read_layout(part)["layout"] == "zordered"
+
+    before = sorted(map(tuple, log.read().collect()))
+    n = compact_partition(log, T0.date())
+    assert n == 3
+    assert read_layout(part) is None
+    assert sorted(map(tuple, log.read().collect())) == before
+
+
+def test_maintenance_skips_compaction_for_compressed_chunks(spark, tmp_path):
+    """ADVICE r10: with compact=True AND a compression policy in the
+    same run, chunks cold enough to be compressed get ONE full rewrite
+    (the compress pass), not two — plain compaction skips them.
+    Chunks between the hot cutoff and the compress cutoff still
+    compact normally."""
+    from timescale_cdc_spark.maintenance import run_maintenance
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    s0 = _assets(spark, [])
+    coldest = T0 - dt.timedelta(days=5)  # past compress cutoff
+    mid = T0 - dt.timedelta(days=2)      # compact-only band
+    for name, ts in (("coldest", coldest), ("mid", mid), ("hot", T0)):
+        log.append(
+            cdc_transform(s0, _assets(spark, SEED), "id", "dataschema",
+                          name, F.lit(ts))
+        )
+    report = run_maintenance(
+        str(tmp_path / "log"),
+        retention_days=30,
+        compact=True,
+        keep_hot_days=1,
+        now=T0.date(),
+        compress_after_days=3,
+        zorder_by=("table_name", "ts"),
+        zorder_bits=10,
+    )
+    assert list(report["compacted_partitions"]) == [mid.date().isoformat()]
+    assert list(report["compressed_partitions"]) == [
+        coldest.date().isoformat()
+    ]
+    stats = report["compressed_partitions"][coldest.date().isoformat()]
+    # zorder_bits plumbed end-to-end (CLI exposes it too)
+    assert stats["layout"] == "zordered" and stats["bits"] == 10
+    assert log.read().count() == 9
+
+
+def test_compress_zorder_undefined_bounds_falls_back(spark, log):
+    """ADVICE r10: z-order compression of a chunk whose z columns have
+    no defined bounds (existing-but-empty chunk / all-NULL numeric
+    column) must fall back to the plain sorted rewrite — no z report
+    fields, no manifest, no raise — instead of failing after the
+    policy already chose to compress. (String z columns can't hit
+    this: xxhash64 maps NULL to the seed, so their bounds always
+    exist.)"""
+    import os
+
+    from timescale_cdc_spark.cdc.retention import (
+        compress_partition,
+        read_layout,
+    )
+
+    s0 = _assets(spark, [])
+    log.append(
+        cdc_transform(s0, _assets(spark, SEED), "id", "dataschema",
+                      "assets", F.lit(T0))
+    )
+    part = os.path.join(log.data_path, f"event_date={T0.date()}")
+    # make the chunk EXIST but hold zero rows (retention raced a
+    # rewrite, or an append was rolled back): same schema, no data
+    schema_df = spark.read.parquet(part).limit(0)
+    import shutil as _sh
+
+    tmp = part + ".__empty"
+    schema_df.write.parquet(tmp)
+    _sh.rmtree(part)
+    os.rename(tmp, part)
+
+    stats = compress_partition(log, T0.date(), zorder_by=("event_id", "ts"))
+    assert stats["rows"] == 0
+    assert "layout" not in stats  # plain rewrite, no z report fields
+    assert read_layout(part) is None

@@ -231,7 +231,17 @@ def compact_partition(log: EventLog, date: dt.date, target_files: int = 1) -> in
     if not os.path.isdir(part):
         return 0
     _recover_leaves(part)
-    return sum(_compact_dir(log, leaf, target_files) for leaf in _leaf_dirs(part))
+    rows = sum(
+        _compact_dir(log, leaf, target_files) for leaf in _leaf_dirs(part)
+    )
+    # A plain _LOG_SORT rewrite destroys a z-ordered layout exactly
+    # like a non-zorder re-compress does — sweep the manifest so no
+    # later incremental rewrite trusts stale bounds over re-sorted
+    # data (ADVICE r10).
+    manifest = os.path.join(part, _LAYOUT_MANIFEST)
+    if os.path.exists(manifest):
+        os.remove(manifest)
+    return rows
 
 
 def compress_partition(
@@ -306,19 +316,29 @@ def compress_partition(
         else:
             # one O(1)-to-driver aggregate over the whole chunk (all
             # hour leaves) so keys are comparable across leaves
-            bounds = compute_bounds(log.spark.read.parquet(part), zcols)
-            bounds_source = "computed"
+            try:
+                bounds = compute_bounds(log.spark.read.parquet(part), zcols)
+                bounds_source = "computed"
+            except ValueError:
+                # empty chunk or all-NULL z column: no defined bounds,
+                # so no z-key — fall back to the plain sorted rewrite
+                # instead of raising after the caller already decided
+                # to compress (ADVICE r10). The non-zorder path below
+                # then also sweeps any stale manifest.
+                bounds = None
+        if bounds is None:
+            zorder_by = None
+        else:
+            def zkey_fn(df, _zc=zcols, _b=bounds, _bits=bits):
+                return zorder_key_for(df, _zc, _b, _bits)
 
-        def zkey_fn(df, _zc=zcols, _b=bounds, _bits=bits):
-            return zorder_key_for(df, _zc, _b, _bits)
-
-        zreport = {
-            "layout": "zordered",
-            "zorder_by": zcols,
-            "bits": bits,
-            "bounds": {c: list(v) for c, v in bounds.items()},
-            "bounds_source": bounds_source,
-        }
+            zreport = {
+                "layout": "zordered",
+                "zorder_by": zcols,
+                "bits": bits,
+                "bounds": {c: list(v) for c, v in bounds.items()},
+                "bounds_source": bounds_source,
+            }
 
     sort_cols = [*segment_by, *order_by]
     rows = before = after = 0

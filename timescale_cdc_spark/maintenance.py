@@ -43,6 +43,7 @@ def run_maintenance(
     compress_after_days: int | None = None,
     zorder_by: tuple[str, ...] | None = None,
     zorder_max_records_per_file: int | None = None,
+    zorder_bits: int | None = None,
 ) -> dict:
     """Apply retention, then (optionally) compact every cold partition
     (older than ``keep_hot_days`` — hot partitions still receive
@@ -69,11 +70,23 @@ def run_maintenance(
     log = EventLog(spark, log_path)
     today = now or dt.date.today()
     dropped = apply_retention(log, horizon_days=retention_days, now=today)
+    # Chunks cold enough to be (re-)compressed in THIS run get their
+    # full rewrite from compress_partition anyway — plain compaction
+    # first would rewrite every such chunk twice per run, and a plain
+    # _LOG_SORT pass would destroy a z-ordered layout only for the
+    # z-order pass to redo it (ADVICE r10). Skip them.
+    compress_cutoff = (
+        today - dt.timedelta(days=compress_after_days)
+        if compress_after_days is not None
+        else None
+    )
     compacted: dict[str, int] = {}
     if compact:
         hot_cutoff = today - dt.timedelta(days=keep_hot_days)
         for d in _partition_dates(log):
-            if d < hot_cutoff:
+            if d < hot_cutoff and not (
+                compress_cutoff is not None and d < compress_cutoff
+            ):
                 compacted[d.isoformat()] = compact_partition(log, d)
     compressed: dict[str, dict] = {}
     if compress_after_days is not None:
@@ -92,11 +105,11 @@ def run_maintenance(
         # verdict asked for.
         from timescale_cdc_spark.cdc.retention import compress_partition
 
-        cutoff = today - dt.timedelta(days=compress_after_days)
         for d in _partition_dates(log):
-            if d < cutoff:
+            if d < compress_cutoff:
                 compressed[d.isoformat()] = compress_partition(
                     log, d, zorder_by=zorder_by,
+                    zorder_bits=zorder_bits,
                     max_records_per_file=zorder_max_records_per_file,
                 )
     report = {
@@ -153,6 +166,21 @@ def main() -> None:
         help="comma-separated chunk z-order dimensions (with "
         "--compress-after-days), e.g. 'table_name,ts'",
     )
+    p.add_argument(
+        "--zorder-max-records-per-file",
+        type=int,
+        default=None,
+        help="rows per rewritten file for z-ordered chunks — the "
+        "row-group pruning-granularity knob (smaller files = finer "
+        "min/max stats = more skippable row groups)",
+    )
+    p.add_argument(
+        "--zorder-bits",
+        type=int,
+        default=None,
+        help="bits per z-order dimension (default: 21 capped so all "
+        "dimensions fit a BIGINT)",
+    )
     args = p.parse_args()
     report = run_maintenance(
         args.log_path, args.retention_days, args.compact, args.keep_hot_days,
@@ -163,6 +191,8 @@ def main() -> None:
         zorder_by=(
             tuple(args.zorder_by.split(",")) if args.zorder_by else None
         ),
+        zorder_max_records_per_file=args.zorder_max_records_per_file,
+        zorder_bits=args.zorder_bits,
     )
     print(json.dumps(report))
 

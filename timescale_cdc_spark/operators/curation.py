@@ -52,6 +52,27 @@ from pyspark.sql import functions as F
 from timescale_cdc_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
 from timescale_cdc_spark.operators.text import quality_score, token_stats
 
+#: Stage-boundary frames curate() persisted and the caller has no
+#: handle to — tracked so a long-lived session can release them once
+#: the curate() result is materialized (ADVICE r10: repeated curate()
+#: calls otherwise accumulate MEMORY_AND_DISK cache entries forever).
+_CURATE_PERSISTED: list[DataFrame] = []
+
+
+def release_curate_caches() -> int:
+    """Unpersist every stage-boundary frame previous :func:`curate`
+    calls cached (lazily — blocking=False, like DataFrame.unpersist's
+    default). Call after the curate() result has been written /
+    collected; the returned count is how many frames were released.
+
+    The persists are correctness-neutral either way (Spark recomputes
+    evicted blocks), so releasing early only costs recompute time if
+    the curate() result is re-materialized afterwards."""
+    n = len(_CURATE_PERSISTED)
+    while _CURATE_PERSISTED:
+        _CURATE_PERSISTED.pop().unpersist()
+    return n
+
 
 def curate(
     docs: DataFrame,
@@ -253,6 +274,7 @@ def curate(
     # between stages (there you'd write parquet; here MEMORY_AND_DISK
     # persist keeps the plan visible and spills instead of OOMing).
     exact_kept = exact_dedup(clean, text_col, id_col).persist()
+    _CURATE_PERSISTED.append(exact_kept)
 
     pairs = minhash_lsh_pairs(
         exact_kept,
@@ -274,6 +296,7 @@ def curate(
     else:
         near_dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     lexical = exact_kept.join(near_dup_ids, id_col, "left_anti").persist()
+    _CURATE_PERSISTED.append(lexical)
 
     if embeddings is not None:
         from timescale_cdc_spark.operators.semdedup import (

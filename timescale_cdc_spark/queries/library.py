@@ -1170,7 +1170,10 @@ comp_rows AS (
   FROM comp_reach GROUP BY node
 ),
 ppl_rt AS (
-  SELECT unnest(string_split(lower(text), ' ')) AS token
+  -- regexp split over \\s+ like Spark's _tokens — string_split on a
+  -- single space would silently diverge on consecutive/other
+  -- whitespace (ADVICE r10)
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
   FROM documents WHERE doc_id % {_PPL_REF_MOD} = 0
 ),
 ppl_rc AS (
@@ -1185,7 +1188,8 @@ ppl_lm AS (
   FROM ppl_rc
 ),
 ppl_tt AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
   FROM documents WHERE doc_id % {_PPL_REF_MOD} <> 0
 ),
 ppl_j AS (

@@ -470,8 +470,17 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emitted row per doc: id_a = doc_id, id_b = stage code (0 kept,
     1 quality, 2 contaminated, 3 exact, 4 near, 5 semantic),
     score = surviving ws_tokens (0 for dropped)."""
-    from timescale_cdc_spark.operators.curation import curate
+    from timescale_cdc_spark.operators.curation import (
+        curate,
+        release_curate_caches,
+    )
     from timescale_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+    # ADVICE r10: previous calls' stage-boundary persists are dead by
+    # the time this entry is re-invoked (bench passes, repeated driver
+    # runs) — release them so a long session doesn't accumulate
+    # MEMORY_AND_DISK entries. This call's own persists register anew.
+    release_curate_caches()
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     eval_docs = docs.filter(F.col("doc_id") % CURATE_EVAL_MOD == 0)
