@@ -2282,3 +2282,117 @@ def test_perplexity_buckets_approx_path_scale_safe(spark, sf_dir):
     assert "Window" not in plan
 
     assert release_ppl_caches() >= 2  # approx calls tracked + released
+
+
+def test_dedup_substrings_hand_computed(spark):
+    """Exact substring dedup (Lee et al. 2022, round 11): a word
+    n-gram appearing in more than max_freq documents is a duplicated
+    span — its union of [pos, pos+n) windows is removed from EVERY
+    occurrence (the published tool's remove-all-copies policy);
+    unique text survives verbatim."""
+    from timescale_cdc_spark.operators.decontam import dedup_substrings
+
+    corpus = spark.createDataFrame(
+        [
+            # docs 1 & 2 share the 5-word span 'all rights reserved
+            # by owner' in different surroundings
+            (1, "alpha beta all rights reserved by owner gamma delta"),
+            (2, "intro words here all rights reserved by owner"),
+            # unique doc: untouched
+            (3, "a perfectly unique sentence with no repeats at all"),
+            # doc 4 duplicates doc 3's head too — 3 is then ALSO cut
+            (4, "a perfectly unique sentence tail differs here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_substrings(
+            corpus, "text", "doc_id", n=4, max_freq=1
+        ).collect()
+    }
+    # doc1: grams at pos 2,3,4 hit ('all rights reserved by',
+    # 'rights reserved by owner' shared; 'reserved by owner gamma' is
+    # unique) — wait: shared 4-grams are pos2 and pos3 → cover words
+    # 2..6 ('all rights reserved by owner') exactly
+    assert rows[1]["clean_text"] == "alpha beta gamma delta"
+    assert rows[1]["duplicated"] is True
+    assert rows[2]["clean_text"] == "intro words here"
+    # docs 3,4 share 'a perfectly unique sentence' (pos 0) → words
+    # 0..3 removed from both
+    assert rows[3]["clean_text"] == "with no repeats at all"
+    assert rows[4]["clean_text"] == "tail differs here now"
+    assert all(rows[d]["duplicated"] for d in (1, 2, 3, 4))
+
+
+def test_dedup_substrings_occurrence_mode_and_threshold(spark):
+    """freq='occurrences' catches a span repeated inside ONE doc
+    (doc-frequency alone cannot); max_freq raises the tolerance so
+    common short boilerplate survives."""
+    from timescale_cdc_spark.operators.decontam import dedup_substrings
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam ham unique ending words"),
+            (2, "totally different other text body with fresh words"),
+        ],
+        "doc_id long, text string",
+    )
+    # docs mode: 'spam spam spam' appears only in doc 1 → df=1 → kept
+    by_doc = {
+        r["doc_id"]: r
+        for r in dedup_substrings(
+            corpus, "text", "doc_id", n=3, max_freq=1, freq="docs"
+        ).collect()
+    }
+    assert by_doc[1]["duplicated"] is False
+    assert by_doc[1]["clean_text"] == by_doc[1]["text"]
+    # occurrence mode: 'spam spam spam' occurs 3× → positions 0,1,2
+    # hit → words 0..4 removed
+    by_occ = {
+        r["doc_id"]: r
+        for r in dedup_substrings(
+            corpus, "text", "doc_id", n=3, max_freq=1,
+            freq="occurrences",
+        ).collect()
+    }
+    assert by_occ[1]["duplicated"] is True
+    assert by_occ[1]["clean_text"] == "ham unique ending words"
+    assert by_occ[2]["duplicated"] is False
+    # raising the threshold past the repeat count keeps everything
+    tol = {
+        r["doc_id"]: r
+        for r in dedup_substrings(
+            corpus, "text", "doc_id", n=3, max_freq=3,
+            freq="occurrences",
+        ).collect()
+    }
+    assert not tol[1]["duplicated"] and not tol[2]["duplicated"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup_substrings(corpus, "text", "doc_id", n=3, freq="bogus")
+
+
+def test_dedup_substrings_hashed_matches_exact(spark):
+    """xxhash64 and portable-string gram keys agree end-to-end on a
+    real corpus slice with planted cross-doc duplicate spans."""
+    from timescale_cdc_spark.operators.decontam import dedup_substrings
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).limit(150)
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("noise prefix words "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    cols = ["doc_id", "clean_text", "n_hit_positions", "n_removed_words"]
+    a = dedup_substrings(corpus, "text", "doc_id", n=5,
+                         hashed=True).select(cols)
+    b = dedup_substrings(corpus, "text", "doc_id", n=5,
+                         hashed=False).select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the planted copies really did trigger removal somewhere
+    flagged = dedup_substrings(corpus, "text", "doc_id", n=5)
+    assert flagged.filter(F.col("duplicated")).count() > 0

@@ -1194,6 +1194,13 @@ DECON_PLANT_OFFSET = 200_000
 DECON_PLANT_PREFIX = "decontam probe prefix "
 DECON_NGRAM = 5
 
+#: Exact-substring-dedup constants (round 11, family='substr'):
+#: every SUBSTR_MOD-th document gets a planted prefixed copy, so the
+#: copied text becomes a corpus-INTERNAL duplicated span.
+SUBSTR_MOD = 23
+SUBSTR_OFF = 300_000
+SUBSTR_PREFIX = "substr noise prefix "
+
 
 @register(
     "c4_decontamination",
@@ -1208,13 +1215,15 @@ DECON_NGRAM = 5
              '{DECON_PLANT_PREFIX}' || text AS text
       FROM eval_docs
     ),
-    tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM train_docs),
+    tw AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+           FROM train_docs),
     tg AS (
       SELECT DISTINCT doc_id,
              concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g
       FROM tw, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
     ),
-    ew AS (SELECT string_split(text, ' ') AS w FROM eval_docs),
+    ew AS (SELECT regexp_split_to_array(text, '\\s+') AS w
+           FROM eval_docs),
     eg AS (
       SELECT DISTINCT concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g
       FROM ew, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
@@ -1273,8 +1282,62 @@ DECON_NGRAM = 5
                  FROM span_hits GROUP BY doc_id) hc
         ON tw.doc_id = hc.doc_id
       LEFT JOIN span_clean c ON tw.doc_id = c.doc_id
+    ),
+    sub_corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {SUBSTR_OFF} AS doc_id,
+             '{SUBSTR_PREFIX}' || text AS text
+      FROM documents WHERE doc_id % {SUBSTR_MOD} = 0
+    ),
+    sub_w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+              FROM sub_corpus),
+    sub_g AS (
+      SELECT doc_id, i - 1 AS pos,
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g
+      FROM sub_w, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+    ),
+    sub_dup AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS f FROM sub_g GROUP BY g
+      ) WHERE f > 1
+    ),
+    sub_hits AS (
+      SELECT DISTINCT s.doc_id, s.pos
+      FROM sub_g s JOIN sub_dup d ON s.g = d.g
+    ),
+    sub_keep AS (
+      SELECT sw.doc_id, u.k, w[u.k] AS word
+      FROM sub_w sw, UNNEST(generate_series(1, len(w))) AS u(k)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sub_hits h
+        WHERE h.doc_id = sw.doc_id
+          AND u.k - 1 BETWEEN h.pos AND h.pos + 4
+      )
+    ),
+    sub_clean AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY k) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM sub_keep GROUP BY doc_id
+    ),
+    substr_rows AS (
+      SELECT 'substr' AS family,
+             sw.doc_id,
+             greatest(len(w) - 5, 0) + 1 AS n_grams,
+             COALESCE(hc.n_hits, 0) AS n_hits,
+             CAST(len(w) - COALESCE(c.n_kept, 0) AS DOUBLE)
+               / greatest(len(w), 1) AS contamination_ratio,
+             COALESCE(hc.n_hits, 0) >= 1 AS contaminated,
+             COALESCE(c.clean_text, '') AS clean_text
+      FROM sub_w sw
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n_hits
+                 FROM sub_hits GROUP BY doc_id) hc
+        ON sw.doc_id = hc.doc_id
+      LEFT JOIN sub_clean c ON sw.doc_id = c.doc_id
     )
-    SELECT * FROM doc_rows UNION ALL SELECT * FROM span_rows
+    SELECT * FROM doc_rows
+    UNION ALL SELECT * FROM span_rows
+    UNION ALL SELECT * FROM substr_rows
     """,
 )
 def c4_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,15 +1367,29 @@ def c4_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle can reproduce; production uses the xxhash64 default
     (8-byte probe keys, same semantics modulo 2^-64 collisions).
 
+    family='substr' (round 11, VERDICT r10 #1) — exact SUBSTRING
+    dedup (operators/decontam.py::dedup_substrings, the Lee et al.
+    2022 EXACTSUBSTR recipe): corpus-INTERNAL duplicated spans — any
+    5-gram present in >1 document — are removed from every
+    occurrence. Its corpus is documents ∪ one planted prefixed copy
+    per 23rd doc (doc_id+300000), so each planted pair's shared text
+    must vanish from BOTH members while the prefix (and every
+    unique doc) survives; the oracle re-derives gram doc-frequencies
+    and the surviving text per doc, so the cut text itself is
+    hash-checked like family='span'.
+
     Scale shape: the eval gram set is broadcast-small by construction
     (benchmarks, not corpora) → map-side semi-join probe over exploded
     train grams, partial-agg counts; the span cut adds one
     collect_set of hit positions per contaminated doc (bounded by doc
     length) and a pure-codegen word filter. Nothing scales with
-    |train|×|eval|."""
+    |train|×|eval|. The substr family's frequency table is
+    corpus-sized instead — ONE gram-keyed aggregation + ONE
+    gram-keyed semi-join, bucketed by gram hash, never all-pairs."""
     from timescale_cdc_spark.operators.decontam import (
         decontaminate,
         decontaminate_spans,
+        dedup_substrings,
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1352,7 +1429,24 @@ def c4_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contaminated",
         "clean_text",
     )
-    return doc_rows.unionByName(span_rows)
+    sub_planted = docs.filter(F.col("doc_id") % SUBSTR_MOD == 0).select(
+        (F.col("doc_id") + SUBSTR_OFF).alias("doc_id"),
+        F.concat(F.lit(SUBSTR_PREFIX), F.col("text")).alias("text"),
+    )
+    sub_corpus = docs.unionByName(sub_planted)
+    substr_rows = dedup_substrings(
+        sub_corpus, "text", "doc_id", n=DECON_NGRAM, max_freq=1,
+        freq="docs", hashed=False,
+    ).select(
+        F.lit("substr").alias("family"),
+        "doc_id",
+        F.col("n_positions").cast("long").alias("n_grams"),
+        F.col("n_hit_positions").cast("long").alias("n_hits"),
+        F.col("removal_ratio").alias("contamination_ratio"),
+        F.col("duplicated").alias("contaminated"),
+        "clean_text",
+    )
+    return doc_rows.unionByName(span_rows).unionByName(substr_rows)
 
 
 # --------------------------------------------------------------------------
