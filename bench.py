@@ -93,40 +93,78 @@ HEADLINE = [
     "c4_decontamination",  # train/eval n-gram overlap flagging
 ]
 
+# The two library mega-entries report one number each; a regression
+# in one family is invisible until it doubles the entry (VERDICT r10
+# #3). After the measurement passes the bench times each family
+# sub-frame: filtering the union on its literal family tag lets
+# Catalyst constant-fold every other branch away, so each count
+# executes ONLY that family's subtree. The query is CONSTRUCTED once
+# per entry (construction runs the eager driver-side bits — e.g. the
+# ppl LM fit collect — once, reported as '_construct'), then each
+# family is timed min-of-2. tests/test_plans.py pins these lists
+# against the entries' actual family tags.
+FAMILY_TIMED = {
+    "lib_m4_split_sample": [
+        "m4", "split", "sample", "reservoir", "mixture", "pack",
+        "packtext", "components", "ppl", "shard",
+    ],
+    "lib_stats_counter_candle": [
+        "stats", "counter", "candle", "gauge", "percentile", "udd",
+        "histogram", "hll",
+    ],
+}
+
+
+def _time_families(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    out: dict[str, dict[str, float]] = {}
+    for entry, fams in FAMILY_TIMED.items():
+        if entry not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        df = QUERIES[entry](spark, SF_DIR)
+        d = {"_construct": round(time.perf_counter() - t0, 4)}
+        for fam in fams:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.filter(F.col("family") == fam).count()
+                best = min(best, time.perf_counter() - t0)
+            d[fam] = round(best, 4)
+        out[entry] = d
+    return out
+
+
 # Entries whose CONTENT changed this round — so the round-over-round
 # per-query comparison knows a slower number means more coverage, not
 # a regression. Rewritten (not appended) each round.
 COVERAGE_NOTES = {
-    "c2_minhash_simhash": (
-        "round 10 adjudication of the r9 +33% (VERDICT r9 #2): "
-        "same-code r10 re-measure gave 7.06 s min at STABLE calib "
-        "0.18/0.18 vs r9's 8.10 s at calib 0.27→0.12 — part drift; "
-        "the real residual was profiled to the full-corpus verify "
-        "featurization (shingles+tokens localCheckpoint, 3.4 s of "
-        "~8 s) plus four attach joins, now REPLACED: pairs melt to "
-        "(role, doc_id) and join ONCE shuffle-hash against the "
-        "in-plan featurized corpus, any_value reassembly. Row counts "
-        "unchanged (1969 @ sf0.1, 152 @ sf0.01); interleaved A/B min "
-        "5.0 s vs old 7.1-8.1."
-    ),
-    "c4_text_analysis": (
-        "round 10: +PII detection/redaction columns (n_pii_email/"
-        "phone/ip + redacted-text md5 over planted doc_id-derived "
-        "PII) — four more regexp passes per doc, map-side only"
-    ),
     "c4_decontamination": (
-        "round 10: +family='span' rows (Dolma/Llama-3 span-level "
-        "removal, hash-checked incl. the surviving text) — entry "
-        "roughly doubles its work by construction"
+        "round 11: +family='substr' rows (Lee et al. 2022 exact "
+        "substring dedup over its own documents∪planted-copies "
+        "corpus — gram doc-frequency table + gram-keyed semi-join + "
+        "span cut, surviving text hash-checked). The entry grows "
+        "from 2 to 3 families; expect roughly +50% work vs r10's "
+        "0.59 s min."
+    ),
+    "c3_ann_lsh_ivf": (
+        "round 11 (not in the headline set, noted for the driver's "
+        "rows-only count): +method='sq8_index' rows (persisted "
+        "build-once/query-many SQ8) — 750→800 expected rows at "
+        "sf0.01, 50 more recall-gated rows"
     ),
     "lib_m4_split_sample": (
-        "round 10: +family='pack' (det_hash-partitioned token "
-        "packing, every pack id re-derived in SQL), "
-        "+family='components' (iterative star-contraction CC vs a "
-        "recursive-CTE oracle — the CC driver loop adds a few "
-        "rounds of shuffles), and +family='ppl' (CCNet unigram-LM "
-        "perplexity corpus split, LM fit + scores + buckets all "
-        "hash-checked) — three more families than r9"
+        "round 11: +family='shard' (deterministic final training "
+        "order + contiguous-range shard split over the packed "
+        "sequences; order key and shard id re-derived in SQL) — one "
+        "cheap map-side family on top of r10's nine; see "
+        "family_timings for the per-family breakdown this round "
+        "adds (VERDICT r10 #3)"
+    ),
+    "lib_stats_counter_candle": (
+        "round 11: content unchanged; see family_timings for the "
+        "new per-family breakdown (VERDICT r10 #3)"
     ),
 }
 
@@ -225,6 +263,11 @@ def main() -> None:
     # applies.
     calib_jvm_end = _calibrate_jvm(spark)
 
+    # Per-family diagnostics for the two library mega-entries
+    # (VERDICT r10 #3) — after the end calibration so the bracket
+    # stays a pure measurement-pass bracket.
+    family_timings = _time_families(spark)
+
     timings = {n: min(s) for n, s in samples.items()}
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -242,6 +285,7 @@ def main() -> None:
                 "queries_run1": {n: s[0] for n, s in samples.items()},
                 "samples": samples,
                 "pass_wall_s": pass_wall_s,
+                "family_timings": family_timings,
                 "coverage_notes": COVERAGE_NOTES,
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],

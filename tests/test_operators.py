@@ -295,12 +295,12 @@ def test_c3_ann_registered_query_has_all_families(spark, ann_sf):
     """The registered c3_ann_lsh_ivf query self-gates each index
     family on recall@5 ≥ 0.5 (and the folded-in vec_gate rows on the
     zero-admitted-dups invariant) and silently DROPS a failing
-    family's rows. Pin the full expected shape — 5 ANN families × 10
+    family's rows. Pin the full expected shape — 6 ANN families × 10
     queries × 5 (lsh, ivf, round 7's pq, round 8's residual ivfpq,
-    round 10's sq8 scalar quantization),
-    plus one vec_gate row per distinct planted vector — so a future
-    family dropout fails pytest, not just the driver's rows-only
-    artifact (VERDICT r4 #1/'process gap' #2)."""
+    round 10's sq8 scalar quantization, round 11's persisted
+    sq8_index), plus one vec_gate row per distinct planted vector —
+    so a future family dropout fails pytest, not just the driver's
+    rows-only artifact (VERDICT r4 #1/'process gap' #2)."""
     from timescale_cdc_spark.queries.llm_queries import c3_ann_lsh_ivf
 
     ann_sf_dir = _sibling_sf_dir(ann_sf)
@@ -318,6 +318,7 @@ def test_c3_ann_registered_query_has_all_families(spark, ann_sf):
         "pq": 50,
         "ivfpq": 50,
         "sq8": 50,
+        "sq8_index": 50,
         "vec_gate": n_vecs,
     }, f"family dropout: {counts}"
 
@@ -2396,3 +2397,32 @@ def test_dedup_substrings_hashed_matches_exact(spark):
     # the planted copies really did trigger removal somewhere
     flagged = dedup_substrings(corpus, "text", "doc_id", n=5)
     assert flagged.filter(F.col("duplicated")).count() > 0
+
+
+def test_sq8_index_matches_one_shot(spark, sf_dir, tmp_path):
+    """Round 11 (VERDICT r10 #4): the persisted Sq8Index must return
+    EXACTLY what one-shot sq8_topk returns on the same corpus (same
+    bounds → same codes → same candidates → same exact refine), while
+    serving repeat batches without re-training bounds or re-encoding
+    — pinned by querying twice and by the meta surface."""
+    from timescale_cdc_spark.operators.similarity import Sq8Index, sq8_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    idx = Sq8Index(spark, str(tmp_path / "sq8")).build(em)
+    want = {(r.q_id, r.c_id, r.cos, r.rank)
+            for r in sq8_topk(em, q, k=5, rerank=50).collect()}
+    got1 = {(r.q_id, r.c_id, r.cos, r.rank)
+            for r in idx.topk(q, k=5, rerank=50).collect()}
+    got2 = {(r.q_id, r.c_id, r.cos, r.rank)
+            for r in idx.topk(q, k=5, rerank=50).collect()}
+    assert got1 == want and got2 == want
+    info = idx.meta()
+    assert info["dim"] == len(em.first()["embedding"])
+    assert info["n_at_build"] == em.count()
+    assert len(info["_vmin"]) == info["dim"]
+    # a rebuilt instance pointed at the same path serves identically
+    got3 = {(r.q_id, r.c_id, r.cos, r.rank)
+            for r in Sq8Index(spark, str(tmp_path / "sq8"))
+            .topk(q, k=5, rerank=50).collect()}
+    assert got3 == want

@@ -164,3 +164,32 @@ def test_lib_entries_scan_facts_once(spark, sf_dir):
             f"{name}: {n_file} FileScan vs {n_mem} InMemoryTableScan — "
             "a union branch is re-scanning parquet outside the cache"
         )
+
+
+def test_bench_family_timed_lists_match_entries(spark, sf_dir):
+    """Round 11 (VERDICT r10 #3): bench.py's FAMILY_TIMED lists drive
+    the per-family timing breakdown of the two library mega-entries —
+    pin them against the entries' ACTUAL family tags so a new family
+    can't silently miss its timing row (and a renamed one can't time
+    an empty filter). Also pin that the family filter really prunes:
+    the filtered plan must drop to a fraction of the union's scans."""
+    import bench
+
+    for entry, fams in bench.FAMILY_TIMED.items():
+        actual = {
+            r["family"]
+            for r in QUERIES[entry](spark, sf_dir)
+            .select("family").distinct().collect()
+        }
+        assert set(fams) == actual, (entry, sorted(actual))
+        assert len(fams) == len(set(fams)), f"{entry}: duplicate tags"
+    # literal-fold pruning: one family's plan is a strict subtree
+    from pyspark.sql import functions as F
+
+    df = QUERIES["lib_m4_split_sample"](spark, sf_dir)
+    full = df._jdf.queryExecution().executedPlan().toString()
+    one = (
+        df.filter(F.col("family") == "split")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert one.count("InMemoryTableScan") < full.count("InMemoryTableScan")

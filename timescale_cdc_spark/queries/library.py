@@ -1010,6 +1010,11 @@ _COMP_BRIDGE = 35
 _PPL_REF_MOD = 11
 _PPL_BUCKETS = 3
 
+#: family='shard' (round 11, VERDICT r10 #5): the packed sequences'
+#: deterministic final training order + contiguous-range shard split.
+_SHARD_N = 8
+_SHARD_SALT = "sh11"
+
 
 def _m4_split_oracle() -> str:
     from timescale_cdc_spark.operators.sampling import (
@@ -1034,6 +1039,11 @@ def _m4_split_oracle() -> str:
     val_hi = int((_SPLITS["train"] + _SPLITS["val"]) * HASH_SPACE)
     sample_hi = int(_SAMPLE_FRACTION * HASH_SPACE)
     pack_hash = det_hash_sql(["doc_id"], _PACK_SALT)
+    from timescale_cdc_spark.operators.sharding import shard_expr_sql
+
+    shard_hash, shard_id = shard_expr_sql(
+        ["pack_id"], _SHARD_N, _SHARD_SALT
+    )
     return f"""
 WITH RECURSIVE ranked AS (
   SELECT event_type,
@@ -1220,6 +1230,13 @@ ppl_rows AS (
               WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
               ELSE 'tail' END AS item
   FROM ppl_sc2
+),
+shard_rows AS (
+  SELECT 'shard' AS family, pack_id AS key,
+         CAST(NULL AS TIMESTAMP) AS bucket, CAST(NULL AS TIMESTAMP) AS ts,
+         CAST({shard_id} AS DOUBLE) AS value,
+         CAST({shard_hash} AS VARCHAR) AS item
+  FROM (SELECT DISTINCT pack_id FROM pack_assign)
 )
 SELECT * FROM m4_rows
 UNION ALL SELECT * FROM split_rows
@@ -1230,6 +1247,7 @@ UNION ALL SELECT * FROM pack_rows
 UNION ALL SELECT * FROM packtext_rows
 UNION ALL SELECT * FROM comp_rows
 UNION ALL SELECT * FROM ppl_rows
+UNION ALL SELECT * FROM shard_rows
 """
 
 
@@ -1285,6 +1303,14 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle re-derives every score AND every bucket — the LM
     fit, smoothing, OOV mass, scoring, and split are all
     hash-checked cross-engine.
+
+    family='shard' (round 11, VERDICT r10 #5): deterministic final
+    training order + shard split over the packed sequences
+    (operators/sharding.py) — order_key = portable det_hash of the
+    pack id, shard = equal-width CONTIGUOUS hash ranges (integer
+    division, exact at 60 bits), so streaming shards in index order
+    IS the global shuffled order; value = shard id, item = order
+    key, BOTH re-derived in the oracle from sha256.
 
     100 TB shape: M4 is one fact shuffle (min_by/max_by hash agg);
     split/sample are zero-shuffle map-side projections; reservoir
@@ -1469,6 +1495,28 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ppl_bucket").alias("item"),
     )
 
+    # family='shard' (round 11, VERDICT r10 #5): the deterministic
+    # final training order + contiguous-range shard split over the
+    # packed sequences (operators/sharding.py::assign_shards) — order
+    # key AND shard id re-derived in the oracle from sha256, like
+    # hash_split; the write/manifest path is soaked (soak_shard.py)
+    # and unit-tested with DuckDB digest re-derivation.
+    from timescale_cdc_spark.operators.sharding import assign_shards
+
+    shard = assign_shards(
+        packed.select("pack_id").distinct(),
+        ["pack_id"],
+        _SHARD_N,
+        salt=_SHARD_SALT,
+    ).select(
+        F.lit("shard").alias("family"),
+        F.col("pack_id").alias("key"),
+        null_bucket.alias("bucket"),
+        null_ts.alias("ts"),
+        F.col("shard").cast("double").alias("value"),
+        F.col("order_key").cast("string").alias("item"),
+    )
+
     return (
         m4.unionByName(split)
         .unionByName(sample)
@@ -1478,6 +1526,7 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(packtext)
         .unionByName(comp)
         .unionByName(ppl)
+        .unionByName(shard)
     )
 
 

@@ -815,6 +815,11 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       trained from corpus min/max, compressed-domain cosine scan
       (4× less I/O), exact refine of the approx top-50 by id; FAISS's
       SQ8 flat index, recall-gated like the other families.
+    - method='sq8_index': the PERSISTED build-once/query-many SQ8
+      variant (round 11, operators/similarity.py::Sq8Index — VERDICT
+      r10 #4): bounds trained and corpus encoded once at build,
+      repeat query batches read compressed codes off disk; must meet
+      the same recall floor from the persisted read path.
     - method='vec_gate': the streaming vector-dedup ingest gate
       (operators/ann_index.py::StreamingVectorDedup) driven over the
       planted vector corpus as three micro-batches — one row per
@@ -868,14 +873,28 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ivfpq").alias("method"), "q_id", "c_id", "cos", "rank"
         )
     )
-    from timescale_cdc_spark.operators.similarity import sq8_topk
+    from timescale_cdc_spark.operators.similarity import Sq8Index, sq8_topk
 
     sq8 = sq8_topk(em, q, k=5, rerank=50).select(
         F.lit("sq8").alias("method"), "q_id", "c_id", "cos", "rank"
     )
+    # method='sq8_index' (round 11, VERDICT r10 #4): the persisted
+    # build-once/query-many variant — must reproduce the one-shot
+    # path's recall from codes served off disk.
+    sq8i_path = scratch_path(sf_dir, "sq8_idx")
+    shutil.rmtree(sq8i_path, ignore_errors=True)
+    sq8i = (
+        Sq8Index(spark, sq8i_path)
+        .build(em)
+        .topk(q, k=5, rerank=50)
+        .select(
+            F.lit("sq8_index").alias("method"), "q_id", "c_id", "cos",
+            "rank",
+        )
+    )
     approx = (
         lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq)
-        .unionByName(sq8)
+        .unionByName(sq8).unionByName(sq8i)
     )
     exact = brute_force_topk(em, q, k=5).select(
         "q_id", "c_id", F.lit(1).alias("_hit")
