@@ -2426,3 +2426,51 @@ def test_sq8_index_matches_one_shot(spark, sf_dir, tmp_path):
             for r in Sq8Index(spark, str(tmp_path / "sq8"))
             .topk(q, k=5, rerank=50).collect()}
     assert got3 == want
+
+
+def test_curate_substring_duplication_stage(spark):
+    """curate(substr_n=...) — the Gopher duplicated-content filter
+    (round 11): exact-dedup survivors whose cross-doc duplicated-span
+    ratio reaches the cap drop as 'substr_dup'; unique docs and docs
+    below the cap pass through; the stage is inert when substr_n is
+    None; exact copies still resolve as exact_dup FIRST (the stage
+    must never see byte-identical pairs as 100% duplicated)."""
+    from timescale_cdc_spark.operators.curation import curate
+
+    shared = "quick brown foxes jump over many lazy sleeping dogs today"
+    corpus = spark.createDataFrame(
+        [
+            # heavy-overlap pair: >=50% of each doc is the shared span
+            (1, f"alpha beta {shared}"),
+            (2, f"{shared} gamma delta epsilon"),
+            # unique docs: must survive
+            (3, "a completely unique document about distributed "
+                "query engines and their optimizers"),
+            (4, "another standalone text with its own vocabulary "
+                "covering storage formats and encodings"),
+            # exact copies: one survives as the keeper, the other is
+            # exact_dup — NOT substr_dup
+            (5, "identical twin text body with enough tokens here"),
+            (6, "identical twin text body with enough tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate(
+            corpus, min_quality=0.0, min_tokens=3,
+            substr_n=4, substr_max_ratio=0.5,
+        ).collect()
+    }
+    assert not out[1]["kept"] and out[1]["drop_reason"] == "substr_dup"
+    assert not out[2]["kept"] and out[2]["drop_reason"] == "substr_dup"
+    assert out[3]["kept"] and out[4]["kept"]
+    assert out[5]["kept"]
+    assert not out[6]["kept"] and out[6]["drop_reason"] == "exact_dup"
+    # inert when disabled: the heavy-overlap pair passes (their
+    # Jaccard is below the near-dup threshold)
+    base = {
+        r["doc_id"]: r
+        for r in curate(corpus, min_quality=0.0, min_tokens=3).collect()
+    }
+    assert base[1]["kept"] and base[2]["kept"]

@@ -18,6 +18,12 @@ the order that minimizes work at scale:
                          it runs before any shuffle stage and keeps
                          eval-tainted docs out of the dedup graphs)
     5. exact dedup      (one shuffle on the normalized content hash)
+    5b. duplicated-content filter (optional, round 11 — the Gopher
+                         "fraction of duplicated content" drop,
+                         measured by dedup_substrings' cross-doc
+                         duplicated-span ratio; after exact dedup so
+                         byte-copies collapse first, before LSH so
+                         the expensive stage sees less input)
     6. near-dup removal (MinHash-LSH pairs → keep lowest doc_id per
                          connected group, via the pair graph)
     7. semantic dedup   (optional, round 8 — SemDeDup over an
@@ -98,11 +104,29 @@ def curate(
     allowed_langs: list[str] | None = None,
     ppl_ref: DataFrame | None = None,
     max_ppl: float | None = None,
+    substr_n: int | None = None,
+    substr_max_ratio: float = 0.5,
+    substr_max_freq: int = 1,
 ) -> DataFrame:
     """Run the full curation pipeline; returns ALL input docs with
     `kept` (bool), `drop_reason` (quality | model_quality | language
-    | perplexity | contaminated | exact_dup | near_dup |
+    | perplexity | contaminated | exact_dup | substr_dup | near_dup |
     semantic_dup | null) and, for survivors, token statistics.
+
+    ``substr_n`` (round 11) enables the duplicated-content drop stage
+    (the Gopher/MassiveText "fraction of duplicated content" filter,
+    measured by operators/decontam.py::dedup_substrings — Lee et al.
+    2022's corpus-internal duplicate spans): an exact-dedup survivor
+    whose word-``substr_n``-gram spans shared with >``substr_max_freq``
+    documents cover ≥ ``substr_max_ratio`` of its words drops as
+    'substr_dup'. Runs AFTER exact dedup (byte-identical copies must
+    collapse first, or every exact pair would read as 100% duplicated
+    and BOTH copies would drop) and BEFORE the near-dup LSH (shrinks
+    its input; catches heavy partial overlap below the near-dup
+    Jaccard threshold). Note the policy is a FILTER: every member of
+    an over-threshold duplicated group drops — template spam dies as
+    a class; for cut-the-span-keep-the-doc semantics call
+    ``dedup_substrings`` directly and feed its ``clean_text`` in.
 
     ``redact=True`` (round 10) rewrites ``text_col`` through
     :func:`operators.text.redact_pii` BEFORE any filter or hash —
@@ -276,8 +300,28 @@ def curate(
     exact_kept = exact_dedup(clean, text_col, id_col).persist()
     _CURATE_PERSISTED.append(exact_kept)
 
+    if substr_n is not None:
+        from timescale_cdc_spark.operators.decontam import (
+            dedup_substrings,
+        )
+
+        heavy_dup_ids = (
+            dedup_substrings(
+                exact_kept.select(id_col, text_col),
+                text_col,
+                id_col,
+                n=substr_n,
+                max_freq=substr_max_freq,
+            )
+            .where(F.col("removal_ratio") >= substr_max_ratio)
+            .select(id_col)
+        )
+        substr_kept = exact_kept.join(heavy_dup_ids, id_col, "left_anti")
+    else:
+        substr_kept = exact_kept
+
     pairs = minhash_lsh_pairs(
-        exact_kept,
+        substr_kept,
         text_col,
         id_col,
         threshold=near_dup_threshold,
@@ -295,7 +339,7 @@ def curate(
         )
     else:
         near_dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    lexical = exact_kept.join(near_dup_ids, id_col, "left_anti").persist()
+    lexical = substr_kept.join(near_dup_ids, id_col, "left_anti").persist()
     _CURATE_PERSISTED.append(lexical)
 
     if embeddings is not None:
@@ -337,6 +381,7 @@ def curate(
     p_ids = fluent.select(id_col)
     d_ids = clean.select(id_col)
     e_ids = exact_kept.select(id_col)
+    u_ids = substr_kept.select(id_col)
     n_ids = lexical.select(id_col)
     s_ids = survivors.select(id_col)
     tagged = (
@@ -346,6 +391,7 @@ def curate(
         .join(p_ids.withColumn("_p", F.lit(True)), id_col, "left")
         .join(d_ids.withColumn("_d", F.lit(True)), id_col, "left")
         .join(e_ids.withColumn("_e", F.lit(True)), id_col, "left")
+        .join(u_ids.withColumn("_u", F.lit(True)), id_col, "left")
         .join(n_ids.withColumn("_n", F.lit(True)), id_col, "left")
         .join(s_ids.withColumn("_s", F.lit(True)), id_col, "left")
         .select(
@@ -357,6 +403,7 @@ def curate(
             .when(F.col("_p").isNull(), "perplexity")
             .when(F.col("_d").isNull(), "contaminated")
             .when(F.col("_e").isNull(), "exact_dup")
+            .when(F.col("_u").isNull(), "substr_dup")
             .when(F.col("_n").isNull(), "near_dup")
             .when(F.col("_s").isNull(), "semantic_dup")
             .alias("drop_reason"),
