@@ -2474,3 +2474,43 @@ def test_curate_substring_duplication_stage(spark):
         for r in curate(corpus, min_quality=0.0, min_tokens=3).collect()
     }
     assert base[1]["kept"] and base[2]["kept"]
+
+
+def test_dedup_substrings_keep_first_policy(spark):
+    """keep_first=True (Lee et al.'s 'remove all but one'): each
+    duplicated span survives in its smallest-id document and is cut
+    everywhere else — the corpus retains exactly one copy."""
+    from timescale_cdc_spark.operators.decontam import dedup_substrings
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta all rights reserved by owner gamma delta"),
+            (2, "intro words here all rights reserved by owner"),
+            (7, "prefix tokens all rights reserved by owner suffix"),
+            (3, "a perfectly unique sentence with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_substrings(
+            corpus, "text", "doc_id", n=4, max_freq=1, keep_first=True
+        ).collect()
+    }
+    # doc 1 is the canonical (minimum id) holder — keeps everything
+    assert rows[1]["clean_text"] == rows[1]["text"]
+    assert rows[1]["duplicated"] is False
+    # the other members lose the shared span
+    assert rows[2]["clean_text"] == "intro words here"
+    assert rows[7]["clean_text"] == "prefix tokens suffix"
+    assert rows[2]["duplicated"] and rows[7]["duplicated"]
+    # unique doc untouched
+    assert rows[3]["clean_text"] == rows[3]["text"]
+    # remove-all (default) still cuts the canonical copy too
+    all_rows = {
+        r["doc_id"]: r
+        for r in dedup_substrings(
+            corpus, "text", "doc_id", n=4, max_freq=1
+        ).collect()
+    }
+    assert all_rows[1]["clean_text"] == "alpha beta gamma delta"

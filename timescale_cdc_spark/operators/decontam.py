@@ -189,6 +189,7 @@ def dedup_substrings(
     max_freq: int = 1,
     freq: str = "docs",
     hashed: bool = True,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact substring deduplication (round 11, VERDICT r10 #1 — the
     Lee et al. 2022 "Deduplicating Training Data Makes Language
@@ -212,6 +213,15 @@ def dedup_substrings(
     boundaries to words. Raise ``max_freq`` to tolerate common
     short boilerplate (the paper's "only substrings repeated over
     the corpus more than a threshold").
+
+    ``keep_first=True`` is the paper's OTHER policy ("remove all but
+    one"): each duplicated gram keeps its occurrences in ONE
+    canonical document — the smallest ``id_col`` containing it —
+    and is cut everywhere else, so the corpus retains exactly one
+    copy of every duplicated span. Canonicalization is
+    document-granular: within-doc repeats in the canonical doc all
+    survive (the word-gram approximation has no sub-document
+    tiebreak). Deterministic in the ids, order-free.
 
     Returns ``corpus`` plus the same accounting columns as
     :func:`decontaminate_spans` (``clean_text``, ``n_positions``,
@@ -238,15 +248,27 @@ def dedup_substrings(
             tg.select("_gram", "_id")
             .distinct()
             .groupBy("_gram")
-            .agg(F.count("*").alias("_f"))
+            .agg(F.count("*").alias("_f"), F.min("_id").alias("_keep"))
         )
     else:
-        counted = tg.groupBy("_gram").agg(F.count("*").alias("_f"))
-    dup_grams = counted.filter(F.col("_f") > max_freq).select("_gram")
-    hit_pos = (
-        tg.join(dup_grams, "_gram", "left_semi")
-        .groupBy("_id")
-        .agg(F.collect_set("_pos").alias("_hits"))
+        counted = tg.groupBy("_gram").agg(
+            F.count("*").alias("_f"), F.min("_id").alias("_keep")
+        )
+    dup_grams = counted.filter(F.col("_f") > max_freq)
+    if keep_first:
+        # inner join on the gram, then drop hit positions inside the
+        # gram's canonical (minimum-id) document — same gram-bucketed
+        # shuffle, one extra 8-byte column through it
+        hits_src = (
+            tg.join(dup_grams.select("_gram", "_keep"), "_gram")
+            .filter(F.col("_id") != F.col("_keep"))
+        )
+    else:
+        hits_src = tg.join(
+            dup_grams.select("_gram"), "_gram", "left_semi"
+        )
+    hit_pos = hits_src.groupBy("_id").agg(
+        F.collect_set("_pos").alias("_hits")
     )
     return _cut_hit_spans(corpus, hit_pos, text_col, id_col, n,
                           flag_col="duplicated")

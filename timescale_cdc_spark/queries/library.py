@@ -1486,6 +1486,9 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
         n_buckets=_PPL_BUCKETS,
+        # the oracle re-derives the exact ntile; pinning the method
+        # also skips the auto guard's per-call docs.count() job
+        method="exact",
     ).select(
         F.lit("ppl").alias("family"),
         F.col("doc_id").cast("string").alias("key"),
