@@ -197,6 +197,30 @@ def main() -> None:
         t_sq8i_query = time.time() - t0
         recall_sq8i = len(exact & approx) / len(exact)
 
+    # IVF-SQ8 (round 11): coarse cells prune the scan to
+    # n_probe/n_cells partitions of residual int8 codes — the SQ
+    # analog of IVF-PQ, trading PQ's 8-byte codes for dim-byte codes
+    # that need no codebook training and resolve within-cell order
+    # without deep books.
+    from timescale_cdc_spark.operators.similarity import IvfSq8Index
+
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.time()
+        ivfsq8 = IvfSq8Index(spark, f"{d}/ivfsq8").build(
+            vecs, n_cells=256,
+            sample_fraction=min(1.0, 50_000 / max(n, 1)),
+        )
+        t_ivfsq8_build = time.time() - t0
+        t0 = time.time()
+        approx = {
+            (r.q_id, r.c_id)
+            for r in ivfsq8.topk(
+                queries, k=5, n_probe=8, rerank=200
+            ).collect()
+        }
+        t_ivfsq8_query = time.time() - t0
+        recall_ivfsq8 = len(exact & approx) / len(exact)
+
     print(
         json.dumps(
             {
@@ -226,6 +250,11 @@ def main() -> None:
                 "sq8_index_build_sec": round(t_sq8i_build, 2),
                 "sq8_index_query_sec": round(t_sq8i_query, 2),
                 "sq8_index_recall_at_5": recall_sq8i,
+                "ivfsq8_config": {"n_cells": 256, "n_probe": 8,
+                                  "rerank": 200},
+                "ivfsq8_build_sec": round(t_ivfsq8_build, 2),
+                "ivfsq8_query_sec": round(t_ivfsq8_query, 2),
+                "ivfsq8_recall_at_5": recall_ivfsq8,
             }
         )
     )

@@ -295,12 +295,13 @@ def test_c3_ann_registered_query_has_all_families(spark, ann_sf):
     """The registered c3_ann_lsh_ivf query self-gates each index
     family on recall@5 ≥ 0.5 (and the folded-in vec_gate rows on the
     zero-admitted-dups invariant) and silently DROPS a failing
-    family's rows. Pin the full expected shape — 6 ANN families × 10
+    family's rows. Pin the full expected shape — 7 ANN families × 10
     queries × 5 (lsh, ivf, round 7's pq, round 8's residual ivfpq,
     round 10's sq8 scalar quantization, round 11's persisted
-    sq8_index), plus one vec_gate row per distinct planted vector —
-    so a future family dropout fails pytest, not just the driver's
-    rows-only artifact (VERDICT r4 #1/'process gap' #2)."""
+    sq8_index and residual ivf_sq8), plus one vec_gate row per
+    distinct planted vector — so a future family dropout fails
+    pytest, not just the driver's rows-only artifact (VERDICT r4
+    #1/'process gap' #2)."""
     from timescale_cdc_spark.queries.llm_queries import c3_ann_lsh_ivf
 
     ann_sf_dir = _sibling_sf_dir(ann_sf)
@@ -319,6 +320,7 @@ def test_c3_ann_registered_query_has_all_families(spark, ann_sf):
         "ivfpq": 50,
         "sq8": 50,
         "sq8_index": 50,
+        "ivf_sq8": 50,
         "vec_gate": n_vecs,
     }, f"family dropout: {counts}"
 
@@ -2514,3 +2516,45 @@ def test_dedup_substrings_keep_first_policy(spark):
         ).collect()
     }
     assert all_rows[1]["clean_text"] == "alpha beta gamma delta"
+
+
+def test_ivf_sq8_index_recall_and_pruning(spark, sf_dir, tmp_path):
+    """IVF-SQ8 (round 11 — FAISS IVF<n>,SQ8): residual int8 codes in
+    cell partitions, probe-pruned scan + exact refine. Recall@5 vs
+    brute force ≥ the family floor on the fixture corpus, the codes
+    scan is partition-pruned to the probed cells, and a re-opened
+    index serves identically."""
+    from timescale_cdc_spark.operators.similarity import (
+        IvfSq8Index,
+        brute_force_topk,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    idx = IvfSq8Index(spark, str(tmp_path / "ivfsq8")).build(
+        em, n_cells=16
+    )
+    got = idx.topk(q, k=5, n_probe=4, rerank=50)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [_cell" in plan or "_cell#" in plan
+    rows = got.collect()
+    approx = {(r.q_id, r.c_id) for r in rows}
+    exact = {(r.q_id, r.c_id)
+             for r in brute_force_topk(em, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF-SQ8 recall too low: {recall}"
+    from collections import Counter
+
+    per_q = Counter(r.q_id for r in rows)
+    assert all(v == 5 for v in per_q.values())
+    # cosines on surviving pairs are the EXACT refine values
+    bf = {(r.q_id, r.c_id): r.cos
+          for r in brute_force_topk(em, q, k=50).collect()}
+    for r in rows:
+        if (r.q_id, r.c_id) in bf:
+            assert abs(r.cos - bf[(r.q_id, r.c_id)]) <= 1e-9
+    # reopened instance, same results
+    again = {(r.q_id, r.c_id, r.cos, r.rank)
+             for r in IvfSq8Index(spark, str(tmp_path / "ivfsq8"))
+             .topk(q, k=5, n_probe=4, rerank=50).collect()}
+    assert again == {(r.q_id, r.c_id, r.cos, r.rank) for r in rows}

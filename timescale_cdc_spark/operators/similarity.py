@@ -833,3 +833,210 @@ class Sq8Index:
         return _sq8_scan_refine(
             codes, self.raw(), queries, k, rerank, id_col, vec_col
         )
+
+
+class IvfSq8Index:
+    """IVF + SQ8 with residual encoding (round 11 — FAISS's
+    ``IndexIVFScalarQuantizer``, the ``"IVF<n>,SQ8"`` factory string):
+    a coarse KMeans quantizer routes each vector to a cell and SQ8
+    encodes the RESIDUAL (vector − cell centroid) at int8 per
+    dimension. The two reductions multiply exactly like IVF-PQ's: a
+    query batch reads ``n_probe / n_cells`` of a corpus that is
+    already 4× compressed, and residual encoding concentrates the
+    int8 range on within-cell offsets (residual spans are far tighter
+    than raw coordinate spans, so the 255-step grid is finer where it
+    matters).
+
+    Storage (the IvfPqIndex cell layout, SQ8 bounds instead of
+    codebooks):
+        <path>/centroids/          (_cell int, _centroid array<double>)
+        <path>/codes/_cell=<c>/    (c_id long, _code array<int>)
+        <path>/raw/_cell=<c>/      (c_id long, c_vec)
+        <path>/meta/               (n_cells, dim, _vmin, _scale, n)
+
+    Query: probe the ``n_probe`` nearest cells (broadcast-centroid
+    join — plan size O(1) in cell count), collect the probed cell ids
+    as literals so the codes scan is PARTITION-PRUNED, reconstruct
+    candidates as centroid + dequantized residual (pure codegen),
+    cosine-rank, exact-refine the shortlist against raw vectors read
+    with the same pruning."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    @property
+    def _centroids_path(self) -> str:
+        return f"{self.path}/centroids"
+
+    @property
+    def _codes_path(self) -> str:
+        return f"{self.path}/codes"
+
+    @property
+    def _raw_path(self) -> str:
+        return f"{self.path}/raw"
+
+    @property
+    def _meta_path(self) -> str:
+        return f"{self.path}/meta"
+
+    def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        seed: int = 42,
+        sample_fraction: float | None = None,
+    ) -> "IvfSq8Index":
+        import numpy as np
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+        vecs = corpus.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "_fv"
+            ),
+        )
+        fit_base = (
+            vecs.sample(fraction=sample_fraction, seed=seed)
+            if sample_fraction
+            else vecs
+        )
+        coarse = KMeans(
+            k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell"
+        ).fit(fit_base)
+        cent = self.spark.createDataFrame(
+            [
+                (ci, [float(x) for x in np.asarray(c)])
+                for ci, c in enumerate(coarse.clusterCenters())
+            ],
+            schema="_cell int, _centroid array<double>",
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(
+            self._centroids_path
+        )
+
+        assigned = coarse.transform(vecs).select("c_id", "c_vec", "_cell")
+        residual = F.zip_with(
+            F.col("c_vec"),
+            F.col("_centroid"),
+            lambda a, b: a.cast("double") - b,
+        )
+        with_res = assigned.join(F.broadcast(cent), "_cell").select(
+            "c_id", "_cell", residual.alias("_res")
+        )
+        # SQ8 bounds over RESIDUALS — one O(dim) collect, like Sq8Index
+        vmins, scales = _sq8_train_bounds(with_res, "_res")
+        bounds = _sq8_bounds_frame(self.spark, vmins, scales)
+        codes = with_res.crossJoin(F.broadcast(bounds)).select(
+            "c_id", "_cell", _sq8_encode(F.col("_res")).alias("_code")
+        )
+        codes.write.mode("overwrite").partitionBy("_cell").parquet(
+            self._codes_path
+        )
+        assigned.write.mode("overwrite").partitionBy("_cell").parquet(
+            self._raw_path
+        )
+        meta = self.spark.createDataFrame(
+            [(n_cells, dim, vmins, scales, assigned.count())],
+            "n_cells int, dim int, _vmin array<double>, "
+            "_scale array<double>, n_at_build long",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
+        return self
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self._centroids_path)
+
+    def codes(self) -> DataFrame:
+        return self.spark.read.parquet(self._codes_path)
+
+    def raw(self) -> DataFrame:
+        return self.spark.read.parquet(self._raw_path)
+
+    def meta(self) -> dict:
+        return self.spark.read.parquet(self._meta_path).first().asDict()
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        rerank: int = 50,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        info = self.meta()
+        bounds = _sq8_bounds_frame(
+            self.spark, list(info["_vmin"]), list(info["_scale"])
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        cell_l2 = F.aggregate(
+            F.zip_with(
+                F.col("q_vec"),
+                F.col("_centroid"),
+                lambda a, b: (a.cast("double") - b)
+                * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored_cells = q.crossJoin(
+            F.broadcast(self.centroids())
+        ).withColumn("_cdist", cell_l2)
+        wp = Window.partitionBy("q_id").orderBy(
+            F.asc("_cdist"), F.asc("_cell")
+        )
+        probes = (
+            scored_cells.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= n_probe)
+            .select("q_id", "q_vec", "_cell")
+        )
+        # partition pruning needs literal cell values at planning time
+        cells = sorted(
+            r["_cell"] for r in probes.select("_cell").distinct().collect()
+        )
+        cent = self.centroids().withColumnRenamed("_centroid", "_cc")
+        pruned = (
+            self.codes()
+            .filter(F.col("_cell").isin(cells))
+            .join(F.broadcast(cent), "_cell")
+            .crossJoin(F.broadcast(bounds))
+        )
+        # reconstruct = centroid + dequantized residual (pure codegen)
+        recon = F.zip_with(
+            F.col("_cc"), _sq8_dequantize(F.col("_code")),
+            lambda a, b: a + b,
+        )
+        cand = (
+            pruned.join(F.broadcast(probes), "_cell")
+            .filter(F.col("c_id") != F.col("q_id"))
+            .withColumn("_acos", cosine(F.col("q_vec"), recon))
+        )
+        wa = Window.partitionBy("q_id").orderBy(
+            F.desc("_acos"), F.asc("c_id")
+        )
+        shortlist = (
+            cand.withColumn("_ar", F.row_number().over(wa))
+            .filter(F.col("_ar") <= max(rerank, k))
+            .select("q_id", "q_vec", "c_id")
+        )
+        raw_pruned = self.raw().filter(F.col("_cell").isin(cells)).select(
+            "c_id", "c_vec"
+        )
+        refined = shortlist.join(raw_pruned, "c_id").withColumn(
+            "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+        return (
+            refined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "cos", "rank")
+        )

@@ -820,6 +820,11 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       r10 #4): bounds trained and corpus encoded once at build,
       repeat query batches read compressed codes off disk; must meet
       the same recall floor from the persisted read path.
+    - method='ivf_sq8': IVF + SQ8 with residual encoding (round 11,
+      operators/similarity.py::IvfSq8Index — FAISS's IVF<n>,SQ8):
+      coarse cells route the scan (partition-pruned to the probed
+      cells) and int8 codes cover within-cell RESIDUALS; recall-gated
+      like the other families.
     - method='vec_gate': the streaming vector-dedup ingest gate
       (operators/ann_index.py::StreamingVectorDedup) driven over the
       planted vector corpus as three micro-batches — one row per
@@ -892,9 +897,22 @@ def c3_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+    from timescale_cdc_spark.operators.similarity import IvfSq8Index
+
+    ivfsq8_path = scratch_path(sf_dir, "ivfsq8_idx")
+    shutil.rmtree(ivfsq8_path, ignore_errors=True)
+    ivfsq8 = (
+        IvfSq8Index(spark, ivfsq8_path)
+        .build(em, n_cells=16)
+        .topk(q, k=5, n_probe=4, rerank=50)
+        .select(
+            F.lit("ivf_sq8").alias("method"), "q_id", "c_id", "cos",
+            "rank",
+        )
+    )
     approx = (
         lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq)
-        .unionByName(sq8).unionByName(sq8i)
+        .unionByName(sq8).unionByName(sq8i).unionByName(ivfsq8)
     )
     exact = brute_force_topk(em, q, k=5).select(
         "q_id", "c_id", F.lit(1).alias("_hit")
