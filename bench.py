@@ -150,9 +150,10 @@ COVERAGE_NOTES = {
     ),
     "c3_ann_lsh_ivf": (
         "round 11 (not in the headline set, noted for the driver's "
-        "rows-only count): +method='sq8_index' rows (persisted "
-        "build-once/query-many SQ8) — 750→800 expected rows at "
-        "sf0.01, 50 more recall-gated rows"
+        "rows-only count): +method='sq8_index' (persisted build-once/"
+        "query-many SQ8) and +method='ivf_sq8' (residual IVF,SQ8 with "
+        "partition-pruned probes) — 750→850 expected rows at sf0.01, "
+        "both recall-gated"
     ),
     "lib_m4_split_sample": (
         "round 11: +family='shard' (deterministic final training "

@@ -73,6 +73,31 @@ def main() -> None:
     if n_packs:
         print(f"mean pack fill        {total_tok / (n_packs * BUDGET):.1%}")
 
+    # Round 11: the export tail — materialize the actual training
+    # sequences and write them in a deterministic global order as
+    # balanced shards with a re-derivable manifest (the step the
+    # trainer's loader reads; operators/sharding.py).
+    import tempfile
+
+    from timescale_cdc_spark.operators.packing import pack_sequences
+    from timescale_cdc_spark.operators.sharding import write_shards
+
+    seqs = pack_sequences(
+        packed.join(docs, "doc_id"), "text", "doc_id",
+        token_col="ws_tokens",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        manifest = write_shards(
+            seqs, f"{d}/shards", ["pack_id"], n_shards=4, salt="demo"
+        )
+        print("=== shard export ===")
+        for k in sorted(manifest["shards"]):
+            s = manifest["shards"][k]
+            print(
+                f"shard {k}: {s['n_rows']} packs, "
+                f"digest {s['digest'][:12]}…"
+            )
+
     # Ingest-time complement of the batch pass above: the streaming
     # near-dup gate admits only documents that aren't near-copies of
     # anything previously admitted (persisted signature index; see

@@ -5,7 +5,11 @@ search, text analysis, multimodal columns — each designed for 100 TB
 Python loops, Pandas UDFs only at the genuinely-custom edges).
 """
 
-from timescale_cdc_spark.operators.decontam import decontaminate
+from timescale_cdc_spark.operators.decontam import (
+    decontaminate,
+    decontaminate_spans,
+    dedup_substrings,
+)
 from timescale_cdc_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -33,6 +37,10 @@ from timescale_cdc_spark.operators.sampling import (
     reservoir_per_group,
     stratified_sample,
 )
+from timescale_cdc_spark.operators.sharding import (
+    assign_shards,
+    write_shards,
+)
 from timescale_cdc_spark.operators.text import (
     fingerprint,
     language_scores,
@@ -44,8 +52,11 @@ __all__ = [
     "asap_smooth",
     "assign_packs",
     "assign_packs_exact",
+    "assign_shards",
     "brute_force_topk",
     "decontaminate",
+    "decontaminate_spans",
+    "dedup_substrings",
     "embedding_dup_pairs",
     "exact_dedup",
     "fingerprint",
@@ -62,6 +73,7 @@ __all__ = [
     "simhash_pairs",
     "stratified_sample",
     "token_stats",
+    "write_shards",
     "zorder_key",
     "zorder_write",
 ]
