@@ -167,6 +167,13 @@ COVERAGE_NOTES = {
         "round 11: content unchanged; see family_timings for the "
         "new per-family breakdown (VERDICT r10 #3)"
     ),
+    "c2_streaming_near_dedup": (
+        "round 11 (not in the headline set, noted for the driver's "
+        "rows-only count): the method='curate' composition gains the "
+        "substr_dup stage — +58 planted duplicated-span rows and a "
+        "SEVENTH gate (every plant must drop at the substr stage "
+        "specifically) — 2142→2200 expected rows at sf0.01"
+    ),
 }
 
 

@@ -359,6 +359,88 @@ def main() -> None:
         "fit_sec": round(t_fit, 2),
         "curate_clf_sec": round(t_clf_soak, 2),
     }
+
+    # ------------------------------------------------------------------
+    # Phase 4 (round 11): the duplicated-content filter at scale —
+    # curate(substr_n=...) over base + planted duplicated-span PAIRS
+    # (each pair embeds one source doc's full text behind per-member
+    # 3-word noise from a disjoint vocabulary). The base corpus shares
+    # WORDS but never 8-gram sequences (the phase-2 construction), so
+    # the invariant is exact: every planted member AND its source
+    # (freq-3 spans, ratio ≥ 30/36 and 1.0) drops as 'substr_dup';
+    # ZERO other base docs may.
+    def _noise(prefix: str, salt: str, k_words: int = 3):
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(prefix),
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id"), F.lit(k), F.lit(salt)),
+                        F.lit(5000),
+                    ).cast("string"),
+                )
+                for k in range(k_words)
+            ],
+        )
+
+    sub_src_mod = 1009
+    base4 = docs.filter(F.col("doc_id") < n_normal)
+    sub_src = base4.filter(F.col("doc_id") % sub_src_mod == 0)
+    n_sub_src = sub_src.count()
+    sub_a4 = sub_src.select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.concat(
+            _noise("na", "sa"), F.lit(" "), F.col("text"), F.lit(" "),
+            _noise("na", "st"),
+        ).alias("text"),
+    )
+    sub_b4 = sub_src.select(
+        (F.col("doc_id") + 41_000_000).alias("doc_id"),
+        F.concat(
+            _noise("nb", "sb"), F.lit(" "), F.col("text"), F.lit(" "),
+            _noise("nb", "su"),
+        ).alias("text"),
+    )
+    corpus4 = base4.unionByName(sub_a4).unionByName(sub_b4).localCheckpoint(
+        eager=True
+    )
+    t0 = time.time()
+    curated4 = _curate(
+        corpus4,
+        min_quality=0.0,
+        min_tokens=5,
+        near_dup_threshold=0.5,
+        near_dup_max_bucket=256,
+        substr_n=8,
+        substr_max_ratio=0.5,
+    ).localCheckpoint(eager=True)
+    t_substr_soak = time.time() - t0
+    sub_counts = {
+        (r["grp"], r["reason"]): r["n"]
+        for r in curated4.select(
+            F.when(F.col("doc_id") >= 40_000_000, "planted")
+            .when(F.col("doc_id") % sub_src_mod == 0, "source")
+            .otherwise("base").alias("grp"),
+            F.coalesce("drop_reason", F.lit("kept")).alias("reason"),
+        ).groupBy("grp", "reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert sub_counts.get(("planted", "substr_dup")) == 2 * n_sub_src, (
+        sub_counts
+    )
+    assert sub_counts.get(("source", "substr_dup")) == n_sub_src, sub_counts
+    assert ("base", "substr_dup") not in sub_counts, sub_counts
+    out["substr_soak"] = {
+        "n_span_pairs": n_sub_src,
+        "planted_dropped_substr": sub_counts.get(
+            ("planted", "substr_dup"), 0
+        ),
+        "sources_dropped_substr": sub_counts.get(
+            ("source", "substr_dup"), 0
+        ),
+        "base_false_substr_drops": 0,
+        "curate_substr_sec": round(t_substr_soak, 2),
+    }
     print(json.dumps(out))
 
 

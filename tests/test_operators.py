@@ -852,11 +852,16 @@ def test_c2_streaming_registered_row_count(spark):
     stream_gate: 476 admitted survivors. semdedup: 500 kept vectors —
     the original embeddings table exactly, because every planted copy
     deduped and both gates held (a gate trip zeroes the method).
-    curate: 666 verdict rows — one per corpus doc (500 docs minus 17
-    eval-reserved, plus 12+17+48+69+37 planted rows), present only because
-    all six composition gates held (conservation, junk→quality,
-    contaminated-never-kept, zero exact/near detector pairs among the
-    kept set, ≤1 survivor per semantic pair)."""
+    curate: 724 verdict rows — one per corpus doc (round 11: the 666
+    round-10 corpus plus 58 duplicated-span plants, two per 17th base
+    doc), present only because all SEVEN composition gates held
+    (conservation, junk→quality, contaminated-never-kept, zero
+    exact/near detector pairs among the kept set, ≤1 survivor per
+    semantic pair, every substr plant dropped at the substr stage).
+    The per-stage split is additionally pinned so a stage silently
+    swallowed by an earlier one (e.g. substr eating the near-dup
+    plants — the max_freq=2 tolerance exists exactly for that) fails
+    here, not in a later round's adjudication."""
     from timescale_cdc_spark.queries.llm_queries import c2_streaming_near_dedup
 
     out = c2_streaming_near_dedup(spark, _sibling_sf_dir("sf0.01"))
@@ -865,12 +870,22 @@ def test_c2_streaming_registered_row_count(spark):
         for r in out.groupBy("method").agg(F.count("*").alias("n")).collect()
     }
     assert per_method == {
-        "stream_gate": 476, "semdedup": 500, "curate": 666,
+        "stream_gate": 476, "semdedup": 500, "curate": 724,
         # 500 held-out docs (250 clean + 250 planted junk), present
         # only because the accuracy and probability-separation gates
         # held (round 10, quality_model)
         "quality_model": 500,
     }, per_method
+    # every curate stage exercised: kept, quality, contaminated,
+    # exact, near, semantic, substr all non-empty
+    stages = {
+        r["id_b"]: r["n"]
+        for r in out.filter(F.col("method") == "curate")
+        .groupBy("id_b").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(stages) == {0, 1, 2, 3, 4, 5, 6}, stages
+    assert stages[4] >= 50, f"near-dup stage starved: {stages}"
+    assert stages[6] >= 58, f"substr stage below its plant count: {stages}"
 
 
 def test_streaming_near_dedup_transitive_option(spark, tmp_path):

@@ -434,6 +434,12 @@ CURATE_NEAR_OFF = 200_000
 CURATE_JUNK_OFF = 300_000
 CURATE_CONTAM_OFF = 400_000
 CURATE_SEM_OFF = 500_000
+#: round 11: duplicated-span pair plants — for every
+#: CURATE_SUBSTR_MOD-th base doc, TWO new docs at +A/+B offsets embed
+#: its text as a shared span behind different per-member noise.
+CURATE_SUBSTR_MOD = 17
+CURATE_SUBSTR_A_OFF = 700_000
+CURATE_SUBSTR_B_OFF = 800_000
 
 #: drop_reason → stage code for the emitted rows (kept = 0)
 _CURATE_STAGE = {
@@ -442,6 +448,7 @@ _CURATE_STAGE = {
     "exact_dup": 3,
     "near_dup": 4,
     "semantic_dup": 5,
+    "substr_dup": 6,
 }
 
 
@@ -462,14 +469,20 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
       survivors, the stream-gate invariant);
     - same-embedding lexically-shuffled copies (+500000) — at most
       one of each pair kept (SemDeDup stage);
+    - duplicated-span pairs (+700000/+800000, round 11): two docs
+      embedding the SAME base doc's text as a shared span behind
+      different noise — below the near-dup threshold's reach because
+      the substr stage runs first; every planted member must drop as
+      'substr_dup' (the Gopher duplicated-content filter measured by
+      dedup_substrings);
     - conservation: exactly one verdict row per input doc, kept rows
       carry no drop_reason, dropped rows carry one.
 
     ANY violation zeroes the method's rows (broadcast-count gates), so
     the driver's rows-only count is a pipeline-composition signal.
     Emitted row per doc: id_a = doc_id, id_b = stage code (0 kept,
-    1 quality, 2 contaminated, 3 exact, 4 near, 5 semantic),
-    score = surviving ws_tokens (0 for dropped)."""
+    1 quality, 2 contaminated, 3 exact, 4 near, 5 semantic,
+    6 substr), score = surviving ws_tokens (0 for dropped)."""
     from timescale_cdc_spark.operators.curation import (
         curate,
         release_curate_caches,
@@ -508,13 +521,31 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.reverse(F.split(F.col("text"), " "))
         ).alias("text"),
     )
+    # duplicated-span pair (round 11): both members embed the SAME
+    # source text behind different 3-word noise heads/tails — unique
+    # as whole documents, ≥ half duplicated span-wise
+    sub_src = base.filter(F.col("doc_id") % CURATE_SUBSTR_MOD == 0)
+    sub_a = sub_src.select(
+        (F.col("doc_id") + CURATE_SUBSTR_A_OFF).alias("doc_id"),
+        F.concat(
+            F.lit("substr noise alpha "), F.col("text"), F.lit(" tail one")
+        ).alias("text"),
+    )
+    sub_b = sub_src.select(
+        (F.col("doc_id") + CURATE_SUBSTR_B_OFF).alias("doc_id"),
+        F.concat(
+            F.lit("substr noise beta "), F.col("text"), F.lit(" tail two")
+        ).alias("text"),
+    )
     # Materialize the planted corpus (≤ a few thousand rows at any
     # driver/bench SF): every curate() stage and every gate otherwise
-    # re-plans and re-codegens this 6-branch union — measured 3-7 s
+    # re-plans and re-codegens this 8-branch union — measured 3-7 s
     # PER JOB in planning overhead on 666 rows vs 0.2-1 s flattened.
     corpus = base.unionByName(junk).unionByName(contam).unionByName(
         exact
-    ).unionByName(near).unionByName(sem).localCheckpoint()
+    ).unionByName(near).unionByName(sem).unionByName(
+        sub_a
+    ).unionByName(sub_b).localCheckpoint()
     eval_docs = eval_docs.localCheckpoint()
 
     emb_base = t(spark, sf_dir, "embeddings").select(
@@ -542,6 +573,13 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         eval_docs=eval_docs,
         decontam_n=5,
         decontam_min_hits=1,
+        substr_n=5,
+        substr_max_ratio=0.5,
+        # tolerate 2-doc spans: the near-dup planted pairs (original +
+        # suffixed copy) are freq-2 by construction and must reach the
+        # LSH stage; the substr plants are freq-3 (source + two
+        # members) and trip this threshold
+        substr_max_freq=2,
     ).localCheckpoint()  # consumed by every gate + the row emit
 
     kept_docs = res.filter("kept").join(corpus, "doc_id")
@@ -566,7 +604,10 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept_docs.select("doc_id", "text"), "text", "doc_id", threshold=0.7
     ).agg(F.count("*").alias("v4"))
     sem_pairs = (
-        res.filter(F.col("doc_id") >= CURATE_SEM_OFF)
+        res.filter(
+            (F.col("doc_id") >= CURATE_SEM_OFF)
+            & (F.col("doc_id") < CURATE_SUBSTR_A_OFF)
+        )
         .select((F.col("doc_id") - CURATE_SEM_OFF).alias("orig"),
                 F.col("kept").cast("int").alias("copy_kept"))
         .join(
@@ -578,6 +619,16 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     g_sem = sem_pairs.filter(
         F.col("copy_kept") + F.col("orig_kept") > 1
     ).agg(F.count("*").alias("v5"))
+    # round 11: every planted duplicated-span member must drop at the
+    # substr stage specifically (quality/contam/exact cannot claim it,
+    # and near-dup must never see it — substr runs first)
+    g_substr = res.filter(
+        (F.col("doc_id") >= CURATE_SUBSTR_A_OFF)
+        & (
+            F.coalesce(F.col("drop_reason"), F.lit(""))
+            != "substr_dup"
+        )
+    ).agg(F.count("*").alias("v7"))
     n_in = corpus.agg(F.countDistinct("doc_id").alias("n")).collect()[0]["n"]
     g_conserve = res.agg(
         (
@@ -601,11 +652,13 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage.cast("long").alias("id_b"),
         F.coalesce(F.col("ws_tokens"), F.lit(0)).cast("double").alias("score"),
     )
-    for gate in (g_junk, g_contam, g_exact, g_near, g_sem, g_conserve):
+    for gate in (g_junk, g_contam, g_exact, g_near, g_sem, g_conserve,
+                 g_substr):
         rows = rows.crossJoin(F.broadcast(gate))
     return rows.filter(
         (F.col("v1") == 0) & (F.col("v2") == 0) & (F.col("v3") == 0)
         & (F.col("v4") == 0) & (F.col("v5") == 0) & (F.col("v6") == 0)
+        & (F.col("v7") == 0)
     ).select("method", "id_a", "id_b", "score")
 
 
