@@ -389,3 +389,28 @@ def test_write_shards_manifest_and_order(spark, docs, tmp_path):
     m2 = write_shards(base, str(tmp_path / "shards2"), ["doc_id"],
                       n_shards=4, salt="sh2")
     assert m2 == m
+
+
+def test_write_shards_manifest_covers_empty_shards(spark, tmp_path):
+    """A tiny input into many shards leaves some shards EMPTY — the
+    manifest must still carry every shard id (n_rows=0, digest None)
+    so a loader iterating 0..n_shards-1 never KeyErrors."""
+    from timescale_cdc_spark.operators.sharding import write_shards
+
+    tiny = spark.createDataFrame(
+        [(i,) for i in range(3)], "doc_id long"
+    )
+    m = write_shards(tiny, str(tmp_path / "t"), ["doc_id"], n_shards=8,
+                     salt="few")
+    assert set(m["shards"]) == set(range(8))
+    assert sum(s["n_rows"] for s in m["shards"].values()) == 3
+    empties = [s for s in m["shards"].values() if s["n_rows"] == 0]
+    assert len(empties) >= 5
+    assert all(s["digest"] is None for s in empties)
+    nonempty = [
+        m["shards"][k]
+        for k in sorted(m["shards"])
+        if m["shards"][k]["n_rows"] > 0
+    ]
+    for a, b in zip(nonempty, nonempty[1:]):
+        assert a["max_order_key"] < b["min_order_key"]

@@ -161,19 +161,34 @@ def write_shards(
         )
         .collect()
     )
+    shards = {
+        int(r["shard"]): {
+            "n_rows": r["n_rows"],
+            "min_order_key": r["min_order_key"],
+            "max_order_key": r["max_order_key"],
+            "digest": r["digest"],
+        }
+        for r in stats
+    }
+    # a shard with no rows writes no partition dir and emits no stats
+    # row — record it explicitly (n_rows=0, digest None) so a loader
+    # iterating shard ids 0..n_shards-1 reads a complete manifest
+    # instead of KeyError'ing on small inputs
+    for k in range(n_shards):
+        shards.setdefault(
+            k,
+            {
+                "n_rows": 0,
+                "min_order_key": None,
+                "max_order_key": None,
+                "digest": None,
+            },
+        )
     manifest = {
         "n_shards": n_shards,
         "on": list(on),
         "salt": salt,
-        "shards": {
-            int(r["shard"]): {
-                "n_rows": r["n_rows"],
-                "min_order_key": r["min_order_key"],
-                "max_order_key": r["max_order_key"],
-                "digest": r["digest"],
-            }
-            for r in stats
-        },
+        "shards": shards,
     }
     tmp = os.path.join(path, _MANIFEST + ".tmp")
     with open(tmp, "w") as f:
