@@ -14,12 +14,18 @@ What it proves at scale:
   the manifest), and every written parquet file is internally sorted
   by order_key (checked from the files' own pages via pyarrow, not
   from the writer's intent);
-- reproducibility: the manifest digests (md5 of identity strings in
-  order) recomputed from the WRITTEN files match the manifest — the
-  audit contract a trainer-side loader can verify with any engine;
+- reproducibility: the CHUNKED manifest digests (round 12, VERDICT
+  r11 #1 — md5 per fixed-size row_number chunk, then md5 of the
+  ordered chunk digests; every aggregation buffer bounded by
+  digest_chunk_rows, never a whole shard) recomputed from the
+  WRITTEN files IN DUCKDB match the manifest — the audit contract a
+  trainer-side loader can verify with any engine, with bounded
+  per-group state at any shard size;
 - cost shape: assignment is zero-shuffle map-side; the export is one
-  exchange on shard + per-task sort; the manifest is one shard-keyed
-  aggregate. Reported rows/s covers assign + write + manifest.
+  exchange on shard + per-task sort; the manifest is a pruned
+  read-back of the written files (never a second evaluation of the
+  input lineage) + one windowed chunk numbering + two bounded
+  aggregations. Reported rows/s covers assign + write + manifest.
 
 Usage: python soak_shard.py [n_rows] [n_shards]
 """
@@ -57,7 +63,11 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    m = write_shards(rows, out, ["pack_id"], n_shards, salt="soak")
+    # chunk size well below rows/shard (~31k at 2M/64) so every shard
+    # digests through MULTIPLE bounded chunks, not the degenerate
+    # one-chunk case
+    m = write_shards(rows, out, ["pack_id"], n_shards, salt="soak",
+                     digest_chunk_rows=8192)
     wall = time.perf_counter() - t0
 
     counts = [m["shards"][k]["n_rows"] for k in sorted(m["shards"])]
@@ -78,32 +88,43 @@ def main() -> None:
             ].to_pylist()
             assert keys == sorted(keys), f
             files_checked += 1
-    # digest re-verification from the written data (what a loader
-    # would run) — one pass over the shard dirs
+    # chunked-digest re-verification from the written data IN DUCKDB
+    # (what a trainer-side loader in another engine would run): md5
+    # per row_number chunk, then md5 of the ordered chunk digests —
+    # per-group state bounded by digest_chunk_rows at any shard size
+    import duckdb
+
+    chunk_rows = m["digest_chunk_rows"]
+    con = duckdb.connect()
     re_digest = {
-        r["shard"]: r["d"]
-        for r in spark.read.parquet(out)
-        .groupBy("shard")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("order_key", "pack_id")
-                            )
-                        ),
-                        lambda s: s.getField("pack_id"),
-                    ),
-                    ",",
-                )
-            ).alias("d")
-        )
-        .collect()
+        int(s): d
+        for s, d in con.execute(
+            f"""
+            WITH r AS (
+              SELECT shard, order_key, pack_id AS key,
+                     (row_number() OVER (PARTITION BY shard
+                        ORDER BY order_key, pack_id) - 1)
+                       // {chunk_rows} AS chunk
+              FROM read_parquet('{out}/shard=*/*.parquet',
+                                hive_partitioning=true)
+            ), c AS (
+              SELECT shard, chunk,
+                     md5(string_agg(key, ',' ORDER BY order_key, key))
+                       AS cd
+              FROM r GROUP BY shard, chunk
+            )
+            SELECT shard, md5(string_agg(cd, ',' ORDER BY chunk))
+            FROM c GROUP BY shard
+            """
+        ).fetchall()
     }
+    con.close()
     digest_ok = all(
-        re_digest[k] == m["shards"][k]["digest"] for k in m["shards"]
+        re_digest.get(k) == m["shards"][k]["digest"]
+        for k in m["shards"]
+        if m["shards"][k]["n_rows"] > 0
     )
+    n_chunks_total = sum(s["n_chunks"] for s in m["shards"].values())
 
     report = {
         "n_rows": n,
@@ -114,11 +135,15 @@ def main() -> None:
         "shard_rows_max": max(counts),
         "max_dev_from_mean": round(max_dev, 4),
         "files_checked_sorted": files_checked,
-        "digests_reverified": digest_ok,
+        "digest_chunk_rows": chunk_rows,
+        "n_chunks_total": n_chunks_total,
+        "digests_reverified_duckdb": digest_ok,
     }
     print(json.dumps(report))
     assert max_dev < 0.05, report
     assert digest_ok, report
+    # chunking actually engaged: > 1 chunk per shard on average
+    assert n_chunks_total > n_shards, report
     shutil.rmtree(out, ignore_errors=True)
 
 
