@@ -109,7 +109,7 @@ HEADLINE = [
 FAMILY_TIMED = {
     "lib_m4_split_sample": [
         "m4", "split", "sample", "reservoir", "mixture", "pack",
-        "packtext", "components", "ppl", "shard",
+        "packtext", "components", "ppl", "shard", "srccap", "urldup",
     ],
     "lib_stats_counter_candle": [
         "stats", "counter", "candle", "gauge", "percentile", "udd",
@@ -143,39 +143,28 @@ def _time_families(spark) -> dict:
 # per-query comparison knows a slower number means more coverage, not
 # a regression. Rewritten (not appended) each round.
 COVERAGE_NOTES = {
-    "c4_decontamination": (
-        "round 11: +family='substr' rows (Lee et al. 2022 exact "
-        "substring dedup over its own documents∪planted-copies "
-        "corpus — gram doc-frequency table + gram-keyed semi-join + "
-        "span cut, surviving text hash-checked). The entry grows "
-        "from 2 to 3 families; expect roughly +50% work vs r10's "
-        "0.59 s min."
-    ),
-    "c3_ann_lsh_ivf": (
-        "round 11 (not in the headline set, noted for the driver's "
-        "rows-only count): +method='sq8_index' (persisted build-once/"
-        "query-many SQ8) and +method='ivf_sq8' (residual IVF,SQ8 with "
-        "partition-pruned probes) — 750→850 expected rows at sf0.01, "
-        "both recall-gated"
-    ),
     "lib_m4_split_sample": (
-        "round 11: +family='shard' (deterministic final training "
-        "order + contiguous-range shard split over the packed "
-        "sequences; order key and shard id re-derived in SQL) — one "
-        "cheap map-side family on top of r10's nine; see "
-        "family_timings for the per-family breakdown this round "
-        "adds (VERDICT r10 #3)"
+        "round 12 (VERDICT r11 #3): +family='srccap' (per-source "
+        "document cap, reservoir rank re-derived in SQL — one "
+        "WindowGroupLimit pass over documents) and +family='urldup' "
+        "(normalize_url + keep-lowest-id over synthetic four-variant "
+        "URLs, the normalized key value-hash-checked) — two cheap "
+        "families on top of r11's ten; expect a small growth vs "
+        "r11's 5.56 s min. Per-family seconds now survive the "
+        "artifact in the BENCH_FAMILIES line (VERDICT r11 #2)."
     ),
     "lib_stats_counter_candle": (
-        "round 11: content unchanged; see family_timings for the "
-        "new per-family breakdown (VERDICT r10 #3)"
+        "round 12: content unchanged; per-family seconds now in the "
+        "BENCH_FAMILIES line (VERDICT r11 #2)"
     ),
     "c2_streaming_near_dedup": (
-        "round 11 (not in the headline set, noted for the driver's "
+        "round 12 (not in the headline set, noted for the driver's "
         "rows-only count): the method='curate' composition gains the "
-        "substr_dup stage — +58 planted duplicated-span rows and a "
-        "SEVENTH gate (every plant must drop at the substr stage "
-        "specifically) — 2142→2200 expected rows at sf0.01"
+        "url_dup stage (-1, normalized-URL dedup) and the "
+        "source_capped stage (4b, RefinedWeb per-source cap) — +70 "
+        "planted rows (44 overrepresented-source + 26 URL re-crawl "
+        "at sf0.01) and gates EIGHT and NINE — 2200→2270 expected "
+        "rows at sf0.01"
     ),
 }
 

@@ -2,8 +2,10 @@
 """End-to-end training-data curation — the Tier C pipeline on the
 driver's documents fixture, stage by stage with yield accounting:
 
-  1. curate(): quality filter → eval-set decontamination (every 37th
-     doc stands in as the "benchmark" corpus) → exact dedup →
+  1. curate(): URL dedup (round 12 — normalized crawl-URL
+     keep-lowest-id) → quality filter → eval-set decontamination
+     (every 37th doc stands in as the "benchmark" corpus) →
+     per-source cap (round 12 — 20 docs/source) → exact dedup →
      MinHash-LSH near-dedup (transitive component resolution) →
      token stats, with per-document drop_reason provenance
   2. assign_packs(): pack the survivors into fixed token-budget
@@ -36,7 +38,16 @@ def main() -> None:
     spark = get_spark(app_name="curation_pipeline", master="local[8]",
                       shuffle_partitions=8)
     all_docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
+        "doc_id", "text", "source"
+    ).withColumn(
+        # stand-in crawl URL (the fixture has none): unique per doc,
+        # with tracking-param noise normalize_url strips
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("source"),
+            F.lit(".example/d/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=crawl"),
+        ),
     )
     # every 37th doc plays the held-out benchmark; the rest is train
     eval_docs = all_docs.filter(F.col("doc_id") % 37 == 0)
@@ -44,7 +55,9 @@ def main() -> None:
     n0 = docs.count()
 
     curated = curate(
-        docs, transitive=True, eval_docs=eval_docs, decontam_n=5
+        docs, transitive=True, eval_docs=eval_docs, decontam_n=5,
+        # round 12: the RefinedWeb opening + cap stages
+        url_col="url", source_col="source", source_cap=20,
     ).cache()
     yields = {
         r["drop_reason"]: r["n"]
@@ -66,8 +79,9 @@ def main() -> None:
 
     print("=== corpus datasheet ===")
     print(f"input docs            {n0}")
-    for reason in ("quality", "contaminated", "exact_dup", "near_dup"):
-        print(f"dropped: {reason:<12} {yields.get(reason, 0)}")
+    for reason in ("url_dup", "quality", "contaminated",
+                   "source_capped", "exact_dup", "near_dup"):
+        print(f"dropped: {reason:<13} {yields.get(reason, 0)}")
     print(f"kept                  {yields.get(None, 0)}")
     print(f"packs (budget {BUDGET})   {n_packs}")
     if n_packs:

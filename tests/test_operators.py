@@ -852,12 +852,16 @@ def test_c2_streaming_registered_row_count(spark):
     stream_gate: 476 admitted survivors. semdedup: 500 kept vectors —
     the original embeddings table exactly, because every planted copy
     deduped and both gates held (a gate trip zeroes the method).
-    curate: 724 verdict rows — one per corpus doc (round 11: the 666
+    curate: 794 verdict rows — one per corpus doc (round 11: the 666
     round-10 corpus plus 58 duplicated-span plants, two per 17th base
-    doc), present only because all SEVEN composition gates held
-    (conservation, junk→quality, contaminated-never-kept, zero
+    doc; round 12: plus 44 overrepresented-source plants and 26 URL
+    re-crawl plants), present only because all NINE composition gates
+    held (conservation, junk→quality, contaminated-never-kept, zero
     exact/near detector pairs among the kept set, ≤1 survivor per
-    semantic pair, every substr plant dropped at the substr stage).
+    semantic pair, every substr plant dropped at the substr stage,
+    the planted source cut to exactly CURATE_SRC_CAP at the cap
+    stage, every URL re-crawl dropped as url_dup and no original
+    ever url-dropped).
     The per-stage split is additionally pinned so a stage silently
     swallowed by an earlier one (e.g. substr eating the near-dup
     plants — the max_freq=2 tolerance exists exactly for that) fails
@@ -870,22 +874,27 @@ def test_c2_streaming_registered_row_count(spark):
         for r in out.groupBy("method").agg(F.count("*").alias("n")).collect()
     }
     assert per_method == {
-        "stream_gate": 476, "semdedup": 500, "curate": 724,
+        "stream_gate": 476, "semdedup": 500, "curate": 794,
         # 500 held-out docs (250 clean + 250 planted junk), present
         # only because the accuracy and probability-separation gates
         # held (round 10, quality_model)
         "quality_model": 500,
     }, per_method
     # every curate stage exercised: kept, quality, contaminated,
-    # exact, near, semantic, substr all non-empty
+    # exact, near, semantic, substr, source_capped, url_dup all
+    # non-empty
     stages = {
         r["id_b"]: r["n"]
         for r in out.filter(F.col("method") == "curate")
         .groupBy("id_b").agg(F.count("*").alias("n")).collect()
     }
-    assert set(stages) == {0, 1, 2, 3, 4, 5, 6}, stages
+    assert set(stages) == {0, 1, 2, 3, 4, 5, 6, 7, 8}, stages
     assert stages[4] >= 50, f"near-dup stage starved: {stages}"
     assert stages[6] >= 58, f"substr stage below its plant count: {stages}"
+    # round 12: 44 source plants minus the cap of 5 drop at the cap
+    # stage; every one of the 26 URL re-crawls drops as url_dup
+    assert stages[7] == 39, f"source cap stage: {stages}"
+    assert stages[8] == 26, f"url dedup stage: {stages}"
 
 
 def test_streaming_near_dedup_transitive_option(spark, tmp_path):
@@ -2573,3 +2582,285 @@ def test_ivf_sq8_index_recall_and_pruning(spark, sf_dir, tmp_path):
              for r in IvfSq8Index(spark, str(tmp_path / "ivfsq8"))
              .topk(q, k=5, n_probe=4, rerank=50).collect()}
     assert again == {(r.q_id, r.c_id, r.cos, r.rank) for r in rows}
+
+
+def test_normalize_url_and_dedup_by_key(spark):
+    """normalize_url collapses the RefinedWeb-style URL variants
+    (scheme/case/www/fragment/tracking-params/trailing slash) to one
+    key, the SQL form re-derives the IDENTICAL key in DuckDB, and
+    dedup_by_key keeps the lowest id per key with NULL keys passing
+    through (round 12, VERDICT r11 #3)."""
+    import duckdb
+
+    from timescale_cdc_spark.operators.dedup import (
+        dedup_by_key,
+        normalize_url,
+        normalize_url_sql,
+    )
+
+    urls = [
+        "https://www.Example.com/Page/",
+        "HTTP://example.com/page#section-2",
+        "example.com/page?utm_source=tw&utm_medium=x",
+        "https://example.com/page?fbclid=abc123",
+        "https://example.com/page?a=1&gclid=zz&b=2",
+        "https://example.com/page?a=1&b=2",
+        "https://other.com/page?ref=hn",
+        "  https://other.com/page/  ",
+        None,
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    normed = df.select(
+        "doc_id", normalize_url(F.col("url")).alias("k")
+    )
+    got = {r["doc_id"]: r["k"] for r in normed.collect()}
+    # variants 0-1 and 2-3 collapse; 4 collapses with 5; 6-7 collapse
+    assert got[0] == got[1] == "example.com/page"
+    assert got[2] == got[3] == "example.com/page"
+    assert got[4] == got[5] == "example.com/page&a=1&b=2"
+    assert got[6] == got[7] == "other.com/page"
+    assert got[8] is None and got[9] is None
+    # DuckDB re-derivation: the SQL chain produces the SAME keys
+    con = duckdb.connect()
+    sql_keys = {
+        i: con.execute(
+            f"SELECT {normalize_url_sql('?')}", [u]
+        ).fetchone()[0]
+        for i, u in enumerate(urls)
+        if u is not None
+    }
+    con.close()
+    for i, k in sql_keys.items():
+        assert k == got[i], (i, k, got[i])
+    # dedup: lowest id per key wins; both NULL-key rows pass through
+    kept = sorted(
+        r["doc_id"] for r in dedup_by_key(normed, "k", "doc_id").collect()
+    )
+    assert kept == [0, 4, 6, 8, 9]
+    # rank pushdown: the keep-first window plans as WindowGroupLimit
+    plan = (
+        dedup_by_key(normed, "k", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_curate_url_dedup_stage(spark):
+    """curate(url_col=...): re-crawls (same normalized URL, DIFFERENT
+    text — invisible to every content stage) drop as 'url_dup' keeping
+    the lowest id, before any other stage judges them; docs without a
+    URL pass through unjudged."""
+    from timescale_cdc_spark.operators.curation import curate
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "https://a.com/x"),
+        # same page re-crawled with tracking params, rewritten text
+        (2, "zeta eta theta iota kappa", "http://www.A.com/x?utm_source=f"),
+        # junk text AND a dup URL: url stage claims it first
+        (3, "x x", "https://a.com/x/"),
+        (4, "lambda mu nu xi omicron", "https://b.com/y"),
+        (5, "pi rho sigma tau upsilon", None),
+        (6, "phi chi psi omega aleph", None),
+    ]
+    out = curate(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, url string"
+        ),
+        url_col="url",
+        min_quality=0.0,
+        min_tokens=3,
+    )
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    assert by_id[1]["kept"]
+    assert by_id[2]["drop_reason"] == "url_dup"
+    assert by_id[3]["drop_reason"] == "url_dup"
+    assert by_id[4]["kept"]
+    assert by_id[5]["kept"] and by_id[6]["kept"]
+
+
+def test_curate_source_cap_stage(spark):
+    """curate(source_col=, source_cap=k): an over-represented source
+    keeps exactly its deterministic k-doc reservoir (drops tagged
+    'source_capped'), junk never consumes cap budget (quality runs
+    first), other sources are untouched, and the keep set is exactly
+    the k smallest det_hash ranks — re-derived here in DuckDB."""
+    import duckdb
+
+    from timescale_cdc_spark.operators.curation import curate
+    from timescale_cdc_spark.operators.sampling import det_hash_sql
+
+    rows = [
+        (i, f"w{i} x{i} y{i} z{i} q{i}", "big")
+        for i in range(40)
+    ]
+    # junk docs from the same source must NOT count against the cap
+    rows += [(100 + i, "x x", "big") for i in range(5)]
+    rows += [(200 + i, f"a{i} b{i} c{i} d{i} e{i}", "small")
+             for i in range(3)]
+    out = curate(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ),
+        min_quality=0.0,
+        min_tokens=3,
+        source_col="source",
+        source_cap=10,
+        source_cap_salt="cap12",
+    )
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    big_kept = [i for i in range(40) if by_id[i]["kept"]]
+    assert len(big_kept) == 10
+    assert all(
+        by_id[i]["drop_reason"] == "source_capped"
+        for i in range(40)
+        if i not in big_kept
+    )
+    # junk drops as quality (earlier stage), not source_capped
+    assert all(
+        by_id[100 + i]["drop_reason"] == "quality" for i in range(5)
+    )
+    # the small source is under the cap: fully kept
+    assert all(by_id[200 + i]["kept"] for i in range(3))
+    # cross-engine: the keep set IS the 10 smallest det_hash ranks
+    con = duckdb.connect()
+    h = det_hash_sql(["doc_id"], "cap12")
+    want = {
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM (VALUES {",".join(f"({i})" for i in range(40))})
+                 AS t(doc_id)
+            ORDER BY {h}, doc_id LIMIT 10
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert set(big_kept) == want
+
+
+def test_sq8_index_append_and_staleness(spark, sf_dir, tmp_path):
+    """Round 12 (VERDICT r11 #4): Sq8Index.append absorbs inserts
+    with the FROZEN bounds (out-of-range clamps), appended vectors
+    are immediately queryable with EXACT refined cosines, and
+    staleness() reports appended/clamp fractions that trip the
+    rebuild trigger as drift grows."""
+    from timescale_cdc_spark.operators.similarity import Sq8Index
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = em.filter(F.col("vec_id") % 4 != 0)
+    extra = em.filter(F.col("vec_id") % 4 == 0)
+    idx = Sq8Index(spark, str(tmp_path / "sq8a")).build(base)
+    s0 = idx.staleness()
+    assert s0["appended_fraction"] == 0.0
+    assert s0["clamp_fraction"] == 0.0
+    assert not s0["rebuild_recommended"]
+
+    idx.append(extra)
+    n_base, n_extra = base.count(), extra.count()
+    s1 = idx.staleness()
+    assert s1["n_now"] == n_base + n_extra
+    assert abs(
+        s1["appended_fraction"] - n_extra / (n_base + n_extra)
+    ) < 1e-9
+    # in-distribution appends: nothing clamps, no rebuild yet
+    # (embeddings fixture splits are iid; extra stays in bounds or
+    # clamps only marginally)
+    assert s1["clamp_fraction"] <= 0.5
+
+    # an appended vector is queryable: query WITH an appended id's
+    # exact vector finds it at rank 1 (cos 1.0, exact refine on raw)
+    probe_id = extra.select("vec_id").orderBy("vec_id").first()["vec_id"]
+    q = extra.filter(F.col("vec_id") == probe_id).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    top = idx.topk(q, k=1, rerank=20).collect()
+    assert len(top) == 1
+    assert top[0]["c_id"] == probe_id and top[0]["cos"] == 1.0
+
+    # drift: far-out-of-bounds appends clamp and trip the trigger
+    drift = extra.select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(100.0) + F.lit(50.0)
+        ).alias("embedding"),
+    )
+    idx.append(drift)
+    s2 = idx.staleness()
+    assert s2["clamp_fraction"] > 0.10
+    assert s2["rebuild_recommended"]
+
+
+def test_ivf_sq8_index_append_and_staleness(spark, sf_dir, tmp_path):
+    """Round 12 (VERDICT r11 #4): IvfSq8Index.append assigns new
+    vectors to FROZEN centroids + encodes residuals with FROZEN
+    bounds into the cell partition dirs; appended vectors are
+    findable via the pruned probe path; staleness() carries the
+    IvfIndex contract fields and flips rebuild_recommended past the
+    appended-fraction threshold."""
+    from timescale_cdc_spark.operators.similarity import IvfSq8Index
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = em.filter(F.col("vec_id") % 3 != 0)
+    extra = em.filter(F.col("vec_id") % 3 == 0)
+    idx = IvfSq8Index(spark, str(tmp_path / "ivfsq8a")).build(
+        base, n_cells=8
+    )
+    s0 = idx.staleness()
+    assert s0["appended_fraction"] == 0.0
+    assert 0.5 < s0["qerr_ratio"] < 1.5
+    assert not s0["rebuild_recommended"]
+
+    idx.append(extra)
+    n_base, n_extra = base.count(), extra.count()
+    s1 = idx.staleness()
+    assert s1["n_now"] == n_base + n_extra
+    assert abs(
+        s1["appended_fraction"] - n_extra / (n_base + n_extra)
+    ) < 1e-9
+    # ~1/3 appended > 0.25 threshold
+    assert s1["rebuild_recommended"]
+
+    # appended vector findable through the pruned probe path
+    probe_id = extra.select("vec_id").orderBy("vec_id").first()["vec_id"]
+    q = extra.filter(F.col("vec_id") == probe_id).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    top = idx.topk(q, k=1, n_probe=3, rerank=20).collect()
+    assert len(top) == 1
+    assert top[0]["c_id"] == probe_id and top[0]["cos"] == 1.0
+
+
+def test_perplexity_buckets_single_bucket_guard(spark):
+    """ADVICE r11: n_buckets=1 on the approx path previously crashed
+    (percentile_approx over an empty percentage array → NULL
+    thresholds → TypeError). Now every method returns the constant
+    bucket, and n_buckets=0 raises."""
+    import pytest as _pytest
+
+    from timescale_cdc_spark.operators.text import (
+        perplexity_buckets,
+        unigram_logprobs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick fox {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    lm, oov = unigram_logprobs(docs, "text")
+    for method in ("exact", "approx", "auto"):
+        out = perplexity_buckets(
+            docs, lm, oov, "text", "doc_id", n_buckets=1, method=method
+        )
+        labels = {r["ppl_bucket"] for r in out.collect()}
+        assert labels == {"b1"}, (method, labels)
+    with _pytest.raises(ValueError):
+        perplexity_buckets(
+            docs, lm, oov, "text", "doc_id", n_buckets=0
+        )

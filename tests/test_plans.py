@@ -193,3 +193,23 @@ def test_bench_family_timed_lists_match_entries(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert one.count("InMemoryTableScan") < full.count("InMemoryTableScan")
+
+
+def test_urldup_srccap_families_plan_shape(spark, sf_dir):
+    """Round 12 (VERDICT r11 #3): the new lib_m4_split_sample families
+    keep the scale shapes they claim — both the source-cap reservoir
+    and the URL dedup keep-first window plan as WindowGroupLimit (rank
+    pushdown: each upstream partition forwards ≤k candidates per
+    group before the exchange), and the URL normalization chain stays
+    inside codegen (no Python eval anywhere in the entry)."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["lib_m4_split_sample"](spark, sf_dir)
+    for fam in ("srccap", "urldup"):
+        plan = (
+            df.filter(F.col("family") == fam)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "WindowGroupLimit" in plan, fam
+        assert "BatchEvalPython" not in plan, fam
+        assert "ArrowEvalPython" not in plan, fam

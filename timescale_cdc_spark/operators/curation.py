@@ -2,6 +2,11 @@
 Tier C as one flow) — what a pretraining-data team actually runs, in
 the order that minimizes work at scale:
 
+    -1. URL dedup       (optional, round 12 — normalized-URL
+                         keep-lowest-id, the RefinedWeb first stage;
+                         one shuffle on a short key, run before any
+                         text scoring so re-crawls of one page never
+                         reach the content stages)
     0. PII redaction    (optional, round 10 — masking before any
                          hash so dedup sees normalized text)
     1. quality filter   (map-side only — cheapest, run first)
@@ -17,6 +22,12 @@ the order that minimizes work at scale:
                          probe, operators/decontam.py; map-side, so
                          it runs before any shuffle stage and keeps
                          eval-tainted docs out of the dedup graphs)
+    4b. per-source cap  (optional, round 12 — the RefinedWeb/Gopher
+                         k-docs-per-domain cap via the deterministic
+                         reservoir_per_group rank; after the cheap
+                         filters so the cap budget isn't wasted on
+                         junk, before exact dedup so the shuffle
+                         stages see the capped corpus)
     5. exact dedup      (one shuffle on the normalized content hash)
     5b. duplicated-content filter (optional, round 11 — the Gopher
                          "fraction of duplicated content" drop,
@@ -107,11 +118,35 @@ def curate(
     substr_n: int | None = None,
     substr_max_ratio: float = 0.5,
     substr_max_freq: int = 1,
+    url_col: str | None = None,
+    source_col: str | None = None,
+    source_cap: int | None = None,
+    source_cap_salt: str = "",
 ) -> DataFrame:
     """Run the full curation pipeline; returns ALL input docs with
-    `kept` (bool), `drop_reason` (quality | model_quality | language
-    | perplexity | contaminated | exact_dup | substr_dup | near_dup |
-    semantic_dup | null) and, for survivors, token statistics.
+    `kept` (bool), `drop_reason` (url_dup | quality | model_quality |
+    language | perplexity | contaminated | source_capped | exact_dup
+    | substr_dup | near_dup | semantic_dup | null) and, for
+    survivors, token statistics.
+
+    ``url_col`` (round 12, VERDICT r11 #3) enables the FIRST stage —
+    normalized-URL dedup (the RefinedWeb pipeline's opening move):
+    docs sharing a :func:`operators.dedup.normalize_url` key keep
+    only the lowest id; the rest drop as 'url_dup'. Docs with a NULL
+    url pass through unjudged. Runs before everything (including PII
+    redaction and quality scoring): a re-crawl of the same page
+    should never cost a content-stage cycle, and the stage is one
+    shuffle on a short key.
+
+    ``source_col`` + ``source_cap`` (round 12, VERDICT r11 #3) enable
+    the per-source cap stage (the RefinedWeb/FineWeb/Gopher
+    k-docs-per-domain rule): among the filter survivors, each source
+    keeps its deterministic ``reservoir_per_group`` sample of
+    ``source_cap`` docs (k smallest det_hash(id, salt) — uniform,
+    order-free, cross-engine re-derivable); the rest drop as
+    'source_capped'. Placed after the map-side filters (the cap
+    budget goes to docs that would survive anyway) and before exact
+    dedup (the shuffle-heavy stages see the capped corpus).
 
     ``substr_n`` (round 11) enables the duplicated-content drop stage
     (the Gopher/MassiveText "fraction of duplicated content" filter,
@@ -188,14 +223,31 @@ def curate(
     collapses byte-identical clusters, but near-identical template
     spam still lands whole clusters in one band bucket; star pairing
     keeps the task bounded (see dedup._banded_candidates)."""
+    if source_cap is not None and source_col is None:
+        raise ValueError("source_cap needs source_col")
+
+    if url_col is not None:
+        from timescale_cdc_spark.operators.dedup import (
+            dedup_by_key,
+            normalize_url,
+        )
+
+        url_kept = dedup_by_key(
+            docs.withColumn("_nurl", normalize_url(F.col(url_col))),
+            "_nurl",
+            id_col,
+        ).drop("_nurl")
+    else:
+        url_kept = docs
+
     if redact:
         from timescale_cdc_spark.operators.text import redact_pii
 
-        docs = redact_pii(
-            docs.select(id_col, text_col), text_col, out_col="_red"
+        url_kept = redact_pii(
+            url_kept.select(id_col, text_col), text_col, out_col="_red"
         ).select(id_col, F.col("_red").alias(text_col))
 
-    scored = quality_score(docs.select(id_col, text_col), text_col)
+    scored = quality_score(url_kept.select(id_col, text_col), text_col)
 
     quality_ok = scored.filter(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
@@ -288,6 +340,26 @@ def curate(
         clean = fluent.join(contam_ids, id_col, "left_anti")
     else:
         clean = fluent
+
+    if source_cap is not None:
+        from timescale_cdc_spark.operators.sampling import (
+            reservoir_per_group,
+        )
+
+        # docs carries the source column past the (id, text)-only
+        # filter stages via an id join — ids are unique by contract
+        capped_ids = reservoir_per_group(
+            clean.select(id_col).join(
+                docs.select(id_col, source_col), id_col
+            ),
+            [source_col],
+            source_cap,
+            [id_col],
+            salt=source_cap_salt,
+        ).select(id_col)
+        capped = clean.join(capped_ids, id_col, "left_semi")
+    else:
+        capped = clean
     # Stage-boundary materialization: exact_kept feeds BOTH sides of
     # the LSH self-join plus the lexical anti-join and the provenance
     # join; lexical feeds the SemDeDup fit (an eager count + iterative
@@ -297,7 +369,7 @@ def curate(
     # also the honest 100 TB shape: a staged pipeline materializes
     # between stages (there you'd write parquet; here MEMORY_AND_DISK
     # persist keeps the plan visible and spills instead of OOMing).
-    exact_kept = exact_dedup(clean, text_col, id_col).persist()
+    exact_kept = exact_dedup(capped, text_col, id_col).persist()
     _CURATE_PERSISTED.append(exact_kept)
 
     if substr_n is not None:
@@ -316,7 +388,15 @@ def curate(
             .where(F.col("removal_ratio") >= substr_max_ratio)
             .select(id_col)
         )
-        substr_kept = exact_kept.join(heavy_dup_ids, id_col, "left_anti")
+        # persist: substr_kept feeds THREE consumers (both LSH join
+        # sides via the pair graph, the lexical anti-join, and the
+        # u_ids provenance join) and its subtree is two gram-keyed
+        # shuffles over the exact-dedup survivors — without a
+        # boundary it re-executes per consumer (ADVICE r11)
+        substr_kept = exact_kept.join(
+            heavy_dup_ids, id_col, "left_anti"
+        ).persist()
+        _CURATE_PERSISTED.append(substr_kept)
     else:
         substr_kept = exact_kept
 
@@ -375,21 +455,25 @@ def curate(
 
     # provenance: why did each dropped doc fall out?
     base = docs.select(id_col)
+    w_ids = url_kept.select(id_col)
     q_ids = quality_ok.select(id_col)
     c_ids = clf_ok.select(id_col)
     l_ids = in_lang.select(id_col)
     p_ids = fluent.select(id_col)
     d_ids = clean.select(id_col)
+    sc_ids = capped.select(id_col)
     e_ids = exact_kept.select(id_col)
     u_ids = substr_kept.select(id_col)
     n_ids = lexical.select(id_col)
     s_ids = survivors.select(id_col)
     tagged = (
-        base.join(q_ids.withColumn("_q", F.lit(True)), id_col, "left")
+        base.join(w_ids.withColumn("_w", F.lit(True)), id_col, "left")
+        .join(q_ids.withColumn("_q", F.lit(True)), id_col, "left")
         .join(c_ids.withColumn("_c", F.lit(True)), id_col, "left")
         .join(l_ids.withColumn("_l", F.lit(True)), id_col, "left")
         .join(p_ids.withColumn("_p", F.lit(True)), id_col, "left")
         .join(d_ids.withColumn("_d", F.lit(True)), id_col, "left")
+        .join(sc_ids.withColumn("_sc", F.lit(True)), id_col, "left")
         .join(e_ids.withColumn("_e", F.lit(True)), id_col, "left")
         .join(u_ids.withColumn("_u", F.lit(True)), id_col, "left")
         .join(n_ids.withColumn("_n", F.lit(True)), id_col, "left")
@@ -397,11 +481,13 @@ def curate(
         .select(
             id_col,
             F.col("_s").isNotNull().alias("kept"),
-            F.when(F.col("_q").isNull(), "quality")
+            F.when(F.col("_w").isNull(), "url_dup")
+            .when(F.col("_q").isNull(), "quality")
             .when(F.col("_c").isNull(), "model_quality")
             .when(F.col("_l").isNull(), "language")
             .when(F.col("_p").isNull(), "perplexity")
             .when(F.col("_d").isNull(), "contaminated")
+            .when(F.col("_sc").isNull(), "source_capped")
             .when(F.col("_e").isNull(), "exact_dup")
             .when(F.col("_u").isNull(), "substr_dup")
             .when(F.col("_n").isNull(), "near_dup")

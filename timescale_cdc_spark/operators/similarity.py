@@ -813,6 +813,92 @@ class Sq8Index:
     def meta(self) -> dict:
         return self.spark.read.parquet(self._meta_path).first().asDict()
 
+    # -- maintenance (round 12, VERDICT r11 #4: the ann_index.IvfIndex
+    # append/staleness contract for the SQ8 family) ---------------------------
+
+    def append(
+        self,
+        new_vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Absorb inserts WITHOUT retraining the bounds: encode with
+        the FROZEN per-dimension grid (out-of-range coordinates CLAMP
+        to the grid edge — ``_sq8_encode``'s least/greatest; the
+        z-order stale-bounds contract) and append codes + raw. An
+        insert batch is one map-side encode + two appends, never a
+        corpus rewrite. Correctness is unaffected — the exact refine
+        reads raw vectors — only the compressed scan's ranking
+        sharpness decays as appends clamp; :meth:`staleness` is the
+        rebuild trigger. Caller contract: ids are new (the CDC upsert
+        path dedupes upstream)."""
+        info = self.meta()
+        bounds = _sq8_bounds_frame(
+            self.spark, list(info["_vmin"]), list(info["_scale"])
+        )
+        raw = new_vectors.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        )
+        codes = new_vectors.crossJoin(F.broadcast(bounds)).select(
+            F.col(id_col).alias("c_id"),
+            _sq8_encode(F.col(vec_col)).alias("_code"),
+        )
+        codes.write.mode("append").parquet(self._codes_path)
+        raw.write.mode("append").parquet(self._raw_path)
+        self.spark.catalog.refreshByPath(self._codes_path)
+        self.spark.catalog.refreshByPath(self._raw_path)
+
+    def staleness(self) -> dict:
+        """Rebuild signal: ``appended_fraction`` (share of the corpus
+        added since build — appends use frozen bounds) and
+        ``clamp_fraction`` (rows with ≥1 coordinate outside the frozen
+        grid — pure drift signal: build rows never clamp because the
+        bounds ARE their min/max, so every clamped row is an appended
+        outlier whose compressed ranking is degraded).
+        ``rebuild_recommended`` once appended_fraction > 0.25 or
+        clamp_fraction > 0.10. One corpus scan — run on the
+        maintenance cadence, not per query."""
+        info = self.meta()
+        bounds = _sq8_bounds_frame(
+            self.spark, list(info["_vmin"]), list(info["_scale"])
+        )
+        oob = F.exists(
+            F.transform(
+                F.col("c_vec").cast("array<double>"),
+                lambda x, j: (x < F.element_at(F.col("_vmin"), j + 1))
+                | (
+                    x
+                    > F.element_at(F.col("_vmin"), j + 1)
+                    + F.lit(255.0) * F.element_at(F.col("_scale"), j + 1)
+                ),
+            ),
+            lambda b: b,
+        )
+        cur = (
+            self.raw()
+            .crossJoin(F.broadcast(bounds))
+            .agg(
+                F.count("*").alias("n_now"),
+                F.avg(oob.cast("double")).alias("clamp_fraction"),
+            )
+            .collect()[0]
+        )
+        appended_fraction = (
+            (cur["n_now"] - info["n_at_build"]) / cur["n_now"]
+            if cur["n_now"]
+            else 0.0
+        )
+        clamp_fraction = float(cur["clamp_fraction"] or 0.0)
+        return {
+            "n_at_build": info["n_at_build"],
+            "n_now": cur["n_now"],
+            "appended_fraction": appended_fraction,
+            "clamp_fraction": clamp_fraction,
+            "rebuild_recommended": bool(
+                appended_fraction > 0.25 or clamp_fraction > 0.10
+            ),
+        }
+
     def topk(
         self,
         queries: DataFrame,
@@ -942,10 +1028,24 @@ class IvfSq8Index:
         assigned.write.mode("overwrite").partitionBy("_cell").parquet(
             self._raw_path
         )
+        # build-time stats for the staleness signal (round 12): corpus
+        # size and mean coarse quantization error (mean residual L2²)
+        build_stats = with_res.agg(
+            F.count("*").alias("n"),
+            F.avg(
+                F.aggregate(
+                    F.col("_res"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("qerr"),
+        ).collect()[0]
         meta = self.spark.createDataFrame(
-            [(n_cells, dim, vmins, scales, assigned.count())],
+            [(
+                n_cells, dim, vmins, scales,
+                build_stats["n"], float(build_stats["qerr"] or 0.0),
+            )],
             "n_cells int, dim int, _vmin array<double>, "
-            "_scale array<double>, n_at_build long",
+            "_scale array<double>, n_at_build long, "
+            "qerr_at_build double",
         )
         meta.coalesce(1).write.mode("overwrite").parquet(self._meta_path)
         return self
@@ -961,6 +1061,135 @@ class IvfSq8Index:
 
     def meta(self) -> dict:
         return self.spark.read.parquet(self._meta_path).first().asDict()
+
+    @staticmethod
+    def _res_l2_sq() -> F.Column:
+        """Squared L2 of (c_vec − _centroid) — the coarse quantization
+        error of a row joined with its cell centroid."""
+        return F.aggregate(
+            F.zip_with(
+                F.col("c_vec"),
+                F.col("_centroid"),
+                lambda a, b: (a.cast("double") - b)
+                * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # -- maintenance (round 12, VERDICT r11 #4) -------------------------------
+
+    def append(
+        self,
+        new_vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Absorb inserts WITHOUT refitting coarse quantizer or
+        bounds: assign each vector to its nearest FROZEN centroid
+        (broadcast join + per-vector rank — the rule
+        ``model.transform`` applied at build), encode the residual
+        with the FROZEN grid (out-of-range clamps), and append into
+        that cell's codes/raw partition directories — one broadcast
+        join + two partition-local appends, never a corpus rewrite.
+        Recall decays only as the distribution drifts off the frozen
+        centroids/bounds; :meth:`staleness` is the rebuild trigger.
+        Caller contract: ids are new (CDC upsert dedupes upstream)."""
+        info = self.meta()
+        cent = self.centroids()
+        v = new_vectors.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        )
+        # argmin via PARTIAL AGGREGATION, not a window: the scored
+        # crossJoin is |batch|×n_cells rows carrying the full vector —
+        # a window would shuffle+sort all of them (measured 156 s for
+        # a 100k batch at 256 cells); min(struct(_dist, _cell)) map-
+        # side-combines each id down to one tiny row before the
+        # exchange (same deterministic tie-break: lowest cell wins).
+        scored = v.crossJoin(F.broadcast(cent)).withColumn(
+            "_dist", self._res_l2_sq()
+        )
+        best = (
+            scored.groupBy("c_id")
+            .agg(F.min(F.struct("_dist", "_cell")).alias("_b"))
+            .select("c_id", F.col("_b._cell").alias("_cell"))
+        )
+        assigned = v.join(best, "c_id").join(F.broadcast(cent), "_cell")
+        bounds = _sq8_bounds_frame(
+            self.spark, list(info["_vmin"]), list(info["_scale"])
+        )
+        residual = F.zip_with(
+            F.col("c_vec"),
+            F.col("_centroid"),
+            lambda a, b: a.cast("double") - b,
+        )
+        # one exchange on _cell before the partitioned writes: without
+        # it every task appends a file per touched cell (tasks ×
+        # n_cells small files per append batch)
+        enc = (
+            assigned.withColumn("_res", residual)
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                "c_id", "c_vec", "_cell",
+                _sq8_encode(F.col("_res")).alias("_code"),
+            )
+            .repartition("_cell")
+            .persist()
+        )
+        enc.select("c_id", "_cell", "_code").write.mode(
+            "append"
+        ).partitionBy("_cell").parquet(self._codes_path)
+        enc.select("c_id", "c_vec", "_cell").write.mode(
+            "append"
+        ).partitionBy("_cell").parquet(self._raw_path)
+        enc.unpersist()
+        self.spark.catalog.refreshByPath(self._codes_path)
+        self.spark.catalog.refreshByPath(self._raw_path)
+
+    def staleness(self) -> dict:
+        """The IvfIndex rebuild-signal contract: appended_fraction
+        (appends use frozen centroids+bounds), qerr_ratio (current
+        mean residual L2² over the build-time mean — distribution
+        drift even at low append volume), cell_imbalance (max/mean
+        cell size — a hot cell degrades probe cost), and
+        rebuild_recommended (appended_fraction > 0.25 or qerr_ratio >
+        1.5). One corpus scan + one agg; maintenance-cadence cheap."""
+        info = self.meta()
+        cur = (
+            self.raw()
+            .join(F.broadcast(self.centroids()), "_cell")
+            .groupBy("_cell")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(self._res_l2_sq()).alias("qerr_sum"),
+            )
+            .agg(
+                F.sum("n").alias("n_now"),
+                (F.sum("qerr_sum") / F.sum("n")).alias("qerr_now"),
+                (F.max("n") / F.avg("n")).alias("cell_imbalance"),
+            )
+            .collect()[0]
+        )
+        appended_fraction = (
+            (cur["n_now"] - info["n_at_build"]) / cur["n_now"]
+            if cur["n_now"]
+            else 0.0
+        )
+        qerr_ratio = (
+            cur["qerr_now"] / info["qerr_at_build"]
+            if info.get("qerr_at_build")
+            else 1.0
+        )
+        return {
+            "n_at_build": info["n_at_build"],
+            "n_now": cur["n_now"],
+            "appended_fraction": appended_fraction,
+            "qerr_ratio": qerr_ratio,
+            "cell_imbalance": cur["cell_imbalance"],
+            "rebuild_recommended": bool(
+                appended_fraction > 0.25 or qerr_ratio > 1.5
+            ),
+        }
 
     def topk(
         self,

@@ -484,10 +484,18 @@ def perplexity_buckets(
       parity at fixture scale) and 'approx' above — the size guard
       that stops the single-task sort from ever running at corpus
       scale."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
     scored = perplexity_scores(docs, lm, oov_logp, text_col, id_col)
     names = _bucket_names(n_buckets)
     if method not in ("auto", "exact", "approx"):
         raise ValueError(f"unknown method: {method!r}")
+    if n_buckets == 1:
+        # degenerate split: everything is the one bucket. Short-
+        # circuit BEFORE the approx path — percentile_approx over an
+        # empty percentage array yields NULL thresholds and a
+        # TypeError (ADVICE r11); the constant label needs no pass.
+        return scored.withColumn("ppl_bucket", F.lit(names[0]))
     if method == "auto":
         # the guard measures what the ntile would sort: one doc row
         # per input doc — count the cheap pre-explode side

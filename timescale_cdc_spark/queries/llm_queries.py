@@ -440,6 +440,19 @@ CURATE_SEM_OFF = 500_000
 CURATE_SUBSTR_MOD = 17
 CURATE_SUBSTR_A_OFF = 700_000
 CURATE_SUBSTR_B_OFF = 800_000
+#: round 12 (VERDICT r11 #3): per-source cap plants — every
+#: CURATE_SRC_MOD-th base doc spawns a new doc with unique synthetic
+#: text, ALL sharing one source; every other doc's source is its own
+#: id, so the cap stage must cut exactly the planted source to
+#: CURATE_SRC_CAP. URL-dup plants — every CURATE_URL_MOD-th base doc
+#: spawns a doc with unique text whose URL is a scheme/www/tracking/
+#: fragment VARIANT of the base doc's (only normalize_url can see the
+#: collision).
+CURATE_SRC_MOD = 11
+CURATE_SRC_OFF = 900_000
+CURATE_SRC_CAP = 5
+CURATE_URL_MOD = 19
+CURATE_URL_OFF = 1_000_000
 
 #: drop_reason → stage code for the emitted rows (kept = 0)
 _CURATE_STAGE = {
@@ -449,6 +462,8 @@ _CURATE_STAGE = {
     "near_dup": 4,
     "semantic_dup": 5,
     "substr_dup": 6,
+    "source_capped": 7,
+    "url_dup": 8,
 }
 
 
@@ -475,6 +490,16 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
       the substr stage runs first; every planted member must drop as
       'substr_dup' (the Gopher duplicated-content filter measured by
       dedup_substrings);
+    - an over-represented source (+900000, round 12): unique-text
+      docs all sharing ONE source while every other doc's source is
+      singleton — the per-source cap stage must keep EXACTLY
+      CURATE_SRC_CAP of them (the deterministic reservoir) and tag
+      the rest 'source_capped'; no other stage can touch them;
+    - URL re-crawls (+1000000, round 12): unique-text docs whose URL
+      normalizes to an existing doc's URL (scheme/www/tracking-param/
+      fragment variants) — invisible to every content stage; each
+      must drop as 'url_dup' with the lower-id original surviving the
+      URL stage;
     - conservation: exactly one verdict row per input doc, kept rows
       carry no drop_reason, dropped rows carry one.
 
@@ -482,7 +507,8 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's rows-only count is a pipeline-composition signal.
     Emitted row per doc: id_a = doc_id, id_b = stage code (0 kept,
     1 quality, 2 contaminated, 3 exact, 4 near, 5 semantic,
-    6 substr), score = surviving ws_tokens (0 for dropped)."""
+    6 substr, 7 source_capped, 8 url_dup), score = surviving
+    ws_tokens (0 for dropped)."""
     from timescale_cdc_spark.operators.curation import (
         curate,
         release_curate_caches,
@@ -537,15 +563,69 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("substr noise beta "), F.col("text"), F.lit(" tail two")
         ).alias("text"),
     )
+    # round 12: source-cap plants — unique synthetic words (nothing
+    # upstream or downstream of the cap stage can claim them) all
+    # under ONE source, > CURATE_SRC_CAP of them at any driver SF
+    src_id = (F.col("doc_id") + CURATE_SRC_OFF).cast("string")
+    srccap = base.filter(F.col("doc_id") % CURATE_SRC_MOD == 0).select(
+        (F.col("doc_id") + CURATE_SRC_OFF).alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("srccap"), F.concat(F.lit("wa"), src_id),
+            F.concat(F.lit("wb"), src_id), F.concat(F.lit("wc"), src_id),
+            F.concat(F.lit("wd"), src_id),
+        ).alias("text"),
+    )
+    # round 12: URL re-crawl plants — unique synthetic words; the URL
+    # is a scheme/www/tracking/fragment variant of the BASE doc's
+    url_id = (F.col("doc_id") + CURATE_URL_OFF).cast("string")
+    urldup = base.filter(F.col("doc_id") % CURATE_URL_MOD == 0).select(
+        (F.col("doc_id") + CURATE_URL_OFF).alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("urldup"), F.concat(F.lit("ua"), url_id),
+            F.concat(F.lit("ub"), url_id), F.concat(F.lit("uc"), url_id),
+            F.concat(F.lit("ud"), url_id),
+        ).alias("text"),
+        F.concat(
+            F.lit("HTTP://WWW.corpus.example/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=probe#frag"),
+        ).alias("url"),
+    )
     # Materialize the planted corpus (≤ a few thousand rows at any
     # driver/bench SF): every curate() stage and every gate otherwise
-    # re-plans and re-codegens this 8-branch union — measured 3-7 s
+    # re-plans and re-codegens this 10-branch union — measured 3-7 s
     # PER JOB in planning overhead on 666 rows vs 0.2-1 s flattened.
-    corpus = base.unionByName(junk).unionByName(contam).unionByName(
+    # Default provenance columns: every doc is its own source (the
+    # cap can only bite the planted source) and has a unique URL
+    # (only the planted variants collide after normalization).
+    corpus_lex = base.unionByName(junk).unionByName(contam).unionByName(
         exact
     ).unionByName(near).unionByName(sem).unionByName(
         sub_a
-    ).unionByName(sub_b).localCheckpoint()
+    ).unionByName(sub_b).unionByName(srccap)
+    corpus = (
+        corpus_lex.withColumn(
+            "source",
+            F.when(
+                (F.col("doc_id") >= CURATE_SRC_OFF)
+                & (F.col("doc_id") < CURATE_URL_OFF),
+                F.lit("overrep"),
+            ).otherwise(F.col("doc_id").cast("string")),
+        )
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://corpus.example/doc/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .unionByName(
+            urldup.withColumn(
+                "source", F.col("doc_id").cast("string")
+            ).select("doc_id", "text", "source", "url")
+        )
+        .localCheckpoint()
+    )
     eval_docs = eval_docs.localCheckpoint()
 
     emb_base = t(spark, sf_dir, "embeddings").select(
@@ -580,6 +660,12 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # LSH stage; the substr plants are freq-3 (source + two
         # members) and trip this threshold
         substr_max_freq=2,
+        # round 12 (VERDICT r11 #3): normalized-URL dedup as stage -1
+        # and the RefinedWeb per-source cap ahead of exact dedup
+        url_col="url",
+        source_col="source",
+        source_cap=CURATE_SRC_CAP,
+        source_cap_salt="cap12",
     ).localCheckpoint()  # consumed by every gate + the row emit
 
     kept_docs = res.filter("kept").join(corpus, "doc_id")
@@ -624,11 +710,54 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and near-dup must never see it — substr runs first)
     g_substr = res.filter(
         (F.col("doc_id") >= CURATE_SUBSTR_A_OFF)
+        & (F.col("doc_id") < CURATE_SRC_OFF)
         & (
             F.coalesce(F.col("drop_reason"), F.lit(""))
             != "substr_dup"
         )
     ).agg(F.count("*").alias("v7"))
+    # round 12: every planted-source doc must be either kept or
+    # dropped EXACTLY at the cap stage, and the kept count must be
+    # EXACTLY the cap — the deterministic reservoir contract
+    src_res = res.filter(
+        (F.col("doc_id") >= CURATE_SRC_OFF)
+        & (F.col("doc_id") < CURATE_URL_OFF)
+    )
+    g_srccap = src_res.agg(
+        (
+            F.sum(
+                (
+                    ~(
+                        F.col("kept")
+                        | (F.col("drop_reason") == "source_capped")
+                    )
+                ).cast("int")
+            )
+            + F.abs(
+                F.sum(F.col("kept").cast("int"))
+                - F.lit(CURATE_SRC_CAP)
+            )
+        ).alias("v8")
+    )
+    # round 12: every planted URL re-crawl must drop as 'url_dup'
+    # (its text is unique — only the normalized URL can catch it) and
+    # its lower-id original must never drop at the URL stage
+    g_url = res.filter(
+        (
+            (F.col("doc_id") >= CURATE_URL_OFF)
+            & (
+                F.coalesce(F.col("drop_reason"), F.lit(""))
+                != "url_dup"
+            )
+        )
+        | (
+            (F.col("doc_id") < CURATE_URL_OFF)
+            & (
+                F.coalesce(F.col("drop_reason"), F.lit(""))
+                == "url_dup"
+            )
+        )
+    ).agg(F.count("*").alias("v9"))
     n_in = corpus.agg(F.countDistinct("doc_id").alias("n")).collect()[0]["n"]
     g_conserve = res.agg(
         (
@@ -653,12 +782,12 @@ def _curate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("ws_tokens"), F.lit(0)).cast("double").alias("score"),
     )
     for gate in (g_junk, g_contam, g_exact, g_near, g_sem, g_conserve,
-                 g_substr):
+                 g_substr, g_srccap, g_url):
         rows = rows.crossJoin(F.broadcast(gate))
     return rows.filter(
         (F.col("v1") == 0) & (F.col("v2") == 0) & (F.col("v3") == 0)
         & (F.col("v4") == 0) & (F.col("v5") == 0) & (F.col("v6") == 0)
-        & (F.col("v7") == 0)
+        & (F.col("v7") == 0) & (F.col("v8") == 0) & (F.col("v9") == 0)
     ).select("method", "id_a", "id_b", "score")
 
 
@@ -760,7 +889,8 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 10 (VERDICT r9 #6): + method='curate' rows — the composed
     curate() pipeline end-to-end with one planted group per stage and
-    six in-plan gates (see :func:`_curate_rows`) — and
+    nine in-plan gates (substr added r11; source-cap and url-dup
+    added r12 — see :func:`_curate_rows`) — and
     method='quality_model' rows — the learned GPT-3/fastText-style
     quality filter with accuracy + separation gates (see
     :func:`_quality_model_rows`)."""
