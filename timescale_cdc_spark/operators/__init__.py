@@ -11,9 +11,11 @@ from timescale_cdc_spark.operators.decontam import (
     dedup_substrings,
 )
 from timescale_cdc_spark.operators.dedup import (
+    dedup_by_key,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    normalize_url,
     simhash_pairs,
 )
 from timescale_cdc_spark.operators.layout import zorder_key, zorder_write
@@ -56,6 +58,7 @@ __all__ = [
     "brute_force_topk",
     "decontaminate",
     "decontaminate_spans",
+    "dedup_by_key",
     "dedup_substrings",
     "embedding_dup_pairs",
     "exact_dedup",
@@ -68,6 +71,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "mixture_epochs",
     "ngram_jaccard_pairs",
+    "normalize_url",
     "quality_score",
     "reservoir_per_group",
     "simhash_pairs",

@@ -158,12 +158,20 @@ class IvfIndex:
         scored = v.crossJoin(F.broadcast(self.centroids())).withColumn(
             "_dist", self._l2_sq(F.col("c_vec"))
         )
-        w = Window.partitionBy("c_id").orderBy(F.asc("_dist"), F.asc("_cell"))
-        assigned = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("c_id", "c_vec", "_cell")
+        # argmin via PARTIAL AGGREGATION, not a window (round 12, the
+        # IvfSq8Index.append lesson): the scored crossJoin is |batch| ×
+        # n_cells rows carrying the full vector — a window shuffles and
+        # sorts all of them; min(struct(_dist, _cell)) map-side-combines
+        # each id to one tiny row before the exchange (same
+        # deterministic tie-break: lowest cell wins). The joined-back
+        # batch is then exchanged once on _cell so each append writes
+        # one file per touched cell, not tasks × cells.
+        best = (
+            scored.groupBy("c_id")
+            .agg(F.min(F.struct("_dist", "_cell")).alias("_b"))
+            .select("c_id", F.col("_b._cell").alias("_cell"))
         )
+        assigned = v.join(best, "c_id").repartition("_cell")
         (
             assigned.write.mode("append")
             .partitionBy("_cell")
