@@ -81,7 +81,7 @@ HEADLINE = [
     "c3_topk_cosine",  # similarity top-K
     "c3_embedding_dup_pairs",  # LSH-bucketed embedding near-dup
     "c4_text_analysis",  # language/quality/tokens/fingerprint
-    "b44_sessionize",  # session windows
+    "b43_b44_windows",  # tumbling + session windows (merged r12)
     "cdc_scd2_history",  # SCD2 history materialization
     # Round 8 (VERDICT r7 #6): the round-7 library families, benched
     # so regressions show round-over-round in BENCH_r{N}, not only in
@@ -156,6 +156,26 @@ COVERAGE_NOTES = {
     "lib_stats_counter_candle": (
         "round 12: content unchanged; per-family seconds now in the "
         "BENCH_FAMILIES line (VERDICT r11 #2)"
+    ),
+    "b43_b44_windows": (
+        "round 12: b44_sessionize merged with b43_tumbling_window "
+        "into one family-tagged entry (freed the registry slot for "
+        "b41_b48_streaming_semantics). The session half is r11's "
+        "b44_sessionize unchanged; the tumbling half adds one "
+        "hash-agg pass over events — compare against r11's "
+        "b44_sessionize + a small delta."
+    ),
+    "b41_b48_streaming_semantics": (
+        "round 12, NEW, deliberately NOT in the headline set: five "
+        "real Structured Streaming runs (relay/late/join/dedup/state "
+        "— B41/B42/B45/B46/B47/B9/B48) driven availableNow with "
+        "deterministic micro-batches and reduced to oracle-checked "
+        "rows. Its ~20 s wall-clock is micro-batch FIXED overhead "
+        "(checkpoint dirs, per-batch planning, sink commits) that "
+        "does not scale with data (sf0.001 and sf0.1 within 25%), "
+        "so timing it would measure the harness, not the engine; "
+        "the throughput surfaces of the same operators are already "
+        "headlined (b43_b44_windows, b30, cdc_scd2, caggs)."
     ),
     "c2_streaming_near_dedup": (
         "round 12 (not in the headline set, noted for the driver's "

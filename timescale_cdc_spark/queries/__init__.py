@@ -23,5 +23,8 @@ from timescale_cdc_spark.queries import sql_surface  # noqa: E402,F401
 # stats/counter/candle rollups, M4 + split/sample) — slots freed by
 # the b33+b39 / b18+b24 / a15+a16 merges keep the registry at 50.
 from timescale_cdc_spark.queries import library  # noqa: E402,F401
+# Round 12: real streaming runs under the oracle gate (B41-B48) — the
+# slot freed by the b43+b44 merge keeps the registry at 50.
+from timescale_cdc_spark.queries import streaming_semantics  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -673,22 +673,56 @@ def b40_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b43_tumbling_window",
+    "b43_b44_windows",
     """
-    SELECT date_trunc('hour', ts) AS window_start,
-           event_type,
+    SELECT 'tumbling' AS family,
+           date_trunc('hour', ts) AS window_start,
+           event_type AS k,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'session' AS family, session_start AS window_start,
+           CAST(user_id AS VARCHAR) AS k, n AS n,
+           CAST(NULL AS DOUBLE) AS total_value
+    FROM (
+      WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                      OR LAG(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM events
+      ),
+      s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS session_id
+        FROM o
+      )
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
+      FROM s GROUP BY user_id, session_id
+    )
     """,
 )
-def b43_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling window aggregation (B43): events-per-hour per type —
-    the Kafka-UI-style monitoring rollup (reference readme.md:124-126).
-    Uses F.window (the streaming-native operator) in batch mode; its
-    1-hour buckets are epoch-aligned, identical to date_trunc."""
+def b43_b44_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43 + B44 as one family-tagged entry (merged round 12 to free a
+    registry slot for b41_b48_streaming_semantics; the driver window
+    is 50 entries).
+
+    family='tumbling' (B43): events-per-hour per type — the
+    Kafka-UI-style monitoring rollup (reference readme.md:124-126) via
+    F.window (the streaming-native operator) in batch mode; its 1-hour
+    buckets are epoch-aligned, identical to date_trunc.
+
+    family='session' (B44): per-user sessions closing after 30 minutes
+    of silence via F.session_window; the oracle is the classic
+    gaps-and-islands formulation (lag + cumulative flag sum), proving
+    the two formulations agree."""
     ev = t(spark, sf_dir, "events")
-    return (
+    tumbling = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n"),
@@ -697,52 +731,24 @@ def b43_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
         .select(
+            F.lit("tumbling").alias("family"),
             F.col("window.start").alias("window_start"),
-            "event_type",
+            F.col("event_type").alias("k"),
             "n",
             "total_value",
         )
     )
-
-
-@register(
-    "b44_sessionize",
-    """
-    WITH o AS (
-      SELECT user_id, ts,
-             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-                    OR LAG(ts) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session,
-             event_id
-      FROM events
-    ),
-    s AS (
-      SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS session_id
-      FROM o
-    )
-    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
-    FROM s GROUP BY user_id, session_id
-    """,
-)
-def b44_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows, batch analog (B44): per-user sessions closing
-    after 30 minutes of silence, via F.session_window — the streaming-
-    native operator run in batch mode; the oracle is the classic
-    gaps-and-islands formulation (lag + cumulative flag sum), proving
-    the two formulations agree."""
-    ev = t(spark, sf_dir, "events")
-    return (
+    session = (
         ev.groupBy(
             F.session_window("ts", "30 minutes").alias("sess"), "user_id"
         )
-        .agg(F.count("*").alias("n_events"))
+        .agg(F.count("*").alias("n"))
         .select(
-            "user_id",
-            F.col("sess.start").alias("session_start"),
-            "n_events",
+            F.lit("session").alias("family"),
+            F.col("sess.start").alias("window_start"),
+            F.col("user_id").cast("string").alias("k"),
+            "n",
+            F.lit(None).cast("double").alias("total_value"),
         )
     )
+    return tumbling.unionByName(session)

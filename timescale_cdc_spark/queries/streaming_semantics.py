@@ -1,0 +1,418 @@
+"""B41-B48 driver entry: real Structured Streaming runs, oracle-checked.
+
+Until round 12 the streaming components (B41 micro-batch source, B42
+watermark/late data, B45 streaming dedup, B46 stateful per-key
+processing, B47 stream-static join, B9/B48 durable offsets +
+exactly-once resume, B3/B4/B10 whitelist/topic routing/fan-out) were
+pytest-verified only ("structural" in the coverage table) — nothing
+tied them to the driver's DuckDB oracle gate. This entry runs each of
+them as an ACTUAL streaming query driven to completion
+(``availableNow``) with a deterministic micro-batch decomposition
+(streaming/harness.py), reads the sinks back, and reduces every family
+to rows a batch SQL oracle reproduces exactly:
+
+* family='relay' — the reference's end-to-end delivery path
+  (cdc-timescale-connector.json:1-20; topics ``cdc-<table>``,
+  readme.md:34-35): events → envelope → EventLog → file-source stream
+  → CdcStreamPipeline fan-out, run TWICE from one checkpoint with an
+  append in between. Counts+digests match the oracle only if the
+  second run resumed from durable offsets instead of re-delivering
+  (B9/B48 — a replay would double both), only whitelisted tables have
+  topics (B3: the 'errors' route is captured in the log but never
+  delivered), and routing preserved payloads byte-for-byte (B4/B10 —
+  topic sink dirs auto-created on first delivery, the B11
+  ``auto.create.topics.enable`` analog, docker-compose.yml:76-79).
+* family='late' — B42 watermark semantics, the explicit version of
+  what the reference's timestamp-cursor polling does to late rows
+  (SURVEY B42): 1-day tumbling counts under a 3-day watermark over a
+  pinned 4-batch sequence. Batch 2's days-2..5 rows arrive two batches
+  after the days-10..15 spine, land below the late-event watermark
+  (max event time through batch 1 minus 3 days ≈ Jan 12), and are
+  DROPPED; its days-28..29 rows push the eviction watermark so batch 3
+  flushes exactly the days-10..15 windows. The oracle is the surviving
+  row set — reproducible because the drop rule is deterministic in the
+  batch decomposition (see harness.py for the exact timing facts).
+* family='join' — B47 stream-static enrichment: the same staged stream
+  joined (broadcast) to the static customer dim, counts per segment.
+* family='dedup' — B45: the staged corpus re-delivered TWICE (two
+  identical files = two micro-batches); dropDuplicatesWithinWatermark
+  on the PK collapses the second delivery across the batch boundary,
+  so count+digest equal the single-copy oracle (DISTINCT semantics).
+* family='state' — B46: running_latest_state (applyInPandasWithState,
+  streaming/state.py) over a two-batch envelope stream; per key the
+  final emission carries the globally-latest (ts, event_id) image —
+  INSERT/UPDATE keep the row JSON, DELETE nulls it (readme.md:252-267
+  null rules) — re-derived by the oracle as a plain latest-per-key
+  window. State is monotone in (ts_us, event_id), so the final
+  emission per key is batch-decomposition-independent.
+
+Determinism notes: all digests are order-insensitive sums of the
+portable 60-bit sha256 prefix (the det_hash recipe, sampling.py:56)
+over the payload JSON, summed as DECIMAL(38,0)/HUGEINT so ANSI mode
+cannot overflow; payload JSON carries only long/string fields (the
+cross-engine-stable to_json types, a2 precedent); every window/day
+boundary is days away from any watermark threshold so strict-vs-
+non-strict comparisons cannot flip a row.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.queries.base import register, scratch_path, t
+
+#: Spark-side payload JSON (long/string fields only) and its exact
+#: DuckDB mirror — compact {"k":v} in struct-field order on both sides.
+_PAYLOAD = "to_json(struct(event_id, user_id, event_type))"
+_PAYLOAD_SQL = (
+    "to_json(struct_pack(event_id := event_id, user_id := user_id, "
+    "event_type := event_type))::VARCHAR"
+)
+
+#: event_type → topic routing (B4): two whitelisted tables plus one
+#: deliberately NON-whitelisted route proving B3 filtering.
+_ROUTE = (
+    "CASE WHEN event_type IN ('click','view') THEN 'activity' "
+    "WHEN event_type IN ('purchase','signup') THEN 'account' "
+    "ELSE 'errors' END"
+)
+_ROUTE_SQL = _ROUTE  # identical ANSI CASE text in both dialects
+
+
+def _digest(col: str) -> F.Column:
+    """Order-insensitive corpus digest: sum of per-row 60-bit sha256
+    prefixes as DECIMAL(38,0) (no int64 overflow under ANSI), as a
+    string so the hugeint/decimal types hash identically."""
+    return F.sum(
+        F.expr(
+            f"CAST(conv(substring(sha2({col}, 256), 1, 15), 16, 10) "
+            "AS DECIMAL(38,0))"
+        )
+    ).cast("string")
+
+
+def _digest_sql(expr: str) -> str:
+    return (
+        "CAST(SUM(CAST(('0x' || substr(sha256(" + expr + "), 1, 15)) "
+        "AS BIGINT)) AS VARCHAR)"
+    )
+
+
+def _fam(df: DataFrame, family: str, k, n, v=None) -> DataFrame:
+    return df.select(
+        F.lit(family).alias("family"),
+        k.alias("k"),
+        n.cast("long").alias("n"),
+        (v if v is not None else F.lit(None).cast("string")).alias("v"),
+    )
+
+
+_ORACLE = f"""
+    WITH routed AS (
+      SELECT 'cdc-' || {_ROUTE_SQL} AS topic, {_PAYLOAD_SQL} AS payload
+      FROM events
+    )
+    SELECT 'relay' AS family, topic AS k, COUNT(*) AS n,
+           {_digest_sql("payload")} AS v
+    FROM routed WHERE topic IN ('cdc-activity', 'cdc-account')
+    GROUP BY topic
+    UNION ALL
+    SELECT 'late' AS family,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') || '|' || event_type AS k,
+           COUNT(*) AS n, CAST(NULL AS VARCHAR) AS v
+    FROM events
+    WHERE (ts::DATE BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+           AND event_id % 2 = 0)
+       OR (ts::DATE BETWEEN DATE '2024-01-13' AND DATE '2024-01-15')
+    GROUP BY 2
+    UNION ALL
+    SELECT 'join' AS family, c_mktsegment AS k, COUNT(*) AS n,
+           CAST(NULL AS VARCHAR) AS v
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE (ts::DATE BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'
+           AND event_id % 2 = 0)
+       OR (ts::DATE BETWEEN DATE '2024-01-13' AND DATE '2024-01-15'
+           AND event_id % 2 = 1)
+       OR (ts::DATE BETWEEN DATE '2024-01-02' AND DATE '2024-01-05')
+       OR (ts::DATE BETWEEN DATE '2024-01-28' AND DATE '2024-01-30')
+    GROUP BY 2
+    UNION ALL
+    SELECT 'dedup' AS family, 'all' AS k, COUNT(*) AS n,
+           {_digest_sql(_PAYLOAD_SQL)} AS v
+    FROM events
+    WHERE ts::DATE BETWEEN DATE '2024-01-01' AND DATE '2024-01-08'
+    UNION ALL
+    SELECT 'state' AS family, CAST(user_id AS VARCHAR) AS k,
+           event_id AS n,
+           (CASE WHEN event_type = 'error' THEN 'DELETE'
+                 WHEN event_type = 'signup' THEN 'INSERT'
+                 ELSE 'UPDATE' END) || '|' ||
+           (CASE WHEN event_type = 'error' THEN ''
+                 ELSE to_json(struct_pack(user_id := user_id,
+                        event_type := event_type,
+                        event_id := event_id))::VARCHAR END) AS v
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+"""
+
+
+@register("b41_b48_streaming_semantics", _ORACLE)
+def b41_b48_streaming_semantics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """See module docstring. Each family runs its streaming query
+    eagerly (availableNow, deterministic batches), sinks to scratch
+    parquet, and contributes (family, k, n, v) rows."""
+    from timescale_cdc_spark.cdc.log import EventLog
+    from timescale_cdc_spark.streaming.harness import (
+        run_to_completion,
+        stage_stream_batches,
+    )
+    from timescale_cdc_spark.streaming.pipeline import CdcStreamPipeline
+    from timescale_cdc_spark.streaming.state import running_latest_state
+
+    # Event-time ops (withWatermark, window) require TIMESTAMP (ltz);
+    # the fixture ships NTZ. The session tz is pinned UTC (catalog.py),
+    # so the cast is value-preserving and the DuckDB (naive-UTC) oracle
+    # still compares bit-exact.
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    root = scratch_path(sf_dir, "streaming_semantics")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    d = F.to_date("ts")
+    fams: list[DataFrame] = []
+
+    # -- relay (B41 + B9/B48 resume + B3/B4/B10 routing) ------------------
+    env = ev.select(
+        "ts",
+        F.lit("dataschema").alias("schema_name"),
+        F.expr(_ROUTE).alias("table_name"),
+        F.lit("INSERT").alias("operation"),
+        F.lit(None).cast("string").alias("before"),
+        F.expr(_PAYLOAD).alias("after"),
+    )
+    log = EventLog(spark, os.path.join(root, "log"))
+    pipe = CdcStreamPipeline(
+        spark,
+        log,
+        os.path.join(root, "topics"),
+        tables=[("dataschema", "activity"), ("dataschema", "account")],
+    )
+    # first half, deliver; second half appended AFTER the first run —
+    # the second run must resume from the checkpoint (no re-delivery)
+    # for the counts/digests to match the whole-corpus oracle.
+    log.append(env.filter(d <= "2024-01-15"), distributed_ids=True)
+    run_to_completion(pipe.start(available_now=True))
+    log.append(env.filter(d >= "2024-01-16"), distributed_ids=True)
+    run_to_completion(pipe.start(available_now=True))
+    for tbl in ("activity", "account"):
+        topic = pipe.read_topic(tbl)
+        fams.append(
+            _fam(
+                topic.agg(
+                    F.count("*").alias("n"), _digest("after").alias("v")
+                ),
+                "relay",
+                F.lit(f"cdc-{tbl}"),
+                F.col("n"),
+                F.col("v"),
+            )
+        )
+
+    # -- late (B42) --------------------------------------------------------
+    late_src = stage_stream_batches(
+        [
+            # batch 0: the on-time spine (even ids, days 10-15)
+            ev.filter(
+                d.between("2024-01-10", "2024-01-15")
+                & (F.col("event_id") % 2 == 0)
+            ),
+            # batch 1: in-horizon stragglers merging into live windows
+            ev.filter(
+                d.between("2024-01-13", "2024-01-15")
+                & (F.col("event_id") % 2 == 1)
+            ),
+            # batch 2: provably-late rows (dropped) + watermark pushers
+            ev.filter(
+                d.between("2024-01-02", "2024-01-05")
+                | d.between("2024-01-28", "2024-01-29")
+            ),
+            # batch 3: flusher — its own rows stay in state unemitted;
+            # it exists so batch 2's watermark evicts days 10-15
+            ev.filter(d == "2024-01-30"),
+        ],
+        os.path.join(root, "late_src"),
+    )
+    late_stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(late_src)
+    )
+    late_agg = (
+        late_stream.withWatermark("ts", "3 days")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    late_out = os.path.join(root, "late_out")
+    run_to_completion(
+        late_agg.writeStream.format("parquet")
+        .option("path", late_out)
+        .option("checkpointLocation", os.path.join(root, "late_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    fams.append(
+        _fam(
+            spark.read.parquet(late_out),
+            "late",
+            F.concat_ws(
+                "|", F.date_format("ws", "yyyy-MM-dd"), F.col("event_type")
+            ),
+            F.col("n"),
+        )
+    )
+
+    # -- join (B47 stream-static, same staged corpus, one batch) ----------
+    cust = t(spark, sf_dir, "customer")
+    join_out = os.path.join(root, "join_out")
+    joined = (
+        spark.readStream.schema(ev.schema)
+        .parquet(late_src)
+        .join(
+            F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+        )
+        .select("c_mktsegment")
+    )
+    run_to_completion(
+        joined.writeStream.format("parquet")
+        .option("path", join_out)
+        .option("checkpointLocation", os.path.join(root, "join_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    fams.append(
+        _fam(
+            spark.read.parquet(join_out)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n")),
+            "join",
+            F.col("c_mktsegment"),
+            F.col("n"),
+        )
+    )
+
+    # -- dedup (B45: second delivery collapses across the batch line) -----
+    sub = ev.filter(d.between("2024-01-01", "2024-01-08"))
+    dedup_src = stage_stream_batches(
+        [sub, sub], os.path.join(root, "dedup_src")
+    )
+    dedup_out = os.path.join(root, "dedup_out")
+    deduped = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dedup_src)
+        # horizon > the corpus ts span: no id is evicted before its
+        # re-delivery arrives, so the collapse is exact
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    run_to_completion(
+        deduped.writeStream.format("parquet")
+        .option("path", dedup_out)
+        .option("checkpointLocation", os.path.join(root, "dedup_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    fams.append(
+        _fam(
+            spark.read.parquet(dedup_out).agg(
+                F.count("*").alias("n"), _digest(_PAYLOAD).alias("v")
+            ),
+            "dedup",
+            F.lit("all"),
+            F.col("n"),
+            F.col("v"),
+        )
+    )
+
+    # -- state (B46: applyInPandasWithState running latest image) ---------
+    op = F.expr(
+        "CASE WHEN event_type = 'error' THEN 'DELETE' "
+        "WHEN event_type = 'signup' THEN 'INSERT' ELSE 'UPDATE' END"
+    )
+    senv = ev.select(
+        "ts",
+        F.lit("dataschema").alias("schema_name"),
+        F.lit("profile").alias("table_name"),
+        op.alias("operation"),
+        F.when(
+            op == "DELETE", F.expr("to_json(struct(user_id))")
+        ).alias("before"),
+        F.when(
+            op != "DELETE",
+            F.expr("to_json(struct(user_id, event_type, event_id))"),
+        ).alias("after"),
+        "event_id",
+    )
+    state_src = stage_stream_batches(
+        [senv.filter(d <= "2024-01-15"), senv.filter(d >= "2024-01-16")],
+        os.path.join(root, "state_src"),
+    )
+    state_out = os.path.join(root, "state_out")
+
+    def _sink_state(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(state_out, f"_batch_id={batch_id}")
+        )
+
+    state_stream = (
+        spark.readStream.schema(senv.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(state_src)
+    )
+    run_to_completion(
+        running_latest_state(state_stream, "user_id")
+        .writeStream.foreachBatch(_sink_state)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    w = Window.partitionBy("pk").orderBy(
+        F.desc("last_ts_us"), F.desc("last_event_id")
+    )
+    final_state = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(state_out)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    fams.append(
+        _fam(
+            final_state,
+            "state",
+            F.col("pk"),
+            F.col("last_event_id"),
+            F.concat_ws(
+                "|",
+                F.col("last_operation"),
+                F.coalesce(F.col("current_row"), F.lit("")),
+            ),
+        )
+    )
+
+    out = fams[0]
+    for f in fams[1:]:
+        out = out.unionByName(f)
+    return out
