@@ -166,9 +166,10 @@ COVERAGE_NOTES = {
         "b44_sessionize + a small delta."
     ),
     "b41_b48_streaming_semantics": (
-        "round 12, NEW, deliberately NOT in the headline set: five "
-        "real Structured Streaming runs (relay/late/join/dedup/state "
-        "— B41/B42/B45/B46/B47/B9/B48) driven availableNow with "
+        "round 12, NEW, deliberately NOT in the headline set: six "
+        "real Structured Streaming runs (relay/late/join/dedup/"
+        "ssjoin/state — B41/B42/B45/B46/B47(+stream-stream)/B9/B48) "
+        "driven availableNow with "
         "deterministic micro-batches and reduced to oracle-checked "
         "rows. Its ~20 s wall-clock is micro-batch FIXED overhead "
         "(checkpoint dirs, per-batch planning, sink commits) that "

@@ -127,7 +127,7 @@ def test_relay_resume_is_in_the_registry_entry(spark, sf_dir):
         df.groupBy("family").count().collect()
     )
     assert set(f["family"] for f in df.select("family").distinct().collect()) == {
-        "relay", "late", "join", "dedup", "state",
+        "relay", "late", "join", "dedup", "ssjoin", "state",
     }
     assert fams  # non-empty
     topics = os.path.join(

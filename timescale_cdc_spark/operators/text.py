@@ -350,7 +350,13 @@ def unigram_logprobs(
     toks = ref_docs.select(
         F.explode(_tokens(text_col)).alias("token")
     ).filter(F.length("token") > 0)
-    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    # persist: the normalizer collect below materializes the counts,
+    # and the returned lm (joined later into the scoring plan) reads
+    # them back instead of re-running the explode+groupBy — the fit
+    # runs ONCE per call, not once per consumer. Vocabulary-sized, so
+    # the cache is small; released via release_ppl_caches().
+    counts = toks.groupBy("token").agg(F.count("*").alias("c")).persist()
+    _PPL_PERSISTED.append(counts)
     row = counts.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")
     ).collect()[0]

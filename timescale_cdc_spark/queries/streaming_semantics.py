@@ -38,6 +38,13 @@ to rows a batch SQL oracle reproduces exactly:
   identical files = two micro-batches); dropDuplicatesWithinWatermark
   on the PK collapses the second delivery across the batch boundary,
   so count+digest equal the single-copy oracle (DISTINCT semantics).
+* family='ssjoin' — B47+ stream-STREAM interval join
+  (streaming/joins.py::stream_stream_interval_join): purchases and
+  clicks as two live streams, each click matched to same-user
+  purchases it precedes by at most 4 hours; watermarks on both sides
+  bound the join state. Inner-join matches emit as found, so a single
+  availableNow batch per side yields the full batch-join result — the
+  oracle is the identical interval join in SQL.
 * family='state' — B46: running_latest_state (applyInPandasWithState,
   streaming/state.py) over a two-batch envelope stream; per key the
   final emission carries the globally-latest (ts, event_id) image —
@@ -145,6 +152,14 @@ _ORACLE = f"""
            {_digest_sql(_PAYLOAD_SQL)} AS v
     FROM events
     WHERE ts::DATE BETWEEN DATE '2024-01-01' AND DATE '2024-01-08'
+    UNION ALL
+    SELECT 'ssjoin' AS family, CAST(p.user_id AS VARCHAR) AS k,
+           COUNT(*) AS n, CAST(NULL AS VARCHAR) AS v
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts > p.ts - INTERVAL 4 HOUR AND c.ts <= p.ts
+    GROUP BY 2
     UNION ALL
     SELECT 'state' AS family, CAST(user_id AS VARCHAR) AS k,
            event_id AS n,
@@ -343,6 +358,50 @@ def b41_b48_streaming_semantics(
             F.lit("all"),
             F.col("n"),
             F.col("v"),
+        )
+    )
+
+    # -- ssjoin (B47+ stream-stream interval join, watermarked) -----------
+    from timescale_cdc_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    p_src = stage_stream_batches(
+        [purchases], os.path.join(root, "ssj_p_src")
+    )
+    c_src = stage_stream_batches([clicks], os.path.join(root, "ssj_c_src"))
+    ssj = stream_stream_interval_join(
+        spark.readStream.schema(purchases.schema).parquet(p_src),
+        spark.readStream.schema(clicks.schema).parquet(c_src),
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lookback="4 hours",
+        watermark="40 days",
+    )
+    ssj_out = os.path.join(root, "ssj_out")
+    run_to_completion(
+        ssj.writeStream.format("parquet")
+        .option("path", ssj_out)
+        .option("checkpointLocation", os.path.join(root, "ssj_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    fams.append(
+        _fam(
+            spark.read.parquet(ssj_out)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n")),
+            "ssjoin",
+            F.col("user_id").cast("string"),
+            F.col("n"),
         )
     )
 
