@@ -149,7 +149,14 @@ def test_lib_entries_scan_facts_once(spark, sf_dir):
     fact scan, so every `Scan parquet` string in the executed plan is
     the cached relation's BUILD plan printed inside an
     InMemoryTableScan block — one physical materialization, N cache
-    reads — never an independent re-scan per union branch."""
+    reads — never an independent re-scan per union branch.
+
+    The pin is n_file <= n_mem (not ==): a union branch re-scanning
+    parquet OUTSIDE the cache adds a FileScan with no matching cache
+    read and trips it, which is the regression this guards; a cache
+    built FROM another cache (round 12: the ppl family's persisted LM
+    token counts derive from the cached docs frame) legitimately adds
+    an InMemoryTableScan with no FileScan of its own."""
     for name in (
         "lib_state_heartbeat_freq",
         "lib_stats_counter_candle",
@@ -160,7 +167,7 @@ def test_lib_entries_scan_facts_once(spark, sf_dir):
         n_file = plan.count("FileScan")
         n_mem = plan.count("InMemoryTableScan")
         assert n_mem > 0, f"{name}: fact scan not cached"
-        assert n_file == n_mem, (
+        assert n_file <= n_mem, (
             f"{name}: {n_file} FileScan vs {n_mem} InMemoryTableScan — "
             "a union branch is re-scanning parquet outside the cache"
         )
