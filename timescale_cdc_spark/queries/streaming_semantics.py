@@ -241,6 +241,14 @@ def b41_b48_streaming_semantics(
             )
         )
 
+    # The remaining five families are independent (distinct sources,
+    # sinks, checkpoints): stage and START them all, await as a group,
+    # read the sinks after the barrier. Concurrent availableNow
+    # streams roughly halve this entry's wall-clock vs sequential
+    # runs — the per-query cost is micro-batch planning/commit
+    # latency, not CPU, so the overlaps genuinely stack.
+    pending = []
+
     # -- late (B42) --------------------------------------------------------
     late_src = stage_stream_batches(
         [
@@ -277,23 +285,13 @@ def b41_b48_streaming_semantics(
         .select(F.col("window.start").alias("ws"), "event_type", "n")
     )
     late_out = os.path.join(root, "late_out")
-    run_to_completion(
+    pending.append(
         late_agg.writeStream.format("parquet")
         .option("path", late_out)
         .option("checkpointLocation", os.path.join(root, "late_ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
-    )
-    fams.append(
-        _fam(
-            spark.read.parquet(late_out),
-            "late",
-            F.concat_ws(
-                "|", F.date_format("ws", "yyyy-MM-dd"), F.col("event_type")
-            ),
-            F.col("n"),
-        )
     )
 
     # -- join (B47 stream-static, same staged corpus, one batch) ----------
@@ -307,23 +305,13 @@ def b41_b48_streaming_semantics(
         )
         .select("c_mktsegment")
     )
-    run_to_completion(
+    pending.append(
         joined.writeStream.format("parquet")
         .option("path", join_out)
         .option("checkpointLocation", os.path.join(root, "join_ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
-    )
-    fams.append(
-        _fam(
-            spark.read.parquet(join_out)
-            .groupBy("c_mktsegment")
-            .agg(F.count("*").alias("n")),
-            "join",
-            F.col("c_mktsegment"),
-            F.col("n"),
-        )
     )
 
     # -- dedup (B45: second delivery collapses across the batch line) -----
@@ -341,24 +329,13 @@ def b41_b48_streaming_semantics(
         .withWatermark("ts", "40 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    run_to_completion(
+    pending.append(
         deduped.writeStream.format("parquet")
         .option("path", dedup_out)
         .option("checkpointLocation", os.path.join(root, "dedup_ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
-    )
-    fams.append(
-        _fam(
-            spark.read.parquet(dedup_out).agg(
-                F.count("*").alias("n"), _digest(_PAYLOAD).alias("v")
-            ),
-            "dedup",
-            F.lit("all"),
-            F.col("n"),
-            F.col("v"),
-        )
     )
 
     # -- ssjoin (B47+ stream-stream interval join, watermarked) -----------
@@ -386,23 +363,13 @@ def b41_b48_streaming_semantics(
         watermark="40 days",
     )
     ssj_out = os.path.join(root, "ssj_out")
-    run_to_completion(
+    pending.append(
         ssj.writeStream.format("parquet")
         .option("path", ssj_out)
         .option("checkpointLocation", os.path.join(root, "ssj_ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
-    )
-    fams.append(
-        _fam(
-            spark.read.parquet(ssj_out)
-            .groupBy("user_id")
-            .agg(F.count("*").alias("n")),
-            "ssjoin",
-            F.col("user_id").cast("string"),
-            F.col("n"),
-        )
     )
 
     # -- state (B46: applyInPandasWithState running latest image) ---------
@@ -440,13 +407,59 @@ def b41_b48_streaming_semantics(
         .option("maxFilesPerTrigger", 1)
         .parquet(state_src)
     )
-    run_to_completion(
+    pending.append(
         running_latest_state(state_stream, "user_id")
         .writeStream.foreachBatch(_sink_state)
         .outputMode("update")
         .option("checkpointLocation", os.path.join(root, "state_ckpt"))
         .trigger(availableNow=True)
         .start()
+    )
+
+    # barrier: all five finite streams drain before any sink is read
+    for q in pending:
+        run_to_completion(q)
+
+    fams.append(
+        _fam(
+            spark.read.parquet(late_out),
+            "late",
+            F.concat_ws(
+                "|", F.date_format("ws", "yyyy-MM-dd"), F.col("event_type")
+            ),
+            F.col("n"),
+        )
+    )
+    fams.append(
+        _fam(
+            spark.read.parquet(join_out)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n")),
+            "join",
+            F.col("c_mktsegment"),
+            F.col("n"),
+        )
+    )
+    fams.append(
+        _fam(
+            spark.read.parquet(dedup_out).agg(
+                F.count("*").alias("n"), _digest(_PAYLOAD).alias("v")
+            ),
+            "dedup",
+            F.lit("all"),
+            F.col("n"),
+            F.col("v"),
+        )
+    )
+    fams.append(
+        _fam(
+            spark.read.parquet(ssj_out)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n")),
+            "ssjoin",
+            F.col("user_id").cast("string"),
+            F.col("n"),
+        )
     )
     w = Window.partitionBy("pk").orderBy(
         F.desc("last_ts_us"), F.desc("last_event_id")
