@@ -113,6 +113,68 @@ def test_late_filter_lags_one_batch_and_flusher_emits(spark, tmp_path):
     }
 
 
+def test_streaming_physical_operators(spark, tmp_path):
+    """The b41_b48 entry's families claim specific STATEFUL streaming
+    operators; pin that Spark actually plans them (a silent fallback
+    to a batch-style operator would void the state-eviction story):
+    stream-stream interval join → StreamingSymmetricHashJoin,
+    dropDuplicatesWithinWatermark → StreamingDeduplicateWithinWatermark,
+    watermarked window agg → StateStoreSave."""
+    from timescale_cdc_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    schema = "user_id long, ts timestamp"
+    rows = [(1, _day(10)), (1, _day(10, 13)), (2, _day(11))]
+    left_src = stage_stream_batches(
+        [spark.createDataFrame(rows, "user_id long, p_ts timestamp")],
+        str(tmp_path / "l"),
+    )
+    right_src = stage_stream_batches(
+        [spark.createDataFrame(rows, "user_id long, c_ts timestamp")],
+        str(tmp_path / "r"),
+    )
+    ssj = stream_stream_interval_join(
+        spark.readStream.schema("user_id long, p_ts timestamp").parquet(left_src),
+        spark.readStream.schema("user_id long, c_ts timestamp").parquet(right_src),
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lookback="4 hours",
+        watermark="2 days",
+    )
+    ev_src = stage_stream_batches(
+        [spark.createDataFrame(rows, schema)], str(tmp_path / "e")
+    )
+    ev_stream = spark.readStream.schema(schema).parquet(ev_src)
+    from pyspark.sql import functions as F2
+
+    cases = {
+        "StreamingSymmetricHashJoin": ssj,
+        "StreamingDeduplicateWithinWatermark": (
+            ev_stream.withWatermark("ts", "2 days")
+            .dropDuplicatesWithinWatermark(["user_id"])
+        ),
+        "StateStoreSave": (
+            ev_stream.withWatermark("ts", "2 days")
+            .groupBy(F2.window("ts", "1 day"))
+            .count()
+        ),
+    }
+    for i, (op, df) in enumerate(cases.items()):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out{i}"))
+            .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+        plan = q._jsq.explainInternal(True)
+        assert op in plan, f"{op} missing from executed plan:\n{plan}"
+
+
 def test_relay_resume_is_in_the_registry_entry(spark, sf_dir):
     """The registry entry's relay family re-runs the pipeline from one
     checkpoint with an append in between — spot-check the topic dirs it
