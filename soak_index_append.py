@@ -152,8 +152,14 @@ def main() -> None:
         # an appended vector is findable immediately
         assert st["1_in_dist_append"]["recall_appended_q"] >= 0.8, (
             name, st)
-        # in-distribution appends at 25% must not flip the trigger…
+        # a fresh build must not carry the flag…
         assert not st["0_built"]["rebuild_recommended"], (name, st)
+        # …in-distribution appends at 25% must not flip the trigger
+        # (appended_fraction lands exactly ON the strict-> 0.25 bound;
+        # the drift signal is ~0 for in-distribution data — this is
+        # the stage the soak exists to evidence, previously asserted
+        # against stage 0 where it was vacuous)…
+        assert not st["1_in_dist_append"]["rebuild_recommended"], (name, st)
         # …and the drift stage MUST flip it (clamp/qerr or volume)
         assert st["2_drift_append"]["rebuild_recommended"], (name, st)
 

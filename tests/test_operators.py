@@ -2609,6 +2609,13 @@ def test_normalize_url_and_dedup_by_key(spark):
         "  https://other.com/page/  ",
         None,
         None,
+        # blank / whitespace / scheme-only: normalize to '' → must
+        # become NULL ("no usable URL" behaves like a missing URL)
+        # instead of collapsing all blank-URL docs into ONE dedup
+        # group (round 12 review finding)
+        "",
+        "   ",
+        "https://",
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
@@ -2623,6 +2630,7 @@ def test_normalize_url_and_dedup_by_key(spark):
     assert got[4] == got[5] == "example.com/page&a=1&b=2"
     assert got[6] == got[7] == "other.com/page"
     assert got[8] is None and got[9] is None
+    assert got[10] is None and got[11] is None and got[12] is None
     # DuckDB re-derivation: the SQL chain produces the SAME keys
     con = duckdb.connect()
     sql_keys = {
@@ -2635,11 +2643,12 @@ def test_normalize_url_and_dedup_by_key(spark):
     con.close()
     for i, k in sql_keys.items():
         assert k == got[i], (i, k, got[i])
-    # dedup: lowest id per key wins; both NULL-key rows pass through
+    # dedup: lowest id per key wins; NULL-key rows (missing OR blank
+    # URLs) all pass through instead of deduping against each other
     kept = sorted(
         r["doc_id"] for r in dedup_by_key(normed, "k", "doc_id").collect()
     )
-    assert kept == [0, 4, 6, 8, 9]
+    assert kept == [0, 4, 6, 8, 9, 10, 11, 12]
     # rank pushdown: the keep-first window plans as WindowGroupLimit
     plan = (
         dedup_by_key(normed, "k", "doc_id")
@@ -2835,6 +2844,63 @@ def test_ivf_sq8_index_append_and_staleness(spark, sf_dir, tmp_path):
     top = idx.topk(q, k=1, n_probe=3, rerank=20).collect()
     assert len(top) == 1
     assert top[0]["c_id"] == probe_id and top[0]["cos"] == 1.0
+
+
+def test_sq8_index_repair_recovers_interrupted_append(spark, sf_dir, tmp_path):
+    """Round 12 review finding: append's two sink writes are not
+    atomic. Raw commits FIRST, so a crash between them leaves
+    raw-without-codes — the vector is invisible to the compressed
+    shortlist (bounded recall gap, NEVER a silently dropped refine
+    row) — and repair() re-encodes exactly the missing ids, after
+    which the vector is found with an exact refined cosine."""
+    from timescale_cdc_spark.operators.similarity import (
+        IvfSq8Index,
+        Sq8Index,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx = Sq8Index(spark, str(tmp_path / "sq8r")).build(em)
+    victim = em.orderBy("vec_id").first()
+    phantom_id = victim["vec_id"] + 30_000_000
+    # simulate the crash window: the raw append committed, codes never did
+    spark.createDataFrame(
+        [(phantom_id, victim["embedding"])], "c_id long, c_vec array<double>"
+    ).write.mode("append").parquet(str(tmp_path / "sq8r" / "raw"))
+    spark.catalog.refreshByPath(str(tmp_path / "sq8r" / "raw"))
+    assert idx.raw().count() == idx.codes().count() + 1
+    q = spark.createDataFrame(
+        [(1, victim["embedding"])], "vec_id long, embedding array<double>"
+    )
+    # invisible to the shortlist: top hits exclude the phantom id...
+    assert phantom_id not in {
+        r["c_id"] for r in idx.topk(q, k=5, rerank=20).collect()
+    }
+    assert idx.repair() == 1
+    assert idx.repair() == 0  # idempotent
+    assert idx.raw().count() == idx.codes().count()
+    # ...and found at cos 1.0 once repaired (ties with the victim row)
+    got = {r["c_id"] for r in idx.topk(q, k=5, rerank=20).collect()}
+    assert phantom_id in got
+
+    ivf = IvfSq8Index(spark, str(tmp_path / "ivfsq8r")).build(em, n_cells=4)
+    cell = ivf.centroids().select("_cell").orderBy("_cell").first()["_cell"]
+    spark.createDataFrame(
+        [(phantom_id, victim["embedding"], cell)],
+        "c_id long, c_vec array<double>, _cell int",
+    ).write.mode("append").partitionBy("_cell").parquet(
+        str(tmp_path / "ivfsq8r" / "raw")
+    )
+    spark.catalog.refreshByPath(str(tmp_path / "ivfsq8r" / "raw"))
+    assert ivf.repair() == 1
+    assert ivf.repair() == 0
+    assert ivf.raw().count() == ivf.codes().count()
+    got = {
+        r["c_id"]
+        for r in ivf.topk(q, k=5, n_probe=4, rerank=20).collect()
+    }
+    assert phantom_id in got
 
 
 def test_perplexity_buckets_single_bucket_guard(spark):

@@ -285,7 +285,10 @@ def register_sql_functions(spark) -> None:
             bucket_offset STRING DEFAULT NULL,
             timezone STRING DEFAULT NULL)
         RETURNS TIMESTAMP
-        RETURN CASE WHEN timezone IS NULL THEN {bucketed}
-               ELSE to_utc_timestamp({bucketed}, timezone) END
+        RETURN to_utc_timestamp({bucketed}, coalesce(timezone, 'UTC'))
         """
     )
+    # ^ to_utc_timestamp(x, 'UTC') is the identity, so coalescing the
+    # zone emits the (already large) bucket expression tree ONCE
+    # instead of once per CASE branch — the NULL-timezone semantics
+    # are unchanged and every call site parses/optimizes half the tree.

@@ -61,6 +61,24 @@ def dedup_by_key(
     )
 
 
+#: The URL normalization chain, shared by the Spark and SQL builders
+#: below so the two can never drift (the cross-engine oracle depends
+#: on them being the SAME chain): (pattern, replacement) pairs in
+#: application order. RE2∩Java regex subset, no group references in
+#: replacements; SQL string literals keep backslashes verbatim (no
+#: doubling) and none of the patterns contain quotes.
+_URL_STEPS: list[tuple[str, str]] = [
+    ("^https?://", ""),
+    ("^www\\.", ""),
+    ("#.*$", ""),
+    # canonicalize the ?-separator so param removal needs one pattern
+    ("\\?", "&"),
+    ("&(utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_eid|ref)=[^&]*", ""),
+    ("&&+", "&"),
+    ("[&/]+$", ""),
+]
+
+
 def normalize_url(col) -> F.Column:
     """Canonical URL dedup key (round 12, VERDICT r11 #3 — the
     RefinedWeb/FineWeb URL normalization recipe): lowercase, scheme
@@ -70,46 +88,33 @@ def normalize_url(col) -> F.Column:
     ``&`` (the key identifies a document, it need not stay
     fetchable), trailing ``&``/``/`` stripped.
 
-    Pure chained ``regexp_replace`` over the RE2∩Java regex subset
-    with no group references in replacements — zero shuffle,
-    whole-stage-codegen'd, and re-derivable verbatim in DuckDB (the
-    oracle contract; same discipline as text.redact_pii).
+    A key that normalizes to the EMPTY string (blank, whitespace, or
+    scheme-only URLs — '' after stripping) becomes NULL: "no usable
+    URL" must behave like a missing URL, passing through
+    :func:`dedup_by_key`'s NULL path instead of collapsing every
+    blank-URL document into one dedup group.
+
+    Pure chained ``regexp_replace`` over the shared ``_URL_STEPS``
+    chain — zero shuffle, whole-stage-codegen'd, and re-derivable
+    verbatim in DuckDB via :func:`normalize_url_sql` (the oracle
+    contract; same discipline as text.redact_pii).
     """
     c = col if isinstance(col, F.Column) else F.col(col)
     u = F.lower(F.trim(c))
-    u = F.regexp_replace(u, "^https?://", "")
-    u = F.regexp_replace(u, "^www\\.", "")
-    u = F.regexp_replace(u, "#.*$", "")
-    # canonicalize the ?-separator so param removal needs one pattern
-    u = F.regexp_replace(u, "\\?", "&")
-    u = F.regexp_replace(
-        u,
-        "&(utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_eid|ref)=[^&]*",
-        "",
-    )
-    u = F.regexp_replace(u, "&&+", "&")
-    return F.regexp_replace(u, "[&/]+$", "")
+    for pat, rep in _URL_STEPS:
+        u = F.regexp_replace(u, pat, rep)
+    return F.nullif(u, F.lit(""))
 
 
 #: the same normalization as ANSI/DuckDB SQL text over a column
-#: expression — keeps the Spark key and the oracle key provably the
-#: same chain (RE2∩Java subset, no replacement group refs)
+#: expression — built from the SAME ``_URL_STEPS`` chain as
+#: :func:`normalize_url`, so the Spark key and the oracle key are
+#: provably identical
 def normalize_url_sql(expr: str) -> str:
-    steps = [
-        ("^https?://", ""),
-        ("^www\\.", ""),
-        ("#.*$", ""),
-        ("\\?", "&"),
-        ("&(utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_eid|ref)=[^&]*", ""),
-        ("&&+", "&"),
-        ("[&/]+$", ""),
-    ]
     out = f"lower(trim({expr}))"
-    # SQL string literals keep backslashes verbatim (no doubling);
-    # only quotes would need escaping and these patterns have none
-    for pat, rep in steps:
+    for pat, rep in _URL_STEPS:
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
-    return out
+    return f"nullif({out}, '')"
 
 
 def word_shingles(text_col: str, n: int = 3) -> F.Column:

@@ -831,7 +831,17 @@ class Sq8Index:
         reads raw vectors — only the compressed scan's ranking
         sharpness decays as appends clamp; :meth:`staleness` is the
         rebuild trigger. Caller contract: ids are new (the CDC upsert
-        path dedupes upstream)."""
+        path dedupes upstream).
+
+        Crash-window discipline (round 12): the two appends are not
+        atomic, so RAW commits FIRST. A crash between them leaves
+        raw-without-codes — the batch's vectors are merely invisible
+        to the compressed shortlist (a bounded recall gap, detectable
+        as a codes/raw row-count mismatch) and :meth:`repair`
+        re-encodes them. The reverse order would leave
+        codes-without-raw: shortlisted ids the exact-refine join
+        silently DROPS from every topk — an invisible wrong-answer
+        state no sweep can see from the query path."""
         info = self.meta()
         bounds = _sq8_bounds_frame(
             self.spark, list(info["_vmin"]), list(info["_scale"])
@@ -843,10 +853,33 @@ class Sq8Index:
             F.col(id_col).alias("c_id"),
             _sq8_encode(F.col(vec_col)).alias("_code"),
         )
-        codes.write.mode("append").parquet(self._codes_path)
         raw.write.mode("append").parquet(self._raw_path)
+        codes.write.mode("append").parquet(self._codes_path)
         self.spark.catalog.refreshByPath(self._codes_path)
         self.spark.catalog.refreshByPath(self._raw_path)
+
+    def repair(self) -> int:
+        """Recover an interrupted :meth:`append`: encode and append
+        codes for raw ids that have none (one anti-join over the
+        corpus — maintenance cadence, same as :meth:`staleness`).
+        Returns the number of rows repaired."""
+        info = self.meta()
+        bounds = _sq8_bounds_frame(
+            self.spark, list(info["_vmin"]), list(info["_scale"])
+        )
+        missing = (
+            self.raw()
+            .join(self.codes().select("c_id"), "c_id", "left_anti")
+            .crossJoin(F.broadcast(bounds))
+            .select("c_id", _sq8_encode(F.col("c_vec")).alias("_code"))
+            .persist()
+        )
+        n = missing.count()
+        if n:
+            missing.write.mode("append").parquet(self._codes_path)
+            self.spark.catalog.refreshByPath(self._codes_path)
+        missing.unpersist()
+        return n
 
     def staleness(self) -> dict:
         """Rebuild signal: ``appended_fraction`` (share of the corpus
@@ -1094,7 +1127,13 @@ class IvfSq8Index:
         join + two partition-local appends, never a corpus rewrite.
         Recall decays only as the distribution drifts off the frozen
         centroids/bounds; :meth:`staleness` is the rebuild trigger.
-        Caller contract: ids are new (CDC upsert dedupes upstream)."""
+        Caller contract: ids are new (CDC upsert dedupes upstream).
+
+        Crash-window discipline (round 12, same as
+        :meth:`Sq8Index.append`): raw commits FIRST so an interrupted
+        append leaves only shortlist-invisible raw rows (recoverable
+        via :meth:`repair`), never codes whose refine join silently
+        drops shortlisted results."""
         info = self.meta()
         cent = self.centroids()
         v = new_vectors.select(
@@ -1136,15 +1175,49 @@ class IvfSq8Index:
             .repartition("_cell")
             .persist()
         )
-        enc.select("c_id", "_cell", "_code").write.mode(
-            "append"
-        ).partitionBy("_cell").parquet(self._codes_path)
         enc.select("c_id", "c_vec", "_cell").write.mode(
             "append"
         ).partitionBy("_cell").parquet(self._raw_path)
+        enc.select("c_id", "_cell", "_code").write.mode(
+            "append"
+        ).partitionBy("_cell").parquet(self._codes_path)
         enc.unpersist()
         self.spark.catalog.refreshByPath(self._codes_path)
         self.spark.catalog.refreshByPath(self._raw_path)
+
+    def repair(self) -> int:
+        """Recover an interrupted :meth:`append`: re-encode residuals
+        for raw ids with no codes row (raw stores the assigned cell,
+        so no re-assignment is needed — one anti-join + the frozen-grid
+        encode, appended into the missing cells' partitions). Returns
+        the number of rows repaired."""
+        info = self.meta()
+        bounds = _sq8_bounds_frame(
+            self.spark, list(info["_vmin"]), list(info["_scale"])
+        )
+        residual = F.zip_with(
+            F.col("c_vec"),
+            F.col("_centroid"),
+            lambda a, b: a.cast("double") - b,
+        )
+        missing = (
+            self.raw()
+            .join(self.codes().select("c_id"), "c_id", "left_anti")
+            .join(F.broadcast(self.centroids()), "_cell")
+            .withColumn("_res", residual)
+            .crossJoin(F.broadcast(bounds))
+            .select("c_id", "_cell", _sq8_encode(F.col("_res")).alias("_code"))
+            .repartition("_cell")
+            .persist()
+        )
+        n = missing.count()
+        if n:
+            missing.write.mode("append").partitionBy("_cell").parquet(
+                self._codes_path
+            )
+            self.spark.catalog.refreshByPath(self._codes_path)
+        missing.unpersist()
+        return n
 
     def staleness(self) -> dict:
         """The IvfIndex rebuild-signal contract: appended_fraction
