@@ -2750,6 +2750,69 @@ def test_curate_source_cap_stage(spark):
     assert set(big_kept) == want
 
 
+def test_curate_guards_and_null_policies(spark):
+    """Round-12 review findings: (1) half-specified optional stages
+    raise instead of silently skipping; (2) NULL-source rows bypass
+    the per-source cap (missing key = unjudged, like the URL stage);
+    (3) allowed_langs=[] means 'no languages allowed' (drop all), not
+    'filter disabled'; (4) connected_components rejects string ids
+    with guidance rather than mis-casting."""
+    import pytest as _pytest
+
+    from timescale_cdc_spark.operators.components import (
+        connected_components,
+    )
+    from timescale_cdc_spark.operators.curation import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="BOTH ppl_ref and max_ppl"):
+        curate(docs, max_ppl=50.0)
+    with _pytest.raises(ValueError, match="BOTH ppl_ref and max_ppl"):
+        curate(docs, ppl_ref=docs)
+    with _pytest.raises(ValueError, match="need quality_clf"):
+        curate(docs, min_clf_prob=0.5)
+    with _pytest.raises(ValueError, match="needs source_cap"):
+        curate(docs, source_col="source")
+
+    # NULL-source rows bypass the cap entirely
+    src_rows = [
+        (i, f"w{i} x{i} y{i} z{i} q{i}", "big") for i in range(20)
+    ] + [
+        (100 + i, f"a{i} b{i} c{i} d{i} e{i}", None) for i in range(8)
+    ]
+    out = curate(
+        spark.createDataFrame(
+            src_rows, "doc_id long, text string, source string"
+        ),
+        min_quality=0.0,
+        min_tokens=3,
+        source_col="source",
+        source_cap=5,
+    )
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    assert sum(by_id[i]["kept"] for i in range(20)) == 5
+    assert all(by_id[100 + i]["kept"] for i in range(8)), (
+        "NULL-source docs must pass through the cap unjudged"
+    )
+
+    # empty allow-list drops everything as 'language'
+    out = curate(docs, min_quality=0.0, min_tokens=3, allowed_langs=[])
+    assert all(
+        (not r["kept"]) and r["drop_reason"] == "language"
+        for r in out.collect()
+    )
+
+    # string node ids raise with guidance
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b")], "id_a string, id_b string"
+    )
+    with _pytest.raises(ValueError, match="integral node ids"):
+        connected_components(pairs)
+
+
 def test_sq8_index_append_and_staleness(spark, sf_dir, tmp_path):
     """Round 12 (VERDICT r11 #4): Sq8Index.append absorbs inserts
     with the FROZEN bounds (out-of-range clamps), appended vectors

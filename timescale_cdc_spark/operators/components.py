@@ -91,7 +91,26 @@ def connected_components(
 
     Converges when a large-star + small-star round leaves the edge set
     unchanged; raises if ``max_rounds`` is exceeded (pathological
-    input — real dup graphs converge in < 10)."""
+    input — real dup graphs converge in < 10).
+
+    Node ids must be integral (the star steps order labels as
+    longs). Non-numeric ids raise here with guidance instead of the
+    silent-NULL (non-ANSI) or opaque cast error (ANSI) a blind
+    ``cast('long')`` produces — curate(transitive=True) inherits this
+    constraint; its transitive=False path has no id-type restriction
+    (round-12 review finding)."""
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in (id_a, id_b):
+        if not isinstance(pairs.schema[c].dataType, integral):
+            raise ValueError(
+                f"connected_components needs integral node ids; "
+                f"{c!r} is {pairs.schema[c].dataType.simpleString()}. "
+                "Map string ids to a dense numeric surrogate (e.g. "
+                "zipWithIndex / monotonically_increasing_id joined "
+                "back) before resolving components."
+            )
     edges = _sym(
         pairs.select(
             F.col(id_a).cast("long").alias("u"),

@@ -28,7 +28,10 @@ the order that minimizes work at scale:
                          filters so the cap budget isn't wasted on
                          junk, before exact dedup so the shuffle
                          stages see the capped corpus)
-    5. exact dedup      (one shuffle on the normalized content hash)
+    5. exact dedup      (one shuffle on the BYTE-EXACT content hash;
+                         upstream PII redaction is the only text
+                         normalization — see streaming_exact_dedup's
+                         docstring for how the ingest gate differs)
     5b. duplicated-content filter (optional, round 11 — the Gopher
                          "fraction of duplicated content" drop,
                          measured by dedup_substrings' cross-doc
@@ -85,10 +88,36 @@ def release_curate_caches() -> int:
     The persists are correctness-neutral either way (Spark recomputes
     evicted blocks), so releasing early only costs recompute time if
     the curate() result is re-materialized afterwards."""
+    from timescale_cdc_spark.operators.text import release_ppl_caches
+
     n = len(_CURATE_PERSISTED)
     while _CURATE_PERSISTED:
         _CURATE_PERSISTED.pop().unpersist()
+    # curate(ppl_ref=...) fits the reference LM via unigram_logprobs,
+    # which persists its vocabulary counts into text._PPL_PERSISTED —
+    # a frame this module created but cannot reach through
+    # _CURATE_PERSISTED (round-12 review finding). Drain that list
+    # too so "call release_curate_caches() after each curate()" means
+    # what it says; callers using perplexity_buckets directly in the
+    # same session release on the same cadence (both lists hold only
+    # correctness-neutral caches).
+    n += release_ppl_caches()
     return n
+
+
+
+def _boundary(frame: DataFrame) -> DataFrame:
+    """Persist an ACTIVE stage's output and track it for
+    release_curate_caches(). Every stage frame has (at least) two
+    consumers — the next stage and its provenance id list — so an
+    unpersisted boundary re-runs its scorer once per consumer: the
+    round-12 review measured the rule-quality scorer evaluating up to
+    six times in one curate() action through the provenance joins.
+    Only NEW frames come here (a disabled stage aliases its
+    predecessor; persisting the alias would double-cache one plan)."""
+    frame = frame.persist()
+    _CURATE_PERSISTED.append(frame)
+    return frame
 
 
 def curate(
@@ -212,7 +241,10 @@ def curate(
     without an embedding row pass through the stage unjudged.
 
     ``transitive=True`` resolves near-dup groups exactly via
-    connected components (operators/components.py) — a chain a~b~c
+    connected components (operators/components.py; requires an
+    INTEGRAL ``id_col`` — the component labels order as longs, and
+    connected_components raises with guidance on string ids, round-12
+    review finding) — a chain a~b~c
     keeps only its canonical minimum instead of the single-pass
     approximation's drop-all-higher-pair-members (see module
     docstring). Costs O(log n) extra shuffle rounds on the pair
@@ -225,6 +257,21 @@ def curate(
     keeps the task bounded (see dedup._banded_candidates)."""
     if source_cap is not None and source_col is None:
         raise ValueError("source_cap needs source_col")
+    # Half-specified optional stages raise instead of silently
+    # skipping (round-12 review finding: a one-argument typo must be
+    # a crash, not an unfiltered corpus).
+    if source_col is not None and source_cap is None:
+        raise ValueError("source_col needs source_cap")
+    if (ppl_ref is None) != (max_ppl is None):
+        raise ValueError(
+            "the perplexity filter needs BOTH ppl_ref and max_ppl"
+        )
+    if quality_clf is None and (
+        min_clf_prob is not None or clf_pareto_alpha is not None
+    ):
+        raise ValueError(
+            "min_clf_prob/clf_pareto_alpha need quality_clf"
+        )
 
     if url_col is not None:
         from timescale_cdc_spark.operators.dedup import (
@@ -249,8 +296,11 @@ def curate(
 
     scored = quality_score(url_kept.select(id_col, text_col), text_col)
 
-    quality_ok = scored.filter(
-        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    quality_ok = _boundary(
+        scored.filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+        )
     )
 
     if quality_clf is not None:
@@ -280,11 +330,14 @@ def curate(
                 .filter(F.col("keep"))
                 .select(id_col)
             )
-        clf_ok = quality_ok.join(clf_ok_ids, id_col, "left_semi")
+        clf_ok = _boundary(quality_ok.join(clf_ok_ids, id_col, "left_semi"))
     else:
         clf_ok = quality_ok
 
-    if allowed_langs:
+    # `is not None`, not truthiness: an explicitly passed EMPTY list
+    # means "no languages allowed" (drop everything as 'language'),
+    # not "filter disabled" (round-12 review finding).
+    if allowed_langs is not None:
         from timescale_cdc_spark.operators.text import language_scores
 
         lang_ok_ids = (
@@ -294,11 +347,11 @@ def curate(
             .filter(F.col("predicted_lang").isin(list(allowed_langs)))
             .select(id_col)
         )
-        in_lang = clf_ok.join(lang_ok_ids, id_col, "left_semi")
+        in_lang = _boundary(clf_ok.join(lang_ok_ids, id_col, "left_semi"))
     else:
         in_lang = clf_ok
 
-    if ppl_ref is not None and max_ppl is not None:
+    if ppl_ref is not None:  # max_ppl present too (guarded above)
         from timescale_cdc_spark.operators.text import (
             perplexity_scores,
             unigram_logprobs,
@@ -318,7 +371,7 @@ def curate(
             .where(F.col("ppl") > max_ppl)
             .select(id_col)
         )
-        fluent = in_lang.join(high_ppl_ids, id_col, "left_anti")
+        fluent = _boundary(in_lang.join(high_ppl_ids, id_col, "left_anti"))
     else:
         fluent = in_lang
 
@@ -337,7 +390,7 @@ def curate(
             .where(F.col("contaminated"))
             .select(id_col)
         )
-        clean = fluent.join(contam_ids, id_col, "left_anti")
+        clean = _boundary(fluent.join(contam_ids, id_col, "left_anti"))
     else:
         clean = fluent
 
@@ -347,17 +400,24 @@ def curate(
         )
 
         # docs carries the source column past the (id, text)-only
-        # filter stages via an id join — ids are unique by contract
+        # filter stages via an id join — ids are unique by contract.
+        # NULL-source rows bypass the cap (pass through unjudged, the
+        # same missing-key policy as the URL stage) instead of being
+        # pooled into one "NULL source" group and capped to k
+        # (round-12 review finding).
+        src = clean.select(id_col).join(
+            docs.select(id_col, source_col), id_col
+        )
         capped_ids = reservoir_per_group(
-            clean.select(id_col).join(
-                docs.select(id_col, source_col), id_col
-            ),
+            src.filter(F.col(source_col).isNotNull()),
             [source_col],
             source_cap,
             [id_col],
             salt=source_cap_salt,
-        ).select(id_col)
-        capped = clean.join(capped_ids, id_col, "left_semi")
+        ).select(id_col).unionByName(
+            src.filter(F.col(source_col).isNull()).select(id_col)
+        )
+        capped = _boundary(clean.join(capped_ids, id_col, "left_semi"))
     else:
         capped = clean
     # Stage-boundary materialization: exact_kept feeds BOTH sides of
@@ -451,7 +511,9 @@ def curate(
         survivors = lexical.join(sem_drop, id_col, "left_anti")
     else:
         survivors = lexical
-    survivors = token_stats(survivors.select(id_col, text_col), text_col)
+    survivors = _boundary(
+        token_stats(survivors.select(id_col, text_col), text_col)
+    )
 
     # provenance: why did each dropped doc fall out?
     base = docs.select(id_col)
@@ -516,6 +578,14 @@ def streaming_exact_dedup(
     memory is O(distinct docs per horizon), not O(corpus). Batch
     pipelines use curate()/exact_dedup for the global pass; this gate
     keeps the hot path clean between those passes.
+
+    Deliberate semantic difference from the batch pass: this gate
+    fingerprints lower(trim()) whitespace-collapsed text (an ingest
+    heuristic — re-deliveries often differ only in incidental
+    whitespace), while curate()/exact_dedup hash the BYTE-EXACT text
+    (the auditable global contract). Two docs differing only in
+    case/whitespace are deduped here but kept by the batch pass; the
+    batch pass is authoritative.
     """
     normalized = F.regexp_replace(
         F.lower(F.trim(F.col(text_col))), r"\s+", " "
