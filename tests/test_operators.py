@@ -2805,12 +2805,24 @@ def test_curate_guards_and_null_policies(spark):
         for r in out.collect()
     )
 
-    # string node ids raise with guidance
+    # NON-numeric string node ids raise with guidance; integral-text
+    # string ids stay supported (they cast('long') exactly — the
+    # pre-r12 behavior external callers relied on, ADVICE r12)
     pairs = spark.createDataFrame(
         [("doc-a", "doc-b")], "id_a string, id_b string"
     )
-    with _pytest.raises(ValueError, match="integral node ids"):
+    with _pytest.raises(ValueError, match="integral text"):
         connected_components(pairs)
+    numeric = spark.createDataFrame(
+        [("1", "2"), ("2", "3")], "id_a string, id_b string"
+    )
+    got = {(r["node"], r["component"])
+           for r in connected_components(numeric).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
+    # non-string, non-integral types still raise the type message
+    dbl = spark.createDataFrame([(1.0, 2.0)], "id_a double, id_b double")
+    with _pytest.raises(ValueError, match="integral node ids"):
+        connected_components(dbl)
 
 
 def test_sq8_index_append_and_staleness(spark, sf_dir, tmp_path):

@@ -151,25 +151,30 @@ def test_lib_entries_scan_facts_once(spark, sf_dir):
     InMemoryTableScan block — one physical materialization, N cache
     reads — never an independent re-scan per union branch.
 
-    The pin is n_file <= n_mem (not ==): a union branch re-scanning
-    parquet OUTSIDE the cache adds a FileScan with no matching cache
-    read and trips it, which is the regression this guards; a cache
-    built FROM another cache (round 12: the ppl family's persisted LM
-    token counts derive from the cached docs frame) legitimately adds
-    an InMemoryTableScan with no FileScan of its own."""
-    for name in (
-        "lib_state_heartbeat_freq",
-        "lib_stats_counter_candle",
-        "lib_m4_split_sample",
-    ):
+    Round 13 (ADVICE r12): the r12 relaxation n_file <= n_mem could
+    mask a union branch re-scanning parquet (+1 FileScan) offset by an
+    incidental extra cache-on-cache read (+1 InMemoryTableScan) —
+    the EXPECTED cache-on-cache surplus is pinned per entry instead
+    (lib_m4's ppl family builds its LM token-count cache FROM the
+    cached docs frame: one InMemoryTableScan with no FileScan of its
+    own; the other two entries have none), so an offsetting FileScan
+    regression shifts the pinned pair and trips. When an entry's
+    structure legitimately changes, re-measure and re-pin."""
+    expected = {
+        "lib_state_heartbeat_freq": (5, 5),
+        "lib_stats_counter_candle": (10, 10),
+        "lib_m4_split_sample": (17, 18),
+    }
+    for name, (want_file, want_mem) in expected.items():
         plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution() \
             .executedPlan().toString()
         n_file = plan.count("FileScan")
         n_mem = plan.count("InMemoryTableScan")
-        assert n_mem > 0, f"{name}: fact scan not cached"
-        assert n_file <= n_mem, (
-            f"{name}: {n_file} FileScan vs {n_mem} InMemoryTableScan — "
-            "a union branch is re-scanning parquet outside the cache"
+        assert (n_file, n_mem) == (want_file, want_mem), (
+            f"{name}: (FileScan, InMemoryTableScan) = "
+            f"({n_file}, {n_mem}), pinned ({want_file}, {want_mem}) — "
+            "a union branch re-scanning parquet outside the cache, or "
+            "a structural change that needs a re-pin"
         )
 
 

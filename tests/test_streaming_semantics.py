@@ -189,9 +189,28 @@ def test_relay_resume_is_in_the_registry_entry(spark, sf_dir):
         df.groupBy("family").count().collect()
     )
     assert set(f["family"] for f in df.select("family").distinct().collect()) == {
-        "relay", "late", "join", "dedup", "ssjoin", "state",
+        "relay", "late", "join", "dedup", "ssjoin", "ssjoin_outer",
+        "scagg", "state",
     }
     assert fams  # non-empty
+    # ssjoin_outer must carry BOTH halves: matches emitted as found
+    # AND null-side rows emitted at watermark expiry (an emission bug
+    # silently drops the 'unmatched' half)
+    sso = {
+        r["k"].rsplit("|", 1)[1]
+        for r in df.filter(F.col("family") == "ssjoin_outer")
+        .select("k")
+        .collect()
+    }
+    assert sso == {"matched", "unmatched"}
+    # scagg must span the LATE-backfilled days (10-12), the base
+    # refresh (13-16), and the real-time tail (17-22) — a dead
+    # backfill or tail path truncates the key range
+    sc_days = sorted(
+        r["k"][:10]
+        for r in df.filter(F.col("family") == "scagg").select("k").collect()
+    )
+    assert sc_days[0] == "2024-01-10" and sc_days[-1] == "2024-01-22"
     topics = os.path.join(
         scratch_path(sf_dir, "streaming_semantics"), "topics", "cdc-activity"
     )

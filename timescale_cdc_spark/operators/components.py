@@ -94,19 +94,41 @@ def connected_components(
     input — real dup graphs converge in < 10).
 
     Node ids must be integral (the star steps order labels as
-    longs). Non-numeric ids raise here with guidance instead of the
-    silent-NULL (non-ANSI) or opaque cast error (ANSI) a blind
-    ``cast('long')`` produces — curate(transitive=True) inherits this
+    longs). STRING ids holding integral text stay supported (they
+    cast('long') correctly and pre-r12 pipelines relied on it —
+    ADVICE r12): they are validated up front with one cheap
+    try_cast probe per column, so a non-numeric id raises here with
+    guidance instead of the silent-NULL (non-ANSI) or opaque
+    mid-job cast error (ANSI) a blind ``cast('long')`` produces.
+    Other id types raise — curate(transitive=True) inherits this
     constraint; its transitive=False path has no id-type restriction
     (round-12 review finding)."""
     from pyspark.sql import types as T
 
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     for c in (id_a, id_b):
-        if not isinstance(pairs.schema[c].dataType, integral):
+        dtype = pairs.schema[c].dataType
+        if isinstance(dtype, T.StringType):
+            bad = (
+                pairs.filter(
+                    F.col(c).isNotNull()
+                    & F.col(c).try_cast("long").isNull()
+                )
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"connected_components got string ids in {c!r} "
+                    "that are not integral text. Map string ids to a "
+                    "dense numeric surrogate (e.g. zipWithIndex / "
+                    "monotonically_increasing_id joined back) before "
+                    "resolving components."
+                )
+        elif not isinstance(dtype, integral):
             raise ValueError(
                 f"connected_components needs integral node ids; "
-                f"{c!r} is {pairs.schema[c].dataType.simpleString()}. "
+                f"{c!r} is {dtype.simpleString()}. "
                 "Map string ids to a dense numeric surrogate (e.g. "
                 "zipWithIndex / monotonically_increasing_id joined "
                 "back) before resolving components."

@@ -87,21 +87,16 @@ def release_curate_caches() -> int:
 
     The persists are correctness-neutral either way (Spark recomputes
     evicted blocks), so releasing early only costs recompute time if
-    the curate() result is re-materialized afterwards."""
-    from timescale_cdc_spark.operators.text import release_ppl_caches
+    the curate() result is re-materialized afterwards.
 
+    Round 13 (ADVICE r12): curate(ppl_ref=...) now registers its LM
+    vocabulary cache HERE (unigram_logprobs' cache_registry param), so
+    this release owns every frame curate() persisted without draining
+    text._PPL_PERSISTED — an unrelated perplexity flow's warm cache in
+    the same session survives."""
     n = len(_CURATE_PERSISTED)
     while _CURATE_PERSISTED:
         _CURATE_PERSISTED.pop().unpersist()
-    # curate(ppl_ref=...) fits the reference LM via unigram_logprobs,
-    # which persists its vocabulary counts into text._PPL_PERSISTED —
-    # a frame this module created but cannot reach through
-    # _CURATE_PERSISTED (round-12 review finding). Drain that list
-    # too so "call release_curate_caches() after each curate()" means
-    # what it says; callers using perplexity_buckets directly in the
-    # same session release on the same cadence (both lists hold only
-    # correctness-neutral caches).
-    n += release_ppl_caches()
     return n
 
 
@@ -357,8 +352,14 @@ def curate(
             unigram_logprobs,
         )
 
+        # the LM's vocabulary cache registers in CURATION's list (not
+        # text._PPL_PERSISTED): release_curate_caches() then owns it
+        # without draining sibling perplexity flows' warm caches
+        # (ADVICE r12)
         lm, oov_logp = unigram_logprobs(
-            ppl_ref.select(text_col), text_col
+            ppl_ref.select(text_col),
+            text_col,
+            cache_registry=_CURATE_PERSISTED,
         )
         high_ppl_ids = (
             perplexity_scores(

@@ -169,6 +169,62 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _word_hash_front(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _hw array<bigint>): one xxhash64 per whitespace token,
+    duplicates preserved (simhash weights votes by term frequency;
+    minhash's min is duplicate-insensitive). The array lives in its own
+    select — CollapseProject keeps a non-cheap expression referenced
+    more than once materialized (SPARK-36718), so the k sketch lanes
+    downstream never re-split the text."""
+    from timescale_cdc_spark.functions.ident import sql_ident
+
+    return _spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            rf"transform(split({sql_ident(text_col)}, '\\s+'), w -> xxhash64(w))"
+        ).alias("_hw"),
+    )
+
+
+def _shingle_hash_sql(shingle_n: int) -> str:
+    """SQL for the per-doc shingle-hash array over ``_hw``: combine n
+    consecutive word hashes per position (measured 8× faster than
+    concat_ws string shingles), masked to the full 31 low bits.
+    Masking with _MERSENNE_31 - 1 (0x7FFFFFFE) would zero bit 0 of
+    every hash, making h and h|1 always collide and halving the
+    effective hash space."""
+    shingle_args = ", ".join(
+        f"element_at(_hw, i+{j + 1})" for j in range(shingle_n)
+    )
+    return (
+        f"transform(sequence(0, greatest(size(_hw) - {shingle_n}, 0)), "
+        f"i -> xxhash64({shingle_args}) & {_MERSENNE_31}L)"
+    )
+
+
+def _sig_lanes_sql(num_hashes: int) -> str:
+    """SQL for the k-lane MinHash signature over ``_hs``: each lane is
+    a zero-allocation aggregate() fold taking the min affine transform
+    (least() skips the NULLs an out-of-range element_at produced, same
+    as the agg-min the fold replaced).
+
+    The k lanes are a SQL-side transform() loop over literal (a, b)
+    parameter arrays, not k unrolled expression strings: unrolled, the
+    64-lane text is ~10 KB and its parse + analysis is pure
+    per-invocation driver overhead (the r13 profile measured ~0.45 s
+    of build time per sketch call, a fifth of the whole query); the
+    loop form is ~1 KB, parses once, and evaluates the same folds."""
+    params = _affine_params(num_hashes)
+    a_lit = "array(" + ", ".join(f"{a}L" for a, _ in params) + ")"
+    b_lit = "array(" + ", ".join(f"{b}L" for _, b in params) + ")"
+    return (
+        f"transform(sequence(1, {num_hashes}), i -> "
+        f"aggregate(_hs, {_MERSENNE_31}L, (acc, h) -> least(acc, "
+        f"(h * element_at({a_lit}, i) + element_at({b_lit}, i)) "
+        f"% {_MERSENNE_31}L)))"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -178,59 +234,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: (_id, _sig array<bigint> of length k).
 
-    Shape matters: explode shingles → ONE xxhash64 per shingle → k
-    affine transforms inside k partial-min aggregates, assembled as
-    one array-of-aggregates expression. This is fully columnar (no
-    nested array re-evaluation — a naive per-lane transform()
-    re-evaluates the shingle expression k times, measured 250×
-    slower), and at 100 TB the groupBy(id) min-aggregate combines
-    map-side, shuffling k longs per doc.
-    """
-    params = _affine_params(num_hashes)
-    # Shingle identity via hash-combining per-word hashes instead of
-    # building shingle strings: materialize the word-hash array first
-    # (own select — keeps CollapseProject from inlining the transform
-    # into its n references), then combine n consecutive hashes per
-    # position. Measured 8× faster than concat_ws string shingles.
-    #
-    # Expression construction uses F.expr strings, not nested Column
-    # ops: the k-lane loops cost hundreds of py4j round-trips as
-    # Column trees (~1.6 s of fixed per-query overhead) but one JVM
-    # parse as SQL text (~0.3 s) — same expressions, bit-identical
-    # signatures.
-    from timescale_cdc_spark.functions.ident import sql_ident
+    ZERO-shuffle shape (round 13 — profiled against the r12
+    explode + groupBy(id) formulation): the per-doc signature is a
+    pure function of the doc's own shingle set, so it never needed a
+    shuffle at all — materialize the word-hash array, derive the
+    shingle-hash array, then k aggregate() folds (min of the affine
+    transform) per doc, all inside ONE map stage. Bit-identical to the
+    aggregate formulation (pinned in tests) while deleting the
+    exchange + partial/final agg pair; the r12 shape cost a shuffle of
+    k longs per doc plus two agg stages, this costs nothing but the
+    map work itself. Interleaved A/B at sf0.1: pairs pipeline
+    2.15 s → 1.62 s (−25%).
 
-    word_hashes = _spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.expr(
-            rf"transform(split({sql_ident(text_col)}, '\\s+'), w -> xxhash64(w))"
-        ).alias("_hw"),
+    Expression construction uses F.expr strings, not nested Column
+    ops: the k-lane loops cost hundreds of py4j round-trips as Column
+    trees (~1.6 s of fixed per-query overhead) but one JVM parse as
+    SQL text (~0.3 s) — same expressions, bit-identical signatures.
+    Each intermediate array gets its own select so CollapseProject
+    keeps it materialized instead of re-deriving it per lane (a naive
+    per-lane transform() re-evaluates the shingle expression k times,
+    measured 250× slower).
+    """
+    hs = _word_hash_front(df, text_col, id_col).select(
+        "_id", F.expr(_shingle_hash_sql(shingle_n)).alias("_hs")
     )
-    shingle_args = ", ".join(
-        f"element_at(_hw, i+{j + 1})" for j in range(shingle_n)
-    )
-    exploded = word_hashes.select(
-        "_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, greatest(size(_hw) - {shingle_n}, 0)), "
-                f"i -> xxhash64({shingle_args}))"
-            )
-        ).alias("_h64"),
-    ).select(
-        "_id",
-        # Mask with the full 2^31-1 (all 31 low bits): masking with
-        # _MERSENNE_31 - 1 (0x7FFFFFFE) would zero bit 0 of every
-        # hash, making h and h|1 always collide and halving the
-        # effective hash space.
-        F.expr(f"_h64 & {_MERSENNE_31}L").alias("_h"),
-    )
-    lanes = ", ".join(
-        f"min((_h * {a}L + {b}L) % {_MERSENNE_31}L)" for a, b in params
-    )
-    return exploded.groupBy("_id").agg(
-        F.expr(f"array({lanes})").alias("_sig")
-    )
+    return hs.select("_id", F.expr(_sig_lanes_sql(num_hashes)).alias("_sig"))
 
 
 def _banded_candidates(
@@ -238,9 +266,18 @@ def _banded_candidates(
     key_cols: list[str],
     payload: str,
     max_bucket: int | None,
+    *,
+    carry: str | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a, id_b, pa, pb) from a banded/bucketed
     frame with columns (_id, <payload>, *key_cols).
+
+    ``carry`` names an optional column functionally determined by the
+    bucket keys (e.g. sketch_pairs' method tag derived from the band
+    index); it rides through the pairing join and becomes part of the
+    dedup key, so one physical candidate pass can serve several
+    logical sketch families without collapsing a pair found by two
+    families into one row.
 
     ``max_bucket`` is the hot-bucket skew guard: a degenerate bucket of
     f docs (empty texts, template spam — every band bucket identical)
@@ -261,6 +298,9 @@ def _banded_candidates(
     the window rides the exchange the join needs anyway). Star pairs
     fall out of the marked frame with zero additional joins."""
 
+    carry_cols = [carry] if carry else []
+    dedup_key = carry_cols + ["id_a", "id_b"]
+
     def _pairs(frame: DataFrame) -> DataFrame:
         a = frame.alias("a").hint("shuffle_hash")
         b = frame.alias("b").hint("shuffle_hash")
@@ -268,6 +308,7 @@ def _banded_candidates(
         for k in key_cols:
             cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
         return a.join(b, cond).select(
+            *(F.col(f"a.{c}") for c in carry_cols),
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.col(f"a.{payload}").alias("pa"),
@@ -275,7 +316,7 @@ def _banded_candidates(
         )
 
     if max_bucket is None:
-        return _pairs(banded).dropDuplicates(["id_a", "id_b"])
+        return _pairs(banded).dropDuplicates(dedup_key)
     w = Window.partitionBy(*key_cols)
     marked = (
         banded.withColumn("_bsz", F.count("*").over(w))
@@ -287,15 +328,18 @@ def _banded_candidates(
         marked.filter(
             (F.col("_bsz") > max_bucket) & (F.col("_id") != F.col("_bmin"))
         )
-        # rep is the bucket min, so id_a < id_b holds by construction
+        # rep is the bucket min, so id_a < id_b holds by construction;
+        # carry is constant within a bucket, so the member row's value
+        # is the pair's value
         .select(
+            *carry_cols,
             F.col("_bmin").alias("id_a"),
             F.col("_id").alias("id_b"),
             F.col("_rep_p").alias("pa"),
             F.col(payload).alias("pb"),
         )
     )
-    return _pairs(cold).unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
+    return _pairs(cold).unionByName(hot_pairs).dropDuplicates(dedup_key)
 
 
 def minhash_banded(
@@ -488,27 +532,34 @@ def ngram_jaccard_pairs(
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64, each bit votes
-    ±1, sign of the per-bit vote sum is the fingerprint bit.
+    ±1 (term-frequency weighted — duplicate tokens vote again), sign
+    of the per-bit vote sum is the fingerprint bit.
 
-    Columnar shape (same as minhash_signatures): explode tokens → one
-    hash per token → 64 conditional-sum aggregates → pack. Map-side
-    partial sums make this a single cheap shuffle of 64 longs per doc.
+    ZERO-shuffle shape (round 13, same move as minhash_signatures):
+    the fingerprint is a pure per-doc function, so the r12
+    explode + groupBy(id) shuffle is replaced by 64 aggregate() folds
+    over the doc's own token-hash array inside one map stage —
+    bit-identical, one exchange and two agg stages cheaper
+    (interleaved A/B at sf0.1: pairs pipeline 1.96 s → 1.70 s).
     Returns (_id, _fp)."""
-    exploded = _spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
-    ).select("_id", F.xxhash64("_tok").alias("_h"))
-    # One expr string for all 64 vote-sums + bit packing — see
-    # minhash_signatures on why (py4j Column-tree construction is the
-    # fixed per-query cost, not the JVM). Bit 63 is the sign bit:
-    # shiftleft(1L, 63) wraps to Long.MIN_VALUE, exactly the -(1<<63)
-    # literal the Column form used.
-    fp_terms = " | ".join(
-        f"(CASE WHEN sum(CASE WHEN (shiftright(_h, {j}) & 1) = 1"
-        f" THEN 1 ELSE -1 END) > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
-        for j in range(64)
+    return _word_hash_front(df, text_col, id_col).select(
+        "_id", F.expr(f"({_fp_sql()}) AS _fp")
     )
-    return exploded.groupBy("_id").agg(F.expr(f"{fp_terms} AS _fp"))
+
+
+def _fp_sql() -> str:
+    """SQL for the 64-bit SimHash fingerprint over ``_hw``: a SQL-side
+    fold over the 64 bit positions (compact text, one parse — see
+    _sig_lanes_sql on why the unrolled 64-term form was replaced), each
+    position's vote itself a fold over the token hashes. Bit 63 is the
+    sign bit: shiftleft(1L, 63) wraps to Long.MIN_VALUE, exactly the
+    -(1<<63) literal the unrolled form used."""
+    return (
+        "aggregate(sequence(0, 63), 0L, (fp, j) -> fp | "
+        "(CASE WHEN aggregate(_hw, 0L, (acc, h) -> acc + "
+        "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        "THEN shiftleft(1L, j) ELSE 0L END))"
+    )
 
 
 def simhash_pairs(

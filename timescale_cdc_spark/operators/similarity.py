@@ -867,18 +867,22 @@ class Sq8Index:
         bounds = _sq8_bounds_frame(
             self.spark, list(info["_vmin"]), list(info["_scale"])
         )
+        # localCheckpoint (not persist): the append WRITES to the same
+        # codes path the anti-join READS. A persisted cache is
+        # best-effort — an evicted block would recompute mid-append,
+        # re-read the half-appended dir, and silently under-write
+        # (ADVICE r12). The checkpoint severs the lineage for real.
         missing = (
             self.raw()
             .join(self.codes().select("c_id"), "c_id", "left_anti")
             .crossJoin(F.broadcast(bounds))
             .select("c_id", _sq8_encode(F.col("c_vec")).alias("_code"))
-            .persist()
+            .localCheckpoint()
         )
         n = missing.count()
         if n:
             missing.write.mode("append").parquet(self._codes_path)
             self.spark.catalog.refreshByPath(self._codes_path)
-        missing.unpersist()
         return n
 
     def staleness(self) -> dict:
@@ -1200,6 +1204,8 @@ class IvfSq8Index:
             F.col("_centroid"),
             lambda a, b: a.cast("double") - b,
         )
+        # localCheckpoint, not persist — severs the read-write cycle on
+        # _codes_path for real (see Sq8Index.repair / ADVICE r12)
         missing = (
             self.raw()
             .join(self.codes().select("c_id"), "c_id", "left_anti")
@@ -1208,7 +1214,7 @@ class IvfSq8Index:
             .crossJoin(F.broadcast(bounds))
             .select("c_id", "_cell", _sq8_encode(F.col("_res")).alias("_code"))
             .repartition("_cell")
-            .persist()
+            .localCheckpoint()
         )
         n = missing.count()
         if n:
@@ -1216,7 +1222,6 @@ class IvfSq8Index:
                 self._codes_path
             )
             self.spark.catalog.refreshByPath(self._codes_path)
-        missing.unpersist()
         return n
 
     def staleness(self) -> dict:

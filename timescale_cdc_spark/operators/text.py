@@ -331,7 +331,9 @@ def redact_pii(
 
 
 def unigram_logprobs(
-    ref_docs: DataFrame, text_col: str
+    ref_docs: DataFrame,
+    text_col: str,
+    cache_registry: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, float]:
     """C4 reference language model for perplexity-based quality
     filtering (the CCNet recipe — Wenzek et al. 2020, there a 5-gram
@@ -344,7 +346,14 @@ def unigram_logprobs(
     DECIMAL summation in :func:`perplexity_buckets`) is what makes
     per-doc scores exactly reproducible across engines and partition
     orders. One O(1) collect for the normalizer; the LM itself stays
-    distributed (and is vocabulary-sized, so it broadcasts)."""
+    distributed (and is vocabulary-sized, so it broadcasts).
+
+    ``cache_registry``: the list the persisted vocabulary counts are
+    tracked in for later unpersist. Defaults to this module's
+    ``_PPL_PERSISTED`` (released via :func:`release_ppl_caches`);
+    callers with their own cache lifecycle (curation's stage-boundary
+    list) pass their list so releasing THEIR caches never drains a
+    sibling flow's warm LM (ADVICE r12)."""
     import math
 
     toks = ref_docs.select(
@@ -354,9 +363,11 @@ def unigram_logprobs(
     # and the returned lm (joined later into the scoring plan) reads
     # them back instead of re-running the explode+groupBy — the fit
     # runs ONCE per call, not once per consumer. Vocabulary-sized, so
-    # the cache is small; released via release_ppl_caches().
+    # the cache is small.
     counts = toks.groupBy("token").agg(F.count("*").alias("c")).persist()
-    _PPL_PERSISTED.append(counts)
+    (_PPL_PERSISTED if cache_registry is None else cache_registry).append(
+        counts
+    )
     row = counts.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")
     ).collect()[0]

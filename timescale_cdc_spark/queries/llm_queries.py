@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from timescale_cdc_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_pairs,
 )
 from timescale_cdc_spark.operators.multimodal import attach_payload, extract_features
 from timescale_cdc_spark.operators.similarity import (
@@ -237,11 +236,24 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ~2|pairs| joined rows reassembles both sides' features via
     any_value. One consumption of the sketch pipelines (their
     ShuffledHashJoin band joins stay visible in the audited plan),
-    one equi-join, one small shuffle. Interleaved A/B at sf0.1:
-    5.0 s min vs the r9 shape's 7.1-8.1 — and the join is the shape
+    one equi-join, one small shuffle — and the join is the shape
     that survives 100 TB, where the corpus can neither broadcast nor
-    checkpoint."""
-    from timescale_cdc_spark.operators.dedup import word_shingles
+    checkpoint.
+
+    Round 13 (VERDICT r12 #1 re-profile): both sketch fronts became
+    zero-shuffle per-doc array folds (see minhash_signatures), lane
+    expressions became SQL-side loops (~10 KB of per-invocation parse
+    text → ~1 KB), and the verify features became 64-bit HASHED
+    shingle/token sets (xxhash64-combined word hashes — the arrays the
+    join shuffles shrink from strings to longs; collision odds per
+    pair ~4e-15, far below the 1969-row count's sensitivity). A
+    unified one-shuffle variant serving both families from one banded
+    exchange was built and REJECTED on measurement — see SCALE.md
+    (sketch-pairs A/B)."""
+    from timescale_cdc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
 
     corpus = _planted_docs(spark, sf_dir).localCheckpoint()
     pairs = (
@@ -279,10 +291,27 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_e"),
     ).select("method", "id_a", "id_b", "score", "_e.role", "_e.doc_id")
+    # 64-bit hashed feature sets (round 13): Jaccard over xxhash64'd
+    # shingles/tokens instead of the string arrays — the attach join
+    # shuffles fixed-width longs, not text. UNMASKED 64-bit hashes
+    # (unlike the sketch's 31-bit masked lanes): at ~400 distinct
+    # shingles per pair the 31-bit space gives ~4e-5 collision odds
+    # per pair (a borderline row could flip between runs of different
+    # corpora); 64-bit gives ~4e-15. _hw gets its own select so
+    # CollapseProject keeps one split per doc (SPARK-36718).
     feats = corpus.select(
         "doc_id",
-        word_shingles("text", 3).alias("sh"),
-        F.array_distinct(F.split("text", r"\s+")).alias("tk"),
+        F.expr(
+            r"transform(split(text, '\\s+'), w -> xxhash64(w))"
+        ).alias("_hw"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(_hw) - 3, 0)), "
+            "i -> xxhash64(element_at(_hw, i+1), element_at(_hw, i+2), "
+            "element_at(_hw, i+3))))"
+        ).alias("sh"),
+        F.array_distinct("_hw").alias("tk"),
     )
     attached = (
         melted.hint("shuffle_hash")

@@ -45,6 +45,19 @@ to rows a batch SQL oracle reproduces exactly:
   bound the join state. Inner-join matches emit as found, so a single
   availableNow batch per side yields the full batch-join result — the
   oracle is the identical interval join in SQL.
+* family='ssjoin_outer' — round 13 (VERDICT r12 #6), the semantically
+  hard half: the LEFT-OUTER form of the same interval join
+  (purchase-without-preceding-click). Matched rows emit as found;
+  an UNMATCHED purchase emits its NULL-click row only when the
+  global watermark proves no qualifying click can still arrive — so
+  each side is staged as [data, pusher, pusher] (sentinel
+  user_id=-1 rows at Feb 15/Feb 20, far past the Jan corpus, with a
+  1-hour watermark delay): the first pusher batch advances the
+  watermark past all real state, and under the one-batch-lagged
+  in-effect rule (harness.py) the second batch is where eviction
+  emits every NULL row — deterministic, no reliance on no-data
+  micro-batches. The oracle is the batch LEFT JOIN with matched/
+  unmatched counts per user; sentinels are filtered out by id sign.
 * family='state' — B46: running_latest_state (applyInPandasWithState,
   streaming/state.py) over a two-batch envelope stream; per key the
   final emission carries the globally-latest (ts, event_id) image —
@@ -52,6 +65,26 @@ to rows a batch SQL oracle reproduces exactly:
   null rules) — re-derived by the oracle as a plain latest-per-key
   window. State is monotone in (ts_us, event_id), so the final
   emission per key is batch-decomposition-independent.
+* family='scagg' — round 13 (VERDICT r12 #2): the STREAM-driven
+  continuous aggregate, the reference hypertables' reason to exist
+  (init.sql:69-72, readme.md:220), previously soak-only
+  (soak_stream_cagg.py). The full flagship integration runs live:
+  events → envelopes → EventLog → CdcStreamPipeline (with a
+  non-whitelisted 'assets' noise route that must stay out) →
+  ContinuousAggregate.attach over the routed topic → real-time
+  ``query``. Three phases: (1) BASE — days 13-16 delivered and
+  refreshed; (2) LATE — days 10-12 delivered after, the
+  invalidation-driven refresh widening BACKWARD without advancing
+  the watermark; (3) TAIL — days 17-22 routed and landed in the
+  source but NOT refreshed (the refresh-policy lag window), served
+  by the real-time union's on-the-fly tail. The oracle is the
+  one-shot hourly SQL aggregation of all non-noise rows — equal to
+  the family rows only if backfill materialized, the watermark held,
+  and the tail union is exact; a Python-literal gate additionally
+  zeroes the family if the watermark moved during the late refresh,
+  the late window failed to materialize, or the tail got
+  materialized (shapes where ``query``'s full-source fallback could
+  otherwise mask a dead refresh path).
 
 Determinism notes: all digests are order-insensitive sums of the
 portable 60-bit sha256 prefix (the det_hash recipe, sampling.py:56)
@@ -159,6 +192,29 @@ _ORACLE = f"""
       ON p.user_id = c.user_id
      AND p.event_type = 'purchase' AND c.event_type = 'click'
      AND c.ts > p.ts - INTERVAL 4 HOUR AND c.ts <= p.ts
+    GROUP BY 2
+    UNION ALL
+    SELECT 'ssjoin_outer' AS family,
+           CAST(p.user_id AS VARCHAR) || '|' ||
+             CASE WHEN c.c_ts IS NULL THEN 'unmatched' ELSE 'matched' END
+             AS k,
+           COUNT(*) AS n, CAST(NULL AS VARCHAR) AS v
+    FROM (SELECT user_id, ts AS p_ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts AS c_ts FROM events
+               WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.c_ts > p.p_ts - INTERVAL 4 HOUR AND c.c_ts <= p.p_ts
+    GROUP BY 2
+    UNION ALL
+    SELECT 'scagg' AS family,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H') || '|' ||
+             event_type AS k,
+           COUNT(*) AS n,
+           CAST(SUM(event_id % 10000) AS VARCHAR) AS v
+    FROM events
+    WHERE ts::DATE BETWEEN DATE '2024-01-10' AND DATE '2024-01-22'
+      AND event_type <> 'error'
     GROUP BY 2
     UNION ALL
     SELECT 'state' AS family, CAST(user_id AS VARCHAR) AS k,
@@ -372,6 +428,57 @@ def b41_b48_streaming_semantics(
         .start()
     )
 
+    # -- ssjoin_outer (round 13: watermark-expiry NULL emission) ----------
+    def _sentinel(ts_name: str, when: str) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(when).cast("timestamp").alias(ts_name),
+        )
+
+    po_src = stage_stream_batches(
+        [
+            purchases,
+            _sentinel("p_ts", "2024-02-15 00:00:00"),
+            _sentinel("p_ts", "2024-02-20 00:00:00"),
+        ],
+        os.path.join(root, "ssjo_p_src"),
+    )
+    co_src = stage_stream_batches(
+        [
+            clicks,
+            _sentinel("c_ts", "2024-02-15 00:00:00"),
+            _sentinel("c_ts", "2024-02-20 00:00:00"),
+        ],
+        os.path.join(root, "ssjo_c_src"),
+    )
+    ssjo = stream_stream_interval_join(
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(po_src),
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(co_src),
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lookback="4 hours",
+        # SHORT delay (vs the inner family's 40 days): the outer form
+        # needs the watermark to overtake the corpus so unmatched
+        # state can expire and emit; batch 0 carries all real data, so
+        # nothing real is ever late under it
+        watermark="1 hour",
+        how="leftOuter",
+    )
+    ssjo_out = os.path.join(root, "ssjo_out")
+    pending.append(
+        ssjo.writeStream.format("parquet")
+        .option("path", ssjo_out)
+        .option("checkpointLocation", os.path.join(root, "ssjo_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
     # -- state (B46: applyInPandasWithState running latest image) ---------
     op = F.expr(
         "CASE WHEN event_type = 'error' THEN 'DELETE' "
@@ -414,6 +521,95 @@ def b41_b48_streaming_semantics(
         .option("checkpointLocation", os.path.join(root, "state_ckpt"))
         .trigger(availableNow=True)
         .start()
+    )
+
+    # -- scagg (round 13: streaming continuous aggregate, VERDICT r12 #2)
+    # Sequential within itself (append → route → refresh phases), but
+    # run HERE so it overlaps the five concurrent families' drains.
+    from timescale_cdc_spark.cdc.caggs import ContinuousAggregate
+    from timescale_cdc_spark.schemas import EVENT_LOG_SCHEMA
+
+    sc_env = ev.filter(d.between("2024-01-10", "2024-01-22")).select(
+        "ts",
+        F.lit("dataschema").alias("schema_name"),
+        # 'error' rows ride along on a NON-whitelisted route: they must
+        # never reach the cagg source (the B3 isolation, here guarding
+        # the aggregate itself — a leak shifts every touched bucket)
+        F.when(F.col("event_type") == "error", F.lit("assets"))
+        .otherwise(F.lit("metrics"))
+        .alias("table_name"),
+        F.lit("INSERT").alias("operation"),
+        F.lit(None).cast("string").alias("before"),
+        F.expr(
+            "to_json(named_struct('event_type', event_type, "
+            "'v', event_id % 10000))"
+        ).alias("after"),
+    )
+    sc_log = EventLog(spark, os.path.join(root, "scagg_log"))
+    sc_pipe = CdcStreamPipeline(
+        spark,
+        sc_log,
+        os.path.join(root, "scagg_topics"),
+        tables=[("dataschema", "metrics")],
+    )
+    sc_src = os.path.join(root, "scagg_src")
+    sc_cagg = ContinuousAggregate(
+        spark,
+        os.path.join(root, "scagg_mat"),
+        "1 hour",
+        "ts",
+        ["k"],
+        lambda: [F.count("*").alias("n"), F.sum("v").alias("s")],
+    )
+    # phase 1 — BASE: on-time days 13-16 through the whole path
+    sc_log.append(
+        sc_env.filter(d.between("2024-01-13", "2024-01-16")),
+        distributed_ids=True,
+    )
+    run_to_completion(sc_pipe.start(available_now=True))
+    sc_stream = (
+        spark.readStream.schema(EVENT_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(sc_pipe.topic_path("metrics") + "/_batch_id=*")
+        .select(
+            "ts",
+            F.get_json_object("after", "$.event_type").alias("k"),
+            F.get_json_object("after", "$.v").cast("long").alias("v"),
+        )
+    )
+    sc_attach = sc_cagg.attach(
+        sc_stream, sc_src, os.path.join(root, "scagg_ckpt")
+    )
+    sc_attach.processAllAvailable()
+    sc_wm_base = sc_cagg.watermark_s()
+    # phase 2 — LATE: days 10-12 arrive after; the invalidation-driven
+    # refresh must widen BACKWARD and leave the watermark where it was
+    sc_log.append(
+        sc_env.filter(d.between("2024-01-10", "2024-01-12")),
+        distributed_ids=True,
+    )
+    run_to_completion(sc_pipe.start(available_now=True))
+    sc_attach.processAllAvailable()
+    sc_attach.stop()
+    sc_wm_late = sc_cagg.watermark_s()
+    # phase 3 — TAIL: days 17-22 routed and landed, NOT refreshed (the
+    # refresh-policy lag window a live deployment always has); the
+    # real-time union must serve these on the fly
+    sc_log.append(
+        sc_env.filter(d.between("2024-01-17", "2024-01-22")),
+        distributed_ids=True,
+    )
+    run_to_completion(sc_pipe.start(available_now=True))
+    (
+        sc_pipe.read_topic("metrics")
+        .filter(F.to_date("ts") >= "2024-01-17")
+        .select(
+            "ts",
+            F.get_json_object("after", "$.event_type").alias("k"),
+            F.get_json_object("after", "$.v").cast("long").alias("v"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(sc_src, "ingest_batch=tail"))
     )
 
     # barrier: all five finite streams drain before any sink is read
@@ -461,6 +657,23 @@ def b41_b48_streaming_semantics(
             F.col("n"),
         )
     )
+    fams.append(
+        _fam(
+            spark.read.parquet(ssjo_out)
+            .filter(F.col("user_id") >= 0)  # drop watermark sentinels
+            .groupBy(
+                "user_id", F.col("c_ts").isNotNull().alias("m")
+            )
+            .agg(F.count("*").alias("n")),
+            "ssjoin_outer",
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.when(F.col("m"), "matched").otherwise("unmatched"),
+            ),
+            F.col("n"),
+        )
+    )
     w = Window.partitionBy("pk").orderBy(
         F.desc("last_ts_us"), F.desc("last_event_id")
     )
@@ -469,6 +682,40 @@ def b41_b48_streaming_semantics(
         .parquet(state_out)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
+    )
+    # scagg family rows: the real-time view must equal the one-shot
+    # oracle. The gate zeroes the family on the structural regressions
+    # the hash alone could mask — query()'s empty-manifest fallback
+    # aggregates the full source and is itself exact, so a dead
+    # refresh path would otherwise still hash-match.
+    sc_mat_rows = sc_cagg.materialized()
+    sc_gate = (
+        sc_wm_base is not None
+        # base watermark lands inside (Jan 16 00:00, Jan 17 00:00]
+        and 1705363200 < sc_wm_base <= 1705449600
+        # the late refresh widened backward without advancing it
+        and sc_wm_late == sc_wm_base
+        # the late window actually materialized...
+        and sc_mat_rows.filter(
+            F.to_date("bucket") <= "2024-01-12"
+        ).count() > 0
+        # ...and the tail did NOT (it must be served real-time)
+        and sc_mat_rows.filter(
+            F.to_date("bucket") >= "2024-01-17"
+        ).count() == 0
+    )
+    fams.append(
+        _fam(
+            sc_cagg.query(spark.read.parquet(sc_src)).where(
+                F.lit(bool(sc_gate))
+            ),
+            "scagg",
+            F.concat_ws(
+                "|", F.date_format("bucket", "yyyy-MM-dd HH"), F.col("k")
+            ),
+            F.col("n"),
+            F.col("s").cast("string"),
+        )
     )
     fams.append(
         _fam(
