@@ -157,15 +157,19 @@ COVERAGE_NOTES = {
     "b41_b48_streaming_semantics": (
         "round 13 (VERDICT r12 #2), NOT in the headline set (r12 "
         "policy: micro-batch fixed overhead, not engine work): "
-        "+family='scagg' — the stream-driven continuous aggregate "
-        "run END-TO-END (EventLog → router with noise isolation → "
-        "ContinuousAggregate.attach → real-time query) across a base "
-        "refresh, a backward-widened late refresh, and an "
-        "unrefreshed real-time tail, hash-checked against the "
-        "one-shot hourly SQL aggregation with a structural gate on "
-        "watermark movement / backfill materialization / tail "
-        "liveness. Expect this entry's wall-clock to grow ~10-15 s "
-        "(three more availableNow router runs + two refresh drains)."
+        "+families 'scagg' and 'scagg_day' — the stream-driven "
+        "continuous aggregate run END-TO-END (EventLog → router with "
+        "noise isolation → ContinuousAggregate.attach → real-time "
+        "query) across a base refresh, a backward-widened late "
+        "refresh, and an unrefreshed real-time tail, plus the daily "
+        "cascade level read through query_hierarchy — hash-checked "
+        "against one-shot hourly/daily SQL aggregations with "
+        "structural gates on watermark movement / backfill "
+        "materialization / tail liveness / the complete-bucket rule. "
+        "Also +family='ssjoin_outer' (left-outer interval join, "
+        "watermark-expiry NULL emission). Expect this entry's "
+        "wall-clock to grow ~10-15 s (three more availableNow router "
+        "runs + refresh drains + one more staged join pair)."
     ),
 }
 

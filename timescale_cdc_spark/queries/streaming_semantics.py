@@ -84,7 +84,12 @@ to rows a batch SQL oracle reproduces exactly:
   zeroes the family if the watermark moved during the late refresh,
   the late window failed to materialize, or the tail got
   materialized (shapes where ``query``'s full-source fallback could
-  otherwise mask a dead refresh path).
+  otherwise mask a dead refresh path). family='scagg_day' extends the
+  same run one hierarchy level up (Timescale 2.9 caggs-on-caggs): a
+  daily cagg rolled up from the streamed hourly level's partial
+  columns under the complete-bucket rule, read through
+  ``query_hierarchy`` so the refresh-lag tail is served live at BOTH
+  levels; its oracle is the same one-shot aggregation at day grain.
 
 Determinism notes: all digests are order-insensitive sums of the
 portable 60-bit sha256 prefix (the det_hash recipe, sampling.py:56)
@@ -205,6 +210,16 @@ _ORACLE = f"""
                WHERE event_type = 'click') c
       ON p.user_id = c.user_id
      AND c.c_ts > p.p_ts - INTERVAL 4 HOUR AND c.c_ts <= p.p_ts
+    GROUP BY 2
+    UNION ALL
+    SELECT 'scagg_day' AS family,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') || '|' ||
+             event_type AS k,
+           COUNT(*) AS n,
+           CAST(SUM(event_id % 10000) AS VARCHAR) AS v
+    FROM events
+    WHERE ts::DATE BETWEEN DATE '2024-01-10' AND DATE '2024-01-22'
+      AND event_type <> 'error'
     GROUP BY 2
     UNION ALL
     SELECT 'scagg' AS family,
@@ -611,6 +626,27 @@ def b41_b48_streaming_semantics(
         .write.mode("overwrite")
         .parquet(os.path.join(sc_src, "ingest_batch=tail"))
     )
+    # LEVEL-2 cascade (family='scagg_day'): a daily cagg rolled up
+    # from the streamed hourly one's PARTIAL columns (exact long
+    # sums), refreshed over the touched span capped at the hourly
+    # watermark aligned DOWN to days (cascade_refresh's complete-
+    # bucket rule, here applied directly since the hourly level was
+    # refreshed by the stream). Days >= the cap are served by
+    # query_hierarchy's real-time tail THROUGH the hourly view — the
+    # tail is live at both levels.
+    sc_day = ContinuousAggregate(
+        spark,
+        os.path.join(root, "scagg_day"),
+        "1 day",
+        "bucket",
+        ["k"],
+        lambda: [F.sum("n").alias("n"), F.sum("s").alias("s")],
+    )
+    sc_day.refresh(
+        sc_cagg.materialized(),
+        start_s=sc_day._align(1704844800),  # Jan 10 00:00
+        end_s=sc_day._align(sc_wm_late or 0),  # complete-day cap
+    )
 
     # barrier: all five finite streams drain before any sink is read
     for q in pending:
@@ -712,6 +748,34 @@ def b41_b48_streaming_semantics(
             "scagg",
             F.concat_ws(
                 "|", F.date_format("bucket", "yyyy-MM-dd HH"), F.col("k")
+            ),
+            F.col("n"),
+            F.col("s").cast("string"),
+        )
+    )
+    # scagg_day: the whole hierarchy's real-time view; its own gate
+    # additionally pins the complete-bucket rule (the daily watermark
+    # sits at the hourly watermark aligned DOWN to days, and no day
+    # at/after it is materialized)
+    from timescale_cdc_spark.cdc.caggs import query_hierarchy
+
+    day_wm = sc_day.watermark_s()
+    sc_day_gate = (
+        sc_gate
+        and day_wm == sc_day._align(sc_wm_late or 0)
+        and sc_day.materialized()
+        .filter(F.col("_eb") >= F.lit(day_wm))
+        .count()
+        == 0
+    )
+    fams.append(
+        _fam(
+            query_hierarchy(
+                [sc_cagg, sc_day], spark.read.parquet(sc_src)
+            ).where(F.lit(bool(sc_day_gate))),
+            "scagg_day",
+            F.concat_ws(
+                "|", F.date_format("bucket", "yyyy-MM-dd"), F.col("k")
             ),
             F.col("n"),
             F.col("s").cast("string"),
