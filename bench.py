@@ -308,12 +308,17 @@ def main() -> None:
     # Calibration-normalized values (round 13, VERDICT r12 #3): the
     # host swings 1.5-2.5× between rounds, and until now the judge
     # divided by calibration by hand. Each query's min is divided by
-    # the END calibration (the yardstick closest in time to the
-    # measurement passes); unit is "work-units" (dimensionless
-    # multiples of the fixed codegen job). Compare THESE round-over-
-    # round; the raw seconds remain for absolute reading.
+    # the FASTER of the two calibrations — floor-vs-floor semantics:
+    # the per-query numbers are min-of-N floors (captured during the
+    # host's fast phase), so dividing by a single bracket point that
+    # happened to land in a slow phase would skew every normalized
+    # value low and credit a phantom speedup. Unit is "work-units"
+    # (dimensionless multiples of the fixed codegen job). Compare
+    # THESE round-over-round; raw seconds and both calibration
+    # samples remain alongside for re-derivation.
+    calib_floor = min(calib_jvm, calib_jvm_end)
     normalized = {
-        n: round(t / calib_jvm_end, 2) for n, t in timings.items()
+        n: round(t / calib_floor, 2) for n, t in timings.items()
     }
     print(
         json.dumps(

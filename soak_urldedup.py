@@ -233,10 +233,13 @@ def main() -> None:
         & (F.col("hi_kept") >= F.col("lo_dropped"))
     ).count()
     assert overlaps == 0
-    # determinism: a second run returns the identical id set
+    # determinism: a second run returns the identical id set — BOTH
+    # exceptAll directions (one direction only proves a subset; a
+    # run-2 that nondeterministically LOST rows would pass it)
     again = reservoir_per_group(docs, ["source"], cap_k, on=["id"],
                                 salt="soak").select("id")
     assert again.exceptAll(capped.select("id")).count() == 0
+    assert capped.select("id").exceptAll(again).count() == 0
     # hot-task bound: megasource's task input is bounded by the
     # pushdown (parts x k candidates), never by its 1M group size
     med = max(sc_stats["median_task"], 1)

@@ -115,6 +115,34 @@ def test_c2_registered_row_count_with_guard(spark, sf_dir):
     assert capped_sh.count() == uncapped_sh.count()
 
 
+def test_sketch_fronts_drop_null_text_docs(spark):
+    """Round-13 regression (review finding): the zero-shuffle sketch
+    fronts must keep the r12 explode-path semantics for NULL-text
+    docs — no signature/fingerprint row at all. A per-doc fold that
+    emits _fp=0 / all-NULL lanes instead would band every NULL-text
+    doc into one bucket as mutual hamming-0 'duplicates'."""
+    from timescale_cdc_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_fingerprints,
+        simhash_pairs as sp,
+    )
+
+    rows = [(1, None), (2, None), (3, "a b c d e"), (4, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert minhash_signatures(df, "text", "doc_id").count() == 2
+    assert simhash_fingerprints(df, "text", "doc_id").count() == 2
+    assert sorted(
+        (r.id_a, r.id_b)
+        for r in sp(df, "text", "doc_id", max_hamming=3).collect()
+    ) == [(3, 4)]
+    assert sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", threshold=0.5
+        ).collect()
+    ) == [(3, 4)]
+
+
 def test_simhash_finds_planted_pairs(docs, planted):
     pairs = simhash_pairs(planted, "text", "doc_id", max_hamming=3)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}

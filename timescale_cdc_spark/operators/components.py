@@ -106,25 +106,11 @@ def connected_components(
     from pyspark.sql import types as T
 
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    string_cols = []
     for c in (id_a, id_b):
         dtype = pairs.schema[c].dataType
         if isinstance(dtype, T.StringType):
-            bad = (
-                pairs.filter(
-                    F.col(c).isNotNull()
-                    & F.col(c).try_cast("long").isNull()
-                )
-                .limit(1)
-                .count()
-            )
-            if bad:
-                raise ValueError(
-                    f"connected_components got string ids in {c!r} "
-                    "that are not integral text. Map string ids to a "
-                    "dense numeric surrogate (e.g. zipWithIndex / "
-                    "monotonically_increasing_id joined back) before "
-                    "resolving components."
-                )
+            string_cols.append(c)
         elif not isinstance(dtype, integral):
             raise ValueError(
                 f"connected_components needs integral node ids; "
@@ -132,6 +118,22 @@ def connected_components(
                 "Map string ids to a dense numeric surrogate (e.g. "
                 "zipWithIndex / monotonically_increasing_id joined "
                 "back) before resolving components."
+            )
+    if string_cols:
+        # ONE validation pass over the pairs for both columns (on
+        # clean data the filter matches nothing, so limit(1) cannot
+        # short-circuit — don't pay the scan twice)
+        invalid = None
+        for c in string_cols:
+            cond = F.col(c).isNotNull() & F.col(c).try_cast("long").isNull()
+            invalid = cond if invalid is None else (invalid | cond)
+        if pairs.filter(invalid).limit(1).count():
+            raise ValueError(
+                "connected_components got string ids that are not "
+                f"integral text in {string_cols!r}. Map string ids to "
+                "a dense numeric surrogate (e.g. zipWithIndex / "
+                "monotonically_increasing_id joined back) before "
+                "resolving components."
             )
     edges = _sym(
         pairs.select(

@@ -175,14 +175,27 @@ def _word_hash_front(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     minhash's min is duplicate-insensitive). The array lives in its own
     select — CollapseProject keeps a non-cheap expression referenced
     more than once materialized (SPARK-36718), so the k sketch lanes
-    downstream never re-split the text."""
+    downstream never re-split the text.
+
+    NULL-text rows are FILTERED — the exact semantics of the r12
+    explode+groupBy fronts this replaced (explode of a NULL array
+    emits nothing, so a NULL-text doc had no signature row and joined
+    no pairs). Without the filter the per-doc folds would emit
+    _fp=0 / all-NULL signatures for every NULL-text doc, banding them
+    all into one bucket as mutual hamming-0 "duplicates" (round-13
+    review finding)."""
     from timescale_cdc_spark.functions.ident import sql_ident
 
-    return _spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.expr(
-            rf"transform(split({sql_ident(text_col)}, '\\s+'), w -> xxhash64(w))"
-        ).alias("_hw"),
+    return (
+        _spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.expr(
+                rf"transform(split({sql_ident(text_col)}, '\\s+'), "
+                "w -> xxhash64(w))"
+            ).alias("_hw"),
+        )
     )
 
 
@@ -266,18 +279,9 @@ def _banded_candidates(
     key_cols: list[str],
     payload: str,
     max_bucket: int | None,
-    *,
-    carry: str | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a, id_b, pa, pb) from a banded/bucketed
     frame with columns (_id, <payload>, *key_cols).
-
-    ``carry`` names an optional column functionally determined by the
-    bucket keys (e.g. sketch_pairs' method tag derived from the band
-    index); it rides through the pairing join and becomes part of the
-    dedup key, so one physical candidate pass can serve several
-    logical sketch families without collapsing a pair found by two
-    families into one row.
 
     ``max_bucket`` is the hot-bucket skew guard: a degenerate bucket of
     f docs (empty texts, template spam — every band bucket identical)
@@ -298,9 +302,6 @@ def _banded_candidates(
     the window rides the exchange the join needs anyway). Star pairs
     fall out of the marked frame with zero additional joins."""
 
-    carry_cols = [carry] if carry else []
-    dedup_key = carry_cols + ["id_a", "id_b"]
-
     def _pairs(frame: DataFrame) -> DataFrame:
         a = frame.alias("a").hint("shuffle_hash")
         b = frame.alias("b").hint("shuffle_hash")
@@ -308,7 +309,6 @@ def _banded_candidates(
         for k in key_cols:
             cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
         return a.join(b, cond).select(
-            *(F.col(f"a.{c}") for c in carry_cols),
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.col(f"a.{payload}").alias("pa"),
@@ -316,7 +316,7 @@ def _banded_candidates(
         )
 
     if max_bucket is None:
-        return _pairs(banded).dropDuplicates(dedup_key)
+        return _pairs(banded).dropDuplicates(["id_a", "id_b"])
     w = Window.partitionBy(*key_cols)
     marked = (
         banded.withColumn("_bsz", F.count("*").over(w))
@@ -328,18 +328,15 @@ def _banded_candidates(
         marked.filter(
             (F.col("_bsz") > max_bucket) & (F.col("_id") != F.col("_bmin"))
         )
-        # rep is the bucket min, so id_a < id_b holds by construction;
-        # carry is constant within a bucket, so the member row's value
-        # is the pair's value
+        # rep is the bucket min, so id_a < id_b holds by construction
         .select(
-            *carry_cols,
             F.col("_bmin").alias("id_a"),
             F.col("_id").alias("id_b"),
             F.col("_rep_p").alias("pa"),
             F.col(payload).alias("pb"),
         )
     )
-    return _pairs(cold).unionByName(hot_pairs).dropDuplicates(dedup_key)
+    return _pairs(cold).unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_banded(

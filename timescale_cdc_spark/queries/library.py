@@ -1031,6 +1031,16 @@ _SRCCAP_SALT = "sc12"
 #: normalization chain is value-hash-checked cross-engine.
 _URL_GROUP = 3
 
+#: LM vocabulary caches this module's ppl family persisted (round 13,
+#: review finding): each lib_m4_split_sample construction drains the
+#: PREVIOUS construction's cache before fitting its own — the
+#: previous entry's returned plan is done being consumed by the time
+#: a new construction starts (bench/driver invoke entries serially) —
+#: so repeated invocations hold exactly one vocabulary cache instead
+#: of accumulating MEMORY_AND_DISK entries forever, without draining
+#: text._PPL_PERSISTED (other flows' caches are not ours to evict).
+_LIB_PPL_CACHES: list[DataFrame] = []
+
 
 def _m4_split_oracle() -> str:
     from timescale_cdc_spark.operators.sampling import (
@@ -1541,8 +1551,14 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_logprobs,
     )
 
+    # release the PREVIOUS construction's LM cache, then register this
+    # one in the module-owned list (see _LIB_PPL_CACHES)
+    while _LIB_PPL_CACHES:
+        _LIB_PPL_CACHES.pop().unpersist()
     lm, oov = unigram_logprobs(
-        docs.filter(F.col("doc_id") % _PPL_REF_MOD == 0), "text"
+        docs.filter(F.col("doc_id") % _PPL_REF_MOD == 0),
+        "text",
+        cache_registry=_LIB_PPL_CACHES,
     )
     ppl = perplexity_buckets(
         docs.filter(F.col("doc_id") % _PPL_REF_MOD != 0).select(

@@ -724,22 +724,29 @@ def b41_b48_streaming_semantics(
     # the hash alone could mask — query()'s empty-manifest fallback
     # aggregates the full source and is itself exact, so a dead
     # refresh path would otherwise still hash-match.
-    sc_mat_rows = sc_cagg.materialized()
-    sc_gate = (
-        sc_wm_base is not None
-        # base watermark lands inside (Jan 16 00:00, Jan 17 00:00]
-        and 1705363200 < sc_wm_base <= 1705449600
-        # the late refresh widened backward without advancing it
-        and sc_wm_late == sc_wm_base
-        # the late window actually materialized...
-        and sc_mat_rows.filter(
-            F.to_date("bucket") <= "2024-01-12"
-        ).count() > 0
-        # ...and the tail did NOT (it must be served real-time)
-        and sc_mat_rows.filter(
-            F.to_date("bucket") >= "2024-01-17"
-        ).count() == 0
-    )
+    # materialized() raises on a zero-region manifest — the very
+    # dead-refresh regression this gate exists to expose. Catch it so
+    # the regression zeroes the scagg families instead of crashing
+    # the other seven (round-13 review finding).
+    try:
+        sc_mat_rows = sc_cagg.materialized()
+        sc_gate = (
+            sc_wm_base is not None
+            # base watermark lands inside (Jan 16 00:00, Jan 17 00:00]
+            and 1705363200 < sc_wm_base <= 1705449600
+            # the late refresh widened backward without advancing it
+            and sc_wm_late == sc_wm_base
+            # the late window actually materialized...
+            and sc_mat_rows.filter(
+                F.to_date("bucket") <= "2024-01-12"
+            ).count() > 0
+            # ...and the tail did NOT (it must be served real-time)
+            and sc_mat_rows.filter(
+                F.to_date("bucket") >= "2024-01-17"
+            ).count() == 0
+        )
+    except ValueError:
+        sc_gate = False
     fams.append(
         _fam(
             sc_cagg.query(spark.read.parquet(sc_src)).where(
@@ -760,14 +767,17 @@ def b41_b48_streaming_semantics(
     from timescale_cdc_spark.cdc.caggs import query_hierarchy
 
     day_wm = sc_day.watermark_s()
-    sc_day_gate = (
-        sc_gate
-        and day_wm == sc_day._align(sc_wm_late or 0)
-        and sc_day.materialized()
-        .filter(F.col("_eb") >= F.lit(day_wm))
-        .count()
-        == 0
-    )
+    try:
+        sc_day_gate = (
+            sc_gate
+            and day_wm == sc_day._align(sc_wm_late or 0)
+            and sc_day.materialized()
+            .filter(F.col("_eb") >= F.lit(day_wm))
+            .count()
+            == 0
+        )
+    except ValueError:  # zero-region daily manifest — dead cascade
+        sc_day_gate = False
     fams.append(
         _fam(
             query_hierarchy(

@@ -71,13 +71,16 @@ def step_contract() -> None:
 
 
 def step_bench() -> None:
-    proc = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "bench.py")],
-        capture_output=True,
-        text=True,
-        timeout=900,
-        cwd=ROOT,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py")],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            cwd=ROOT,
+        )
+    except subprocess.TimeoutExpired:
+        _fail("bench", "timed out after 900s")
     if proc.returncode != 0:
         _fail("bench", proc.stderr[-2000:])
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
@@ -93,21 +96,27 @@ def step_bench() -> None:
 
 
 def step_pytest() -> None:
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-x", "-q"],
-        cwd=ROOT,
-        timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-x", "-q"],
+            cwd=ROOT,
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired:
+        _fail("pytest", "timed out after 3600s")
     if proc.returncode != 0:
         _fail("pytest", f"exit {proc.returncode}")
 
 
 def step_plans(rnd: str) -> None:
-    proc = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "emit_plans.py"), rnd],
-        cwd=ROOT,
-        timeout=900,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "emit_plans.py"), rnd],
+            cwd=ROOT,
+            timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        _fail("plans", "timed out after 900s")
     if proc.returncode != 0:
         _fail("plans", f"exit {proc.returncode}")
 
