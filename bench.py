@@ -196,6 +196,7 @@ def _stream_throughput(spark) -> dict:
 
     from timescale_cdc_spark.catalog import load_table
     from timescale_cdc_spark.cdc.log import EventLog
+    from timescale_cdc_spark.streaming.harness import run_to_completion
     from timescale_cdc_spark.streaming.pipeline import CdcStreamPipeline
 
     root = os.path.join(
@@ -229,8 +230,10 @@ def _stream_throughput(spark) -> dict:
         tables=[("dataschema", "activity"), ("dataschema", "account")],
     )
     t0 = time.perf_counter()
-    q = pipe.start(available_now=True)
-    q.awaitTermination()
+    # run_to_completion (not bare awaitTermination): a wedged drain —
+    # the regression class this row exists to expose — times out at
+    # 600 s with a named failure instead of hanging the whole bench
+    run_to_completion(pipe.start(available_now=True))
     drain_s = time.perf_counter() - t0
     shutil.rmtree(root, ignore_errors=True)
     # three numbers only (seconds are re-derivable as n/eps): the

@@ -128,9 +128,21 @@ def connected_components(
             cond = F.col(c).isNotNull() & F.col(c).try_cast("long").isNull()
             invalid = cond if invalid is None else (invalid | cond)
         if pairs.filter(invalid).limit(1).count():
+            # error path only: name the guilty column(s) — one extra
+            # probe per string column, paid exclusively on failure
+            guilty = [
+                c
+                for c in string_cols
+                if pairs.filter(
+                    F.col(c).isNotNull()
+                    & F.col(c).try_cast("long").isNull()
+                )
+                .limit(1)
+                .count()
+            ] or string_cols
             raise ValueError(
                 "connected_components got string ids that are not "
-                f"integral text in {string_cols!r}. Map string ids to "
+                f"integral text in {guilty!r}. Map string ids to "
                 "a dense numeric surrogate (e.g. zipWithIndex / "
                 "monotonically_increasing_id joined back) before "
                 "resolving components."

@@ -642,11 +642,18 @@ def b41_b48_streaming_semantics(
         ["k"],
         lambda: [F.sum("n").alias("n"), F.sum("s").alias("s")],
     )
-    sc_day.refresh(
-        sc_cagg.materialized(),
-        start_s=sc_day._align(1704844800),  # Jan 10 00:00
-        end_s=sc_day._align(sc_wm_late or 0),  # complete-day cap
-    )
+    # materialized() raises on a zero-region hourly manifest (a dead
+    # refresh path); leave the daily level unrefreshed in that case —
+    # its gate then zeroes the scagg families instead of the crash
+    # killing all nine (same guard as the read sites below)
+    try:
+        sc_day.refresh(
+            sc_cagg.materialized(),
+            start_s=sc_day._align(1704844800),  # Jan 10 00:00
+            end_s=sc_day._align(sc_wm_late or 0),  # complete-day cap
+        )
+    except ValueError:
+        pass
 
     # barrier: all five finite streams drain before any sink is read
     for q in pending:
