@@ -32,39 +32,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from timescale_cdc_spark.functions.hyper import epoch_bucket
-from timescale_cdc_spark.functions.state import _map_sum
+from timescale_cdc_spark.functions.state import _map_sum_sql
 
 
-def _entries_desc(mg: Column) -> Column:
-    """Map entries sorted by count DESC, item ASC (deterministic)."""
-    return F.array_sort(
-        F.map_entries(mg),
-        lambda a, b: F.when(a["value"] > b["value"], F.lit(-1))
-        .when(a["value"] < b["value"], F.lit(1))
-        .when(a["key"] < b["key"], F.lit(-1))
-        .when(a["key"] > b["key"], F.lit(1))
-        .otherwise(F.lit(0)),
+def _entries_desc_sql(mg: str) -> str:
+    """SQL text: map entries sorted by count DESC, item ASC
+    (deterministic). Text, not Column lambdas — py4j lambda
+    construction costs ~0.1 s per lambda at plan-build time
+    (round 13; see state._map_sum_sql)."""
+    return (
+        f"array_sort(map_entries({mg}), "
+        "(a, b) -> CASE WHEN a.value > b.value THEN -1 "
+        "WHEN a.value < b.value THEN 1 "
+        "WHEN a.key < b.key THEN -1 "
+        "WHEN a.key > b.key THEN 1 ELSE 0 END)"
     )
 
 
-def _compress(mg: Column, max_size: int) -> tuple[Column, Column]:
-    """Misra-Gries compression to ``max_size`` counters: subtract the
-    (max_size+1)-th largest count from every counter and drop the
-    non-positive. Returns (compressed map, decrement applied)."""
-    entries = _entries_desc(mg)
-    zero = F.lit(0).cast("long")
-    # 0-based get -> null (not an ANSI error) when the summary is
-    # already small enough
-    t = F.coalesce(F.get(entries, max_size)["value"], zero)
-    kept = F.filter(entries, lambda e: e["value"] > t)
-    new_mg = F.map_from_entries(
-        F.transform(
-            kept,
-            lambda e: F.struct(
-                e["key"].alias("key"),
-                (e["value"] - t).alias("value"),
-            ),
-        )
+def _compress_sql(mg: str, max_size: int) -> tuple[str, str]:
+    """SQL text of the Misra-Gries compression to ``max_size``
+    counters: subtract the (max_size+1)-th largest count from every
+    counter and drop the non-positive. Returns
+    (compressed-map SQL, decrement SQL). ``get`` (0-based) yields
+    NULL — not an ANSI error — when the summary is already small
+    enough."""
+    entries = _entries_desc_sql(mg)
+    t = f"coalesce(get({entries}, {max_size}).value, cast(0 as long))"
+    kept = f"filter({entries}, e -> e.value > {t})"
+    new_mg = (
+        f"map_from_entries(transform({kept}, "
+        f"e -> named_struct('key', e.key, 'value', e.value - {t})))"
     )
     return new_mg, t
 
@@ -100,12 +97,12 @@ def freq_partials(
         ).alias("_exact"),
         F.sum("_c").alias("n"),
     )
-    mg, t = _compress(F.col("_exact"), max_size)
+    mg, t = _compress_sql("_exact", max_size)
     return collected.select(
         *key_cols,
         F.timestamp_seconds("_eb").alias("bucket"),
-        mg.alias("mg"),
-        t.cast("long").alias("err"),
+        F.expr(mg).alias("mg"),
+        F.expr(t).cast("long").alias("err"),
         "n",
     )
 
@@ -144,48 +141,42 @@ def freq_rollup(
     unavailable), and compression tie-breaks are (count desc, item
     asc)."""
     df = partials.withColumn("_ceb", epoch_bucket(bucket_col, width))
-    st = F.struct(
-        F.unix_micros(F.col(bucket_col)).alias("b_us"),
-        F.col("mg").alias("mg"),
-        F.col("err").alias("err"),
-        F.col("n").alias("n"),
+    # the whole fold as ONE SQL string — see state.state_rollup
+    # (round 13) for the build-time rationale; expressions and NULL
+    # semantics are the exact Column forms this replaced
+    st = (
+        f"struct(unix_micros({bucket_col}) AS b_us, mg, err, n)"
     )
-    zero = F.struct(
-        F.lit(0).cast("long").alias("b_us"),
-        F.expr("map()").cast("map<string,long>").alias("mg"),
-        F.lit(0).cast("long").alias("err"),
-        F.lit(0).cast("long").alias("n"),
+    zero = (
+        "named_struct('b_us', cast(0 as long), "
+        "'mg', cast(map() as map<string,long>), "
+        "'err', cast(0 as long), 'n', cast(0 as long))"
     )
-
-    def _cmp(a, b):
-        return (
-            F.when(a["b_us"] < b["b_us"], F.lit(-1))
-            .when(a["b_us"] > b["b_us"], F.lit(1))
-            .otherwise(F.lit(0))
-        )
-
-    def _merge(acc, p):
-        summed = _map_sum(acc["mg"], p["mg"])
-        mg, t = _compress(summed, max_size)
-        return F.struct(
-            p["b_us"].alias("b_us"),
-            mg.alias("mg"),
-            (acc["err"] + p["err"] + t).alias("err"),
-            (acc["n"] + p["n"]).alias("n"),
-        )
-
+    cmp_ = (
+        "(a, b) -> CASE WHEN a.b_us < b.b_us THEN -1 "
+        "WHEN a.b_us > b.b_us THEN 1 ELSE 0 END"
+    )
+    summed = _map_sum_sql("acc.mg", "p.mg")
+    mg, t = _compress_sql(summed, max_size)
+    merge = (
+        "(acc, p) -> named_struct("
+        "'b_us', p.b_us, "
+        f"'mg', {mg}, "
+        f"'err', acc.err + p.err + {t}, "
+        "'n', acc.n + p.n)"
+    )
     merged = df.groupBy(*key_cols, "_ceb").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(st), _cmp), zero, _merge
+        F.expr(
+            f"aggregate(array_sort(collect_list({st}), {cmp_}), "
+            f"{zero}, {merge})"
         ).alias("_s")
     )
-    s = F.col("_s")
     return merged.select(
         *key_cols,
         F.timestamp_seconds("_ceb").alias("bucket"),
-        s["mg"].alias("mg"),
-        s["err"].alias("err"),
-        s["n"].alias("n"),
+        F.expr("_s.mg").alias("mg"),
+        F.expr("_s.err").alias("err"),
+        F.expr("_s.n").alias("n"),
     )
 
 
@@ -206,11 +197,7 @@ def topn(
         "err",
         F.col("n").alias("total"),
         F.explode(
-            F.slice(
-                _entries_desc(F.col("mg")),
-                1,
-                n,
-            )
+            F.expr(f"slice({_entries_desc_sql('mg')}, 1, {n})")
         ).alias("_e"),
     )
     return exploded.select(

@@ -41,11 +41,15 @@ from timescale_cdc_spark.functions.time import bucket_seconds
 _LONG0 = "cast(0 as long)"
 
 
-def _map_sum(m1: Column, m2: Column) -> Column:
-    """Element-wise sum of two map<string,long> (key union)."""
-    zero = F.lit(0).cast("long")
-    return F.map_zip_with(
-        m1, m2, lambda _k, a, b: F.coalesce(a, zero) + F.coalesce(b, zero)
+def _map_sum_sql(m1: str, m2: str) -> str:
+    """SQL text of the element-wise map<string,long> sum (key union).
+    Text, not a Column lambda: py4j lambda construction costs ~0.1 s
+    per lambda at plan-build time, and the state fold nests this
+    twice per merge step (round 13)."""
+    z = "cast(0 as long)"
+    return (
+        f"map_zip_with({m1}, {m2}, "
+        f"(_k, a, b) -> coalesce(a, {z}) + coalesce(b, {z}))"
     )
 
 
@@ -191,78 +195,67 @@ def state_rollup(
     """
     secs = bucket_seconds(width)
     df = partials.withColumn("_ceb", epoch_bucket(bucket_col, width))
-    st = F.struct(
-        "first_us",
-        "end_us",
-        "first_state",
-        "last_state",
-        "durs",
-        "n",
-        "n_transitions",
+    # The whole fold as ONE SQL string (round 13): the Column-lambda
+    # form (comparator + merge step + two nested _map_sum lambdas)
+    # cost ~0.5 s of py4j construction per call — a real per-pass cost
+    # for the bench's biggest headline entry. Same expressions, same
+    # NULL semantics (CASE WHEN chains are the F.when chains).
+    st = (
+        "struct(first_us, end_us, first_state, last_state, durs, n, "
+        "n_transitions)"
     )
-    zero = F.struct(
-        F.lit(0).cast("long").alias("first_us"),
-        F.lit(0).cast("long").alias("end_us"),
-        F.lit(None).cast("string").alias("first_state"),
-        F.lit(None).cast("string").alias("last_state"),
-        F.expr("map()").cast("map<string,long>").alias("durs"),
-        F.lit(0).cast("long").alias("n"),
-        F.lit(0).cast("long").alias("n_transitions"),
+    zero = (
+        "named_struct('first_us', cast(0 as long), "
+        "'end_us', cast(0 as long), "
+        "'first_state', cast(null as string), "
+        "'last_state', cast(null as string), "
+        "'durs', cast(map() as map<string,long>), "
+        "'n', cast(0 as long), 'n_transitions', cast(0 as long))"
     )
-
-    def _cmp(a, b):
-        return (
-            F.when(a["first_us"] < b["first_us"], F.lit(-1))
-            .when(a["first_us"] > b["first_us"], F.lit(1))
-            .otherwise(F.lit(0))
-        )
-
-    def _merge(acc, p):
-        first_merge = acc["n"] == 0
-        gap = (p["first_us"] - acc["end_us"]).cast("long")
-        gap_map = F.map_from_arrays(
-            F.array(acc["last_state"]), F.array(gap)
-        )
-        merged_durs = F.when(first_merge, p["durs"]).otherwise(
-            _map_sum(_map_sum(acc["durs"], gap_map), p["durs"])
-        )
-        seam_trans = F.when(
-            first_merge | (acc["last_state"] == p["first_state"]),
-            F.lit(0),
-        ).otherwise(F.lit(1))
-        return F.struct(
-            F.when(first_merge, p["first_us"])
-            .otherwise(acc["first_us"])
-            .alias("first_us"),
-            p["end_us"].alias("end_us"),
-            F.when(first_merge, p["first_state"])
-            .otherwise(acc["first_state"])
-            .alias("first_state"),
-            p["last_state"].alias("last_state"),
-            merged_durs.alias("durs"),
-            (acc["n"] + p["n"]).alias("n"),
-            (
-                acc["n_transitions"] + p["n_transitions"] + seam_trans
-            ).alias("n_transitions"),
-        )
-
+    cmp_ = (
+        "(a, b) -> CASE WHEN a.first_us < b.first_us THEN -1 "
+        "WHEN a.first_us > b.first_us THEN 1 ELSE 0 END"
+    )
+    gap_map = (
+        "map_from_arrays(array(acc.last_state), "
+        "array(cast(p.first_us - acc.end_us as long)))"
+    )
+    merged_durs = (
+        "CASE WHEN acc.n = 0 THEN p.durs ELSE "
+        + _map_sum_sql(_map_sum_sql("acc.durs", gap_map), "p.durs")
+        + " END"
+    )
+    merge = (
+        "(acc, p) -> named_struct("
+        "'first_us', CASE WHEN acc.n = 0 THEN p.first_us "
+        "ELSE acc.first_us END, "
+        "'end_us', p.end_us, "
+        "'first_state', CASE WHEN acc.n = 0 THEN p.first_state "
+        "ELSE acc.first_state END, "
+        "'last_state', p.last_state, "
+        f"'durs', {merged_durs}, "
+        "'n', acc.n + p.n, "
+        "'n_transitions', acc.n_transitions + p.n_transitions + "
+        "CASE WHEN acc.n = 0 OR acc.last_state = p.first_state "
+        "THEN 0 ELSE 1 END)"
+    )
     merged = df.groupBy(*key_cols, "_ceb").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(st), _cmp), zero, _merge
+        F.expr(
+            f"aggregate(array_sort(collect_list({st}), {cmp_}), "
+            f"{zero}, {merge})"
         ).alias("_s")
     )
-    s = F.col("_s")
-    coarse_end_us = (F.col("_ceb") + F.lit(secs)) * F.lit(1_000_000)
-    tail_us = (coarse_end_us - s["end_us"]).cast("long")
-    tail_map = F.map_from_arrays(
-        F.array(s["last_state"]), F.array(tail_us)
+    coarse_end_us = f"((_ceb + {secs}) * 1000000)"
+    tail_map = (
+        "map_from_arrays(array(_s.last_state), "
+        f"array(cast({coarse_end_us} - _s.end_us as long)))"
     )
     seam_cols = (
         [
-            s["first_us"].alias("first_us"),
-            coarse_end_us.cast("long").alias("end_us"),
-            s["first_state"].alias("first_state"),
-            s["last_state"].alias("last_state"),
+            F.expr("_s.first_us").alias("first_us"),
+            F.expr(f"cast({coarse_end_us} as long)").alias("end_us"),
+            F.expr("_s.first_state").alias("first_state"),
+            F.expr("_s.last_state").alias("last_state"),
         ]
         if keep_seams
         else []
@@ -270,13 +263,13 @@ def state_rollup(
     return merged.select(
         *key_cols,
         F.timestamp_seconds("_ceb").alias("bucket"),
-        F.map_from_entries(
-            F.array_sort(
-                F.map_entries(_map_sum(s["durs"], tail_map))
-            )
+        F.expr(
+            "map_from_entries(array_sort(map_entries("
+            + _map_sum_sql("_s.durs", tail_map)
+            + ")))"
         ).alias("durs"),
-        s["n"].alias("n"),
-        s["n_transitions"].alias("n_transitions"),
+        F.expr("_s.n").alias("n"),
+        F.expr("_s.n_transitions").alias("n_transitions"),
         *seam_cols,
     )
 
@@ -476,32 +469,27 @@ def heartbeat_partials(
     )
 
 
-def _merge_sorted_ranges(sorted_ranges: Column) -> Column:
-    """Fold a start-sorted array<struct<s,e>> into its union: merge
-    each range into the accumulator's last island when it overlaps or
-    touches (s <= last.e), else append a new island."""
-    empty = F.expr(
-        "cast(array() as array<struct<s:bigint,e:bigint>>)"
+def _merge_sorted_ranges_sql(expr: str) -> str:
+    """SQL text of the sorted-range union fold: merge each range into
+    the accumulator's last island when it overlaps or touches
+    (s <= last.e), else append a new island. Emitted as ONE parsed
+    string because py4j Column-lambda construction costs ~0.1 s per
+    lambda at plan-build time (round 13 — the lib entries rebuild per
+    bench pass, so build cost is measured cost); the CASE chain is the
+    exact F.when chain the Column form used."""
+    last = "element_at(acc, -1)"
+    ext = (
+        "concat(slice(acc, 1, size(acc) - 1), "
+        f"array(named_struct('s', {last}.s, "
+        f"'e', greatest({last}.e, x.e))))"
     )
-
-    def _step(acc, x):
-        last = F.element_at(acc, -1)
-        extended = F.concat(
-            F.slice(acc, 1, F.size(acc) - 1),
-            F.array(
-                F.struct(
-                    last["s"].alias("s"),
-                    F.greatest(last["e"], x["e"]).alias("e"),
-                )
-            ),
-        )
-        return (
-            F.when(F.size(acc) == 0, F.array(x))
-            .when(x["s"] <= last["e"], extended)
-            .otherwise(F.concat(acc, F.array(x)))
-        )
-
-    return F.aggregate(sorted_ranges, empty, _step)
+    return (
+        f"aggregate({expr}, "
+        "cast(array() as array<struct<s:bigint,e:bigint>>), "
+        "(acc, x) -> CASE WHEN size(acc) = 0 THEN array(x) "
+        f"WHEN x.s <= {last}.e THEN {ext} "
+        "ELSE concat(acc, array(x)) END)"
+    )
 
 
 def heartbeat_rollup(
@@ -528,12 +516,7 @@ def heartbeat_rollup(
         F.flatten(F.collect_list("ranges")).alias("_all"),
         F.sum("n_heartbeats").alias("n_heartbeats"),
     )
-    union = _merge_sorted_ranges(F.array_sort(F.col("_all")))
-    live = F.aggregate(
-        union,
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + (x["e"] - x["s"]),
-    )
+    union = F.expr(_merge_sorted_ranges_sql("array_sort(_all)"))
     width_us = F.lit(secs * 1_000_000).cast("long")
     out = merged.select(
         *key_cols,
@@ -545,10 +528,9 @@ def heartbeat_rollup(
         *key_cols,
         "bucket",
         "ranges",
-        F.aggregate(
-            F.col("ranges"),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + (x["e"] - x["s"]),
+        F.expr(
+            "aggregate(ranges, cast(0 as long), "
+            "(acc, x) -> acc + (x.e - x.s))"
         ).alias("live_us"),
         F.size("ranges").alias("n_ranges"),
         "n_heartbeats",
@@ -719,7 +701,6 @@ def state_interpolated(
             ).alias("_eb"),
         )
     )
-    dense = grid.join(p, [*key_cols, "_eb"], "left")
     w = (
         Window.partitionBy(*key_cols)
         .orderBy("_eb")
@@ -728,35 +709,43 @@ def state_interpolated(
     carry = F.last("last_state", ignorenulls=True).over(w)
     start_us = F.col("_eb") * F.lit(1_000_000)
     head_us = (F.col("first_us") - start_us).cast("long")
-    observed = F.col("n").isNotNull()
-    entries = F.map_entries(F.coalesce(
-        F.col("durs"), F.expr("map()").cast("map<string,long>")
-    ))
-    has_carry = F.exists(entries, lambda e: e["key"] == carry)
-    bumped = F.transform(
-        entries,
-        lambda e: F.struct(
-            e["key"].alias("key"),
-            (
-                e["value"]
-                + F.when(e["key"] == carry, head_us).otherwise(F.lit(0))
-            ).alias("value"),
-        ),
-    )
-    head_entry = F.array(
-        F.struct(
-            carry.alias("key"),
-            F.when(observed, head_us).otherwise(F.lit(w_us)).alias("value"),
+    # carry / head_us / entries materialize as NAMED columns so the
+    # map adjustment can be one parsed SQL string (round 13 — Column
+    # lambdas cost ~0.1 s each at build time; same expressions, same
+    # F.when CASE semantics)
+    dense = (
+        grid.join(p, [*key_cols, "_eb"], "left")
+        .withColumn("_carry", carry)
+        .withColumn("_head_us", head_us)
+        .withColumn(
+            "_entries",
+            F.expr(
+                "map_entries(coalesce(durs, "
+                "cast(map() as map<string,long>)))"
+            ),
         )
     )
+    bumped = (
+        "transform(_entries, e -> named_struct('key', e.key, "
+        "'value', e.value + CASE WHEN e.key = _carry THEN _head_us "
+        "ELSE cast(0 as long) END))"
+    )
+    head_entry = (
+        "array(named_struct('key', _carry, 'value', "
+        f"CASE WHEN n IS NOT NULL THEN _head_us "
+        f"ELSE cast({w_us} as long) END))"
+    )
     interp_entries = (
-        F.when(carry.isNull(), entries)
-        .when(observed & has_carry, bumped)
-        .otherwise(F.concat(entries, head_entry))
+        "CASE WHEN _carry IS NULL THEN _entries "
+        "WHEN n IS NOT NULL AND "
+        f"exists(_entries, e -> e.key = _carry) THEN {bumped} "
+        f"ELSE concat(_entries, {head_entry}) END"
     )
     return dense.select(
         *key_cols,
         F.timestamp_seconds("_eb").alias("bucket"),
-        F.map_from_entries(F.array_sort(interp_entries)).alias("durs"),
+        F.expr(
+            f"map_from_entries(array_sort({interp_entries}))"
+        ).alias("durs"),
         F.coalesce("n", F.lit(0)).alias("n"),
     )

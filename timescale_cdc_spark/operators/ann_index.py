@@ -682,7 +682,7 @@ class StreamingVectorDedup(BandedIndexStore):
             sigs.join(idx, ["chunk", "key"])
             .filter(
                 (F.col("c_id") != F.col("s_id"))
-                & (F.round(cosine(F.col("c_vec"), F.col("s_vec")), 4)
+                & (F.round(cosine("c_vec", "s_vec"), 4)
                    >= self.threshold)
             )
             .select(F.col("c_id").alias(self.id_col))
@@ -701,7 +701,7 @@ class StreamingVectorDedup(BandedIndexStore):
                 self.max_bucket,
             )
             .filter(
-                F.round(cosine(F.col("pa"), F.col("pb")), 4)
+                F.round(cosine("pa", "pb"), 4)
                 >= self.threshold
             )
             .select(F.col("id_b").alias(self.id_col))

@@ -186,11 +186,15 @@ def _word_hash_front(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     review finding)."""
     from timescale_cdc_spark.functions.ident import sql_ident
 
+    # sql_ident everywhere a caller name is referenced: a name with a
+    # dot otherwise parses as a struct-field reference (pinned by
+    # test_expr_string_operators_quote_column_names)
     return (
-        _spread(df)
-        .filter(F.col(text_col).isNotNull())
+        _spread(
+            df.filter(F.expr(f"{sql_ident(text_col)} IS NOT NULL"))
+        )
         .select(
-            F.col(id_col).alias("_id"),
+            F.expr(sql_ident(id_col)).alias("_id"),
             F.expr(
                 rf"transform(split({sql_ident(text_col)}, '\\s+'), "
                 "w -> xxhash64(w))"
@@ -410,14 +414,12 @@ def minhash_lsh_pairs(
     """
     banded = minhash_banded(df, text_col, id_col, shingle_n, num_hashes, bands)
     cand = _banded_candidates(banded, ["band", "bucket"], "_sig", max_bucket)
-    jaccard_est = (
-        F.size(
-            F.filter(
-                F.zip_with("pa", "pb", lambda x, y: x == y),
-                lambda m: m,
-            )
-        )
-        / F.lit(float(num_hashes))
+    # SQL text, not Column lambdas (round 13; see _sig_lanes_sql):
+    # same matching-lane fraction, one parse instead of two py4j
+    # lambda constructions per call
+    jaccard_est = F.expr(
+        "size(filter(zip_with(pa, pb, (x, y) -> x = y), m -> m)) "
+        f"/ cast({float(num_hashes)!r} as double)"
     )
     return (
         cand.withColumn("jaccard_est", jaccard_est)

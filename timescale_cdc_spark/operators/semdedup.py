@@ -120,7 +120,7 @@ def semantic_dedup_marks(
         .join(F.broadcast(cent), "_cell")
         .withColumn(
             "cent_cos",
-            F.round(cosine(F.col("_vec"), F.col("_centroid")), 8),
+            F.round(cosine("_vec", "_centroid"), 8),
         )
         .drop("_centroid")
     )
@@ -141,7 +141,7 @@ def semantic_dedup_marks(
         cond = cond & (F.col("a._r") <= F.lit(max_cluster))
     dup_of_earlier = (
         a.join(b, cond)
-        .withColumn("_cos", cosine(F.col("a._vec"), F.col("b._vec")))
+        .withColumn("_cos", cosine("a._vec", "b._vec"))
         .where(F.col("_cos") >= eps)
         .select(F.col("b._id").alias("_id"))
         .distinct()

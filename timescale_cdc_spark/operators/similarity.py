@@ -32,13 +32,32 @@ def _dot(a, b) -> F.Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of _dot — the same cast-to-double left fold."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
 def _norm(a) -> F.Column:
     return F.sqrt(_dot(a, a))
 
 
 def cosine(a, b) -> F.Column:
     """JVM-expression cosine: sequential left-fold, bit-identical to
-    the DuckDB oracle's list_dot_product — the correctness engine."""
+    the DuckDB oracle's list_dot_product — the correctness engine.
+
+    Pass column NAMES (str) where possible: the whole expression then
+    parses as one SQL string instead of constructing six Column
+    lambdas over py4j (~0.1 s each at plan-build time, round 13);
+    Column arguments keep the identical Column form."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"{_dot_sql(a, b)} / "
+            f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+        )
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -95,7 +114,9 @@ def brute_force_topk(
     score = _cosine_for(engine)
     scored = (
         c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
-        .withColumn("cos", F.round(score(F.col("q_vec"), F.col("c_vec")), round_digits))
+        # names, not Columns: the jvm scorer then builds one parsed
+        # SQL string (see cosine); pandas_udf accepts names too
+        .withColumn("cos", F.round(score("q_vec", "c_vec"), round_digits))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
@@ -243,7 +264,7 @@ def _lsh_rerank(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
         .dropDuplicates(["q_id", "c_id"])
     )
     scored = cand.withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+        "cos", F.round(cosine("q_vec", "c_vec"), 4)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
@@ -510,7 +531,7 @@ def embedding_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        cand.withColumn("cos", F.round(cosine("va", "vb"), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -530,7 +551,7 @@ def embedding_dup_pairs_exact(
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        pairs.withColumn("cos", F.round(cosine("va", "vb"), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -607,7 +628,7 @@ def ivf_topk(
         (assigned._cell == probes._cell) & (F.col("c_id") != F.col("q_id")),
     ).select("q_id", "q_vec", "c_id", "c_vec")
     scored = cand.withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+        "cos", F.round(cosine("q_vec", "c_vec"), 4)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
@@ -737,7 +758,7 @@ def _sq8_scan_refine(
         .select("q_id", "q_vec", "c_id")
     )
     refined = cand.join(raw, "c_id").withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+        "cos", F.round(cosine("q_vec", "c_vec"), 4)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
@@ -1339,7 +1360,7 @@ class IvfSq8Index:
             "c_id", "c_vec"
         )
         refined = shortlist.join(raw_pruned, "c_id").withColumn(
-            "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+            "cos", F.round(cosine("q_vec", "c_vec"), 4)
         )
         w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
         return (

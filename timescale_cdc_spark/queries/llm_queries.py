@@ -424,7 +424,7 @@ def _semdedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     witnessed = (
         a.join(b, (F.col("a._cell") == F.col("b._cell")) & higher)
         .where(
-            cosine(F.col("a.embedding"), F.col("b.embedding"))
+            cosine("a.embedding", "b.embedding")
             >= SEMDEDUP_EPS
         )
         .select(F.col("a.vec_id"))
