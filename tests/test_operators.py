@@ -280,6 +280,37 @@ def test_expr_string_operators_quote_column_names(spark):
     ).collect()[0]
     assert isinstance(row.bits, int)
 
+    # round-13 review regressions: the SQL-text fast paths must quote
+    # interpolated names too (cosine string args; freq_rollup's
+    # bucket_col)
+    from timescale_cdc_spark.functions.freq import (
+        freq_partials,
+        freq_rollup,
+    )
+    from timescale_cdc_spark.operators.similarity import cosine
+
+    pair = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0])], ["my vec", "other vec"]
+    )
+    assert pair.select(
+        cosine("my vec", "other vec").alias("c")
+    ).collect()[0].c == 0.0
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "a")],
+        "user_id long, ts string, event_type string",
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("my ts"),
+        "event_type",
+    )
+    fp = freq_partials(
+        ev, "my ts", ["user_id"], "event_type", "1 hour", 4
+    ).withColumnRenamed("bucket", "my bucket")
+    assert (
+        freq_rollup(fp, ["user_id"], "1 day", bucket_col="my bucket")
+        .count() == 1
+    )
+
 
 @pytest.mark.parametrize(
     "ann_sf_dir", [_sibling_sf_dir("sf0.001"), _sibling_sf_dir("sf0.01")]

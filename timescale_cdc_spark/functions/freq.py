@@ -144,8 +144,11 @@ def freq_rollup(
     # the whole fold as ONE SQL string — see state.state_rollup
     # (round 13) for the build-time rationale; expressions and NULL
     # semantics are the exact Column forms this replaced
+    from timescale_cdc_spark.functions.ident import sql_ident
+
     st = (
-        f"struct(unix_micros({bucket_col}) AS b_us, mg, err, n)"
+        f"struct(unix_micros({sql_ident(bucket_col)}) AS b_us, "
+        "mg, err, n)"
     )
     zero = (
         "named_struct('b_us', cast(0 as long), "

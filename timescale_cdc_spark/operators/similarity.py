@@ -52,11 +52,18 @@ def cosine(a, b) -> F.Column:
     Pass column NAMES (str) where possible: the whole expression then
     parses as one SQL string instead of constructing six Column
     lambdas over py4j (~0.1 s each at plan-build time, round 13);
-    Column arguments keep the identical Column form."""
+    Column arguments keep the identical Column form. A dotted string
+    is spliced verbatim (it is a qualified reference like
+    ``a._vec``); an undotted one is backtick-quoted so names needing
+    quoting keep working (round-13 review)."""
     if isinstance(a, str) and isinstance(b, str):
+        from timescale_cdc_spark.functions.ident import sql_ident
+
+        qa = a if "." in a else sql_ident(a)
+        qb = b if "." in b else sql_ident(b)
         return F.expr(
-            f"{_dot_sql(a, b)} / "
-            f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+            f"{_dot_sql(qa, qb)} / "
+            f"(sqrt({_dot_sql(qa, qa)}) * sqrt({_dot_sql(qb, qb)}))"
         )
     return _dot(a, b) / (_norm(a) * _norm(b))
 
