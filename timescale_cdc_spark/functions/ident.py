@@ -17,3 +17,13 @@ def sql_ident(name: str) -> str:
     text; embedded backticks are escaped by doubling (Spark's rule)."""
     escaped = name.replace("`", "``")
     return f"`{escaped}`"
+
+
+def sql_qualified(alias: str, name: str) -> str:
+    """An explicitly alias-qualified reference (``alias``.``name``)
+    for interpolation into SQL text. Callers who mean a qualified
+    reference build it HERE, so string-accepting operators like
+    ``similarity.cosine`` can treat every un-backticked string as one
+    plain (possibly dotted) column name instead of guessing whether a
+    dot means qualification (ADVICE r13)."""
+    return f"{sql_ident(alias)}.{sql_ident(name)}"

@@ -96,10 +96,17 @@ def connected_components(
     Node ids must be integral (the star steps order labels as
     longs). STRING ids holding integral text stay supported (they
     cast('long') correctly and pre-r12 pipelines relied on it —
-    ADVICE r12): they are validated up front with one cheap
-    try_cast probe per column, so a non-numeric id raises here with
-    guidance instead of the silent-NULL (non-ANSI) or opaque
-    mid-job cast error (ANSI) a blind ``cast('long')`` produces.
+    ADVICE r12): they are validated up front with one try_cast probe
+    per column, so a non-numeric id raises here with guidance instead
+    of the silent-NULL (non-ANSI) or opaque mid-job cast error (ANSI)
+    a blind ``cast('long')`` produces. Two caveats of that support
+    (ADVICE r13): (1) the probe makes construction EAGER for string
+    ids — one full Spark scan of the pairs runs at call time, because
+    on clean data the not-castable filter matches nothing and
+    limit(1) cannot short-circuit; integral ids stay lazy. (2) string
+    ids are CANONICALIZED by their numeric value — '01' and '1' are
+    the same node, exactly as they would be after the numeric
+    surrogate mapping below. Pass ids pre-cast to long to avoid both.
     Other id types raise — curate(transitive=True) inherits this
     constraint; its transitive=False path has no id-type restriction
     (round-12 review finding)."""

@@ -209,9 +209,15 @@ def _shingle_hash_sql(shingle_n: int) -> str:
     concat_ws string shingles), masked to the full 31 low bits.
     Masking with _MERSENNE_31 - 1 (0x7FFFFFFE) would zero bit 0 of
     every hash, making h and h|1 always collide and halving the
-    effective hash space."""
+    effective hash space.
+
+    try_element_at, not element_at: docs shorter than ``shingle_n``
+    index past the word-hash array, which must yield NULL (xxhash64
+    skips NULL args) under ANSI mode too — element_at would throw
+    there, and freq.py already hardens its folds the same way
+    (ADVICE r13)."""
     shingle_args = ", ".join(
-        f"element_at(_hw, i+{j + 1})" for j in range(shingle_n)
+        f"try_element_at(_hw, i+{j + 1})" for j in range(shingle_n)
     )
     return (
         f"transform(sequence(0, greatest(size(_hw) - {shingle_n}, 0)), "
@@ -221,9 +227,12 @@ def _shingle_hash_sql(shingle_n: int) -> str:
 
 def _sig_lanes_sql(num_hashes: int) -> str:
     """SQL for the k-lane MinHash signature over ``_hs``: each lane is
-    a zero-allocation aggregate() fold taking the min affine transform
-    (least() skips the NULLs an out-of-range element_at produced, same
-    as the agg-min the fold replaced).
+    a zero-allocation aggregate() fold taking the min affine transform.
+    The element_at calls here are over the LITERAL (a, b) parameter
+    arrays indexed by sequence(1, k) — always in range, never NULL;
+    the fold matches the agg-min it replaced because the init value
+    _MERSENNE_31 dominates every (h*a+b)%p term (ADVICE r13 corrected
+    an earlier comment that claimed least() was skipping NULLs).
 
     The k lanes are a SQL-side transform() loop over literal (a, b)
     parameter arrays, not k unrolled expression strings: unrolled, the

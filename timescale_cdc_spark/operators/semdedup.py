@@ -38,6 +38,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timescale_cdc_spark.functions.ident import sql_qualified
 from timescale_cdc_spark.operators.similarity import cosine
 
 #: 'auto' sample_fraction caps the KMeans fit input at this many rows.
@@ -141,7 +142,10 @@ def semantic_dedup_marks(
         cond = cond & (F.col("a._r") <= F.lit(max_cluster))
     dup_of_earlier = (
         a.join(b, cond)
-        .withColumn("_cos", cosine("a._vec", "b._vec"))
+        .withColumn(
+            "_cos",
+            cosine(sql_qualified("a", "_vec"), sql_qualified("b", "_vec")),
+        )
         .where(F.col("_cos") >= eps)
         .select(F.col("b._id").alias("_id"))
         .distinct()

@@ -51,16 +51,19 @@ def cosine(a, b) -> F.Column:
 
     Pass column NAMES (str) where possible: the whole expression then
     parses as one SQL string instead of constructing six Column
-    lambdas over py4j (~0.1 s each at plan-build time, round 13);
-    Column arguments keep the identical Column form. A dotted string
-    is spliced verbatim (it is a qualified reference like
-    ``a._vec``); an undotted one is backtick-quoted so names needing
-    quoting keep working (round-13 review)."""
+    lambdas over py4j (~0.1 s each at plan-build time, round 13).
+    A plain string is always backtick-quoted as ONE column name —
+    dots included, so a column literally named ``price.usd`` resolves
+    correctly (ADVICE r13). For an alias-qualified reference, pass a
+    pre-quoted string built by
+    :func:`timescale_cdc_spark.functions.ident.sql_qualified`
+    (detected by the leading backtick and spliced verbatim), or a
+    Column."""
     if isinstance(a, str) and isinstance(b, str):
         from timescale_cdc_spark.functions.ident import sql_ident
 
-        qa = a if "." in a else sql_ident(a)
-        qb = b if "." in b else sql_ident(b)
+        qa = a if a.startswith("`") else sql_ident(a)
+        qb = b if b.startswith("`") else sql_ident(b)
         return F.expr(
             f"{_dot_sql(qa, qb)} / "
             f"(sqrt({_dot_sql(qa, qa)}) * sqrt({_dot_sql(qb, qb)}))"
@@ -911,6 +914,10 @@ class Sq8Index:
         if n:
             missing.write.mode("append").parquet(self._codes_path)
             self.spark.catalog.refreshByPath(self._codes_path)
+        # release the checkpointed blocks once the append has
+        # committed — repeated repair() calls would otherwise
+        # accumulate them until GC (ADVICE r13)
+        missing.unpersist()
         return n
 
     def staleness(self) -> dict:
@@ -1250,6 +1257,9 @@ class IvfSq8Index:
                 self._codes_path
             )
             self.spark.catalog.refreshByPath(self._codes_path)
+        # release the checkpointed blocks once the append committed
+        # (ADVICE r13 — same rationale as Sq8Index.repair)
+        missing.unpersist()
         return n
 
     def staleness(self) -> dict:

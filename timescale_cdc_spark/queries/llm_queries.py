@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timescale_cdc_spark.functions.ident import sql_qualified
 from timescale_cdc_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -307,9 +308,12 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.expr(
+            # try_element_at: ANSI-safe past-the-end NULLs on docs
+            # shorter than the shingle width (ADVICE r13, matches
+            # dedup._shingle_hash_sql)
             "array_distinct(transform(sequence(0, greatest(size(_hw) - 3, 0)), "
-            "i -> xxhash64(element_at(_hw, i+1), element_at(_hw, i+2), "
-            "element_at(_hw, i+3))))"
+            "i -> xxhash64(try_element_at(_hw, i+1), try_element_at(_hw, i+2), "
+            "try_element_at(_hw, i+3))))"
         ).alias("sh"),
         F.array_distinct("_hw").alias("tk"),
     )
@@ -424,7 +428,10 @@ def _semdedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     witnessed = (
         a.join(b, (F.col("a._cell") == F.col("b._cell")) & higher)
         .where(
-            cosine("a.embedding", "b.embedding")
+            cosine(
+                sql_qualified("a", "embedding"),
+                sql_qualified("b", "embedding"),
+            )
             >= SEMDEDUP_EPS
         )
         .select(F.col("a.vec_id"))
