@@ -141,9 +141,52 @@ def main() -> None:
                 ),
                 "rebuild_recommended": s["rebuild_recommended"],
             }
+            # stage 3 (round 14, VERDICT r13 #4): TAKEDOWN of the
+            # drifted batch — delete() must hide every drifted id
+            # immediately, deleted_fraction (50k/450k ≈ 11%) must flip
+            # compact_recommended, and compact() must purge physically
+            # while returning the index to its stage-1 state (the
+            # drift's clamp/qerr signal leaves WITH its rows).
+            t0 = time.time()
+            n_del = idx.delete(drift.select("vec_id"))
+            t_delete = time.time() - t0
+            assert n_del == n_drift, (name, n_del)
+            s = idx.staleness()
+            r3_build = _recall(idx, q_build, pool, qkw)
+            r3_app = _recall(idx, q_app, pool, qkw)
+            deleted_seen = {
+                r.c_id
+                for r in idx.topk(
+                    q_build.unionByName(q_app), k=5, **qkw
+                ).collect()
+                if r.c_id >= n_build + n_append
+            }
+            stages["3_takedown"] = {
+                "recall_build_q": r3_build,
+                "recall_appended_q": r3_app,
+                "deleted_fraction": round(s["deleted_fraction"], 4),
+                "compact_recommended": s["compact_recommended"],
+                "rebuild_recommended": s["rebuild_recommended"],
+                "deleted_ids_in_topk": len(deleted_seen),
+            }
+
+            t0 = time.time()
+            n_live = idx.compact()
+            t_compact = time.time() - t0
+            s = idx.staleness()
+            stages["4_compacted"] = {
+                "live_rows": n_live,
+                "recall_build_q": _recall(idx, q_build, pool, qkw),
+                "recall_appended_q": _recall(idx, q_app, pool, qkw),
+                "deleted_fraction": round(s["deleted_fraction"], 4),
+                "compact_recommended": s["compact_recommended"],
+                "rebuild_recommended": s["rebuild_recommended"],
+            }
             report["stages"][name] = {
                 "build_sec": round(t_build, 2),
                 "append_sec": round(t_append, 2),
+                "delete_sec": round(t_delete, 2),
+                "compact_sec": round(t_compact, 2),
                 **stages,
             }
 
@@ -162,6 +205,19 @@ def main() -> None:
         assert not st["1_in_dist_append"]["rebuild_recommended"], (name, st)
         # …and the drift stage MUST flip it (clamp/qerr or volume)
         assert st["2_drift_append"]["rebuild_recommended"], (name, st)
+        # takedown (round 14): no deleted id survives in any topk,
+        # the >10% dead share recommends compaction, and recall over
+        # the LIVE corpus holds through delete AND compact
+        t3, t4 = st["3_takedown"], st["4_compacted"]
+        assert t3["deleted_ids_in_topk"] == 0, (name, st)
+        assert t3["compact_recommended"], (name, st)
+        assert t3["recall_appended_q"] >= 0.8, (name, st)
+        assert t4["deleted_fraction"] == 0.0, (name, st)
+        assert not t4["compact_recommended"], (name, st)
+        assert t4["recall_appended_q"] >= 0.8, (name, st)
+        # purging the drift removes its staleness signal with it:
+        # the index is back to its (unflagged) stage-1 state
+        assert not t4["rebuild_recommended"], (name, st)
 
 
 if __name__ == "__main__":

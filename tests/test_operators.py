@@ -3064,3 +3064,181 @@ def test_perplexity_buckets_single_bucket_guard(spark):
         perplexity_buckets(
             docs, lm, oov, "text", "doc_id", n_buckets=0
         )
+
+
+# ---------------------------------------------------------------------------
+# round 14 (VERDICT r13 #4): delete/tombstone maintenance for the
+# persisted ANN indexes
+# ---------------------------------------------------------------------------
+
+
+def _tomb_dir(path):
+    import os
+
+    return os.path.join(str(path), "tombstones")
+
+
+def test_ivf_index_delete_compact_purges(spark, sf_dir, tmp_path):
+    """IvfIndex takedown path: delete() hides ids from topk/corpus
+    immediately (anti-join, no rewrite), staleness() reports the
+    deleted fraction and flips compact_recommended past 10%, and
+    compact() physically purges the rows + clears the tombstones
+    while leaving surviving results bit-identical."""
+    import os
+
+    from timescale_cdc_spark.operators.ann_index import IvfIndex
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_d")
+    idx = IvfIndex(spark, path).build(em, n_clusters=8)
+    n_all = em.count()
+
+    before = {(r.q_id, r.c_id, r.cos)
+              for r in idx.topk(queries, k=5, n_probe=3).collect()}
+    victims = sorted({r[1] for r in before})[:3]
+
+    assert idx.delete(victims) == 3
+    assert idx.delete(victims) == 0  # idempotent: already tombstoned
+    # immediate: deleted ids leave corpus() and every topk at once
+    assert idx.corpus().count() == n_all - 3
+    during = {(r.q_id, r.c_id, r.cos)
+              for r in idx.topk(queries, k=5, n_probe=3).collect()}
+    assert not {p for p in during if p[1] in set(victims)}
+    assert during != before  # the victims were in before's pairs
+
+    s = idx.staleness()
+    assert abs(s["deleted_fraction"] - 3 / n_all) < 1e-9
+    assert not s["compact_recommended"]  # 3 ids << 10%
+    # live accounting: build-time rows deleted → clamped at 0
+    assert s["appended_fraction"] == 0.0 and s["n_now"] == n_all - 3
+
+    rewritten = idx.compact()
+    assert rewritten == n_all - 3
+    assert not os.path.isdir(_tomb_dir(path))
+    # physically gone: the bare scan (no tombstone filter) agrees
+    bare = spark.read.parquet(os.path.join(path, "corpus"))
+    assert bare.count() == n_all - 3
+    assert bare.filter(F.col("c_id").isin(victims)).count() == 0
+    after = {(r.q_id, r.c_id, r.cos)
+             for r in idx.topk(queries, k=5, n_probe=3).collect()}
+    assert after == during
+    # the deleted-share trigger flips once past 10%
+    many = [r["vec_id"] for r in
+            em.select("vec_id").orderBy("vec_id").limit(
+                int(n_all * 0.12) + 1).collect()]
+    idx.delete(many)
+    assert idx.staleness()["compact_recommended"]
+
+
+def test_lsh_index_delete_compact(spark, sf_dir, tmp_path):
+    """LshIndex: delete() drops an id out of every band at once
+    (DataFrame-shaped ids), deleted_fraction() is the id-level share,
+    and compact() rewrites the banded table minus the dead ids behind
+    the crash-safe swap (tmp/old debris recovered first)."""
+    import os
+    import shutil
+
+    from timescale_cdc_spark.operators.ann_index import LshIndex
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "lsh_d")
+    idx = LshIndex(spark, path).build(em)
+    n_ids = em.count()
+    chunks = idx._config()["chunks"]
+    assert idx.banded().count() == n_ids * chunks
+
+    before = {(r.q_id, r.c_id, r.rank, r.cos)
+              for r in idx.topk(queries, k=5).collect()}
+    victims = sorted({r[1] for r in before})[:2]
+    # DataFrame-shaped delete batch (extra columns ignored)
+    batch = em.filter(F.col("vec_id").isin(victims))
+    assert idx.delete(batch) == 2
+    assert idx.banded().count() == (n_ids - 2) * chunks
+    assert abs(idx.deleted_fraction() - 2 / n_ids) < 1e-9
+    during = {(r.q_id, r.c_id, r.rank, r.cos)
+              for r in idx.topk(queries, k=5).collect()}
+    assert not {p for p in during if p[1] in set(victims)}
+
+    # crash debris from an interrupted prior compact must self-heal
+    banded_dir = os.path.join(path, "banded")
+    shutil.copytree(banded_dir, banded_dir + "._purge_tmp")
+    assert idx.compact() == (n_ids - 2) * chunks
+    assert not os.path.isdir(_tomb_dir(path))
+    assert not os.path.isdir(banded_dir + "._purge_tmp")
+    bare = spark.read.parquet(banded_dir)
+    assert bare.count() == (n_ids - 2) * chunks
+    assert bare.filter(F.col("c_id").isin(victims)).count() == 0
+    assert idx.deleted_fraction() == 0.0
+    after = {(r.q_id, r.c_id, r.rank, r.cos)
+             for r in idx.topk(queries, k=5).collect()}
+    assert after == during
+
+
+def test_sq8_families_delete_compact(spark, sf_dir, tmp_path):
+    """Sq8Index + IvfSq8Index: a deleted id leaves the compressed
+    shortlist AND the exact refine at once (no half-deleted state),
+    compact() purges codes and raw together, and the IVF variant's
+    cell partitioning survives the purge (probes keep pruning)."""
+    import os
+
+    from timescale_cdc_spark.operators.similarity import (
+        IvfSq8Index,
+        Sq8Index,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_all = em.count()
+    victim = em.orderBy("vec_id").first()
+    q = spark.createDataFrame(
+        [(1, victim["embedding"])], "vec_id long, embedding array<double>"
+    )
+
+    for cls, path, kw in (
+        (Sq8Index, str(tmp_path / "sq8_d"), {}),
+        (IvfSq8Index, str(tmp_path / "ivfsq8_d"), {"n_cells": 4}),
+    ):
+        idx = cls(spark, path).build(em, **kw)
+        topkw = {"n_probe": 4} if cls is IvfSq8Index else {}
+        assert victim["vec_id"] in {
+            r["c_id"]
+            for r in idx.topk(q, k=3, rerank=20, **topkw).collect()
+        }
+        assert idx.delete([victim["vec_id"]]) == 1
+        assert idx.codes().count() == n_all - 1
+        assert idx.raw().count() == n_all - 1
+        got = {
+            r["c_id"]
+            for r in idx.topk(q, k=3, rerank=20, **topkw).collect()
+        }
+        assert victim["vec_id"] not in got
+        s = idx.staleness()
+        assert abs(s["deleted_fraction"] - 1 / n_all) < 1e-9
+        assert s["appended_fraction"] == 0.0  # clamped, not negative
+
+        assert idx.compact() == n_all - 1
+        assert not os.path.isdir(_tomb_dir(path))
+        for sub in ("codes", "raw"):
+            bare = spark.read.parquet(os.path.join(path, sub))
+            assert bare.count() == n_all - 1
+            assert bare.filter(
+                F.col("c_id") == victim["vec_id"]
+            ).count() == 0
+        if cls is IvfSq8Index:
+            # cell layout survives: partition dirs still present and
+            # the probe path still partition-prunes
+            cells = [n for n in os.listdir(os.path.join(path, "codes"))
+                     if n.startswith("_cell=")]
+            assert cells
+            plan = (
+                idx.topk(q, k=3, rerank=20, **topkw)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "PartitionFilters" in plan and "_cell" in plan
+        assert {
+            r["c_id"]
+            for r in idx.topk(q, k=3, rerank=20, **topkw).collect()
+        } == got

@@ -178,15 +178,32 @@ class IvfIndex:
             .parquet(self._corpus_path)
         )
 
+    def delete(self, ids, id_col: str = "vec_id") -> int:
+        """Tombstone deletions (round 14, VERDICT r13 #4 — the
+        takedown path). Takes effect immediately: every read goes
+        through :meth:`corpus`, which anti-joins the tombstone set,
+        so deleted vectors vanish from topk/staleness at once. Bytes
+        are reclaimed by the next :meth:`compact`, which also drops
+        the tombstones it purged. ``ids``: DataFrame with ``id_col``
+        or an iterable of id values. Returns newly recorded ids."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.add_tombstones(self.spark, self.path, ids, id_col)
+
     def compact(self, target_files: int = 1) -> int:
         """Rewrite each cell directory's accumulated small files
         (every :meth:`append` adds one batch of files per touched
         cell) into ``target_files`` sorted files — the same
         leaf-granular atomic-swap compaction the event log uses
         (cdc/retention.py::_compact_dir, incl. its crash recovery).
-        Cell contents are unchanged, so probes/recall are unaffected;
-        only file-open overhead shrinks. Single-writer contract, like
-        all maintenance here. Returns rows rewritten.
+        Round 14: the rewrite also PURGES tombstoned rows (each leaf
+        anti-joins the deleted-id set) and clears the tombstone dir
+        LAST — a crash mid-purge leaves tombstones in place, so reads
+        stay filtered and the next compact finishes. LIVE cell
+        contents are unchanged, so probes/recall are unaffected; only
+        file-open overhead (and deleted bytes) shrink. Single-writer
+        contract, like all maintenance here. Returns live rows
+        rewritten.
 
         Crash recovery (ADVICE r6): a crash between the two renames
         below leaves ``_cell=N._compact_old`` holding the only copy of
@@ -198,10 +215,12 @@ class IvfIndex:
         import os
 
         from timescale_cdc_spark.cdc.retention import _recover_dir
+        from timescale_cdc_spark.operators import tombstones as tb
 
         total = 0
         if not os.path.isdir(self._corpus_path):
             return 0
+        dead = tb.read_tombstones(self.spark, self.path)
         # Recovery sweep FIRST: each *._compact_old names a leaf whose
         # live dir may have been lost mid-swap; _recover_dir restores
         # it and clears tmp debris. os.listdir is snapshotted before
@@ -220,6 +239,8 @@ class IvfIndex:
             if not os.path.isdir(leaf):
                 continue
             df = self.spark.read.parquet(leaf)
+            if dead is not None:
+                df = df.join(F.broadcast(dead), "c_id", "left_anti")
             n = df.count()
             tmp = leaf + "._compact_tmp"
             (
@@ -235,6 +256,10 @@ class IvfIndex:
 
             shutil.rmtree(old)
             total += n
+        # every leaf committed → the purged ids are physically gone;
+        # dropping the tombstones LAST keeps reads correct through
+        # any crash window above
+        tb.clear_tombstones(self.spark, self.path)
         self.spark.catalog.refreshByPath(self._corpus_path)
         return total
 
@@ -249,8 +274,16 @@ class IvfIndex:
           append volume (new vectors far from every centroid).
         - ``cell_imbalance``: max cell size / mean cell size — a hot
           cell degrades probe cost even when recall holds.
+        - ``deleted_fraction`` (round 14): tombstoned share of the
+          stored rows — dead bytes every probe still scans past until
+          :meth:`compact` purges them; ``compact_recommended`` flips
+          at > 0.10.
         - ``rebuild_recommended``: True once appended_fraction > 0.25
           or qerr_ratio > 1.5.
+
+        ``n_now``/``appended_fraction`` count LIVE rows (deletes of
+        build-time rows can push the raw difference negative — it is
+        clamped at 0; the deleted fraction carries that signal).
 
         One pruned-free corpus scan (count + one agg) — cheap relative
         to a rebuild's KMeans fit; run it on the maintenance cadence,
@@ -272,11 +305,19 @@ class IvfIndex:
             )
             .collect()[0]
         )
-        appended_fraction = (cur["n_now"] - meta["n_at_build"]) / cur["n_now"]
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        appended_fraction = max(
+            0.0, (cur["n_now"] - meta["n_at_build"]) / cur["n_now"]
+        )
         qerr_ratio = (
             cur["qerr_now"] / meta["qerr_at_build"]
             if meta["qerr_at_build"]
             else 1.0
+        )
+        n_dead = tb.count_tombstones(self.spark, self.path)
+        deleted_fraction = (
+            n_dead / (cur["n_now"] + n_dead) if n_dead else 0.0
         )
         return {
             "n_at_build": meta["n_at_build"],
@@ -284,6 +325,8 @@ class IvfIndex:
             "appended_fraction": appended_fraction,
             "qerr_ratio": qerr_ratio,
             "cell_imbalance": cur["cell_imbalance"],
+            "deleted_fraction": deleted_fraction,
+            "compact_recommended": bool(deleted_fraction > 0.10),
             "rebuild_recommended": bool(
                 appended_fraction > 0.25 or qerr_ratio > 1.5
             ),
@@ -295,7 +338,16 @@ class IvfIndex:
         return self.spark.read.parquet(self._centroids_path)
 
     def corpus(self) -> DataFrame:
-        return self.spark.read.parquet(self._corpus_path)
+        """LIVE corpus rows: tombstoned ids are anti-joined out (zero
+        overhead until the first :meth:`delete`), so every consumer —
+        topk candidates, staleness counts — sees deletes immediately.
+        The ``_cell`` partition filter still prunes: Catalyst pushes
+        it through the anti-join to the scan."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.filter_live(
+            self.spark, self.path, self.spark.read.parquet(self._corpus_path)
+        )
 
     def topk(
         self,
@@ -509,8 +561,60 @@ class LshIndex:
             self._banded_path
         )
 
+    def delete(self, ids, id_col: str = "vec_id") -> int:
+        """Tombstone deletions (round 14, VERDICT r13 #4): effective
+        immediately through :meth:`banded`'s anti-join (a deleted id
+        drops out of every band at once); bytes reclaimed by
+        :meth:`compact`. Returns newly recorded ids."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.add_tombstones(self.spark, self.path, ids, id_col)
+
+    def compact(self) -> int:
+        """Physically purge tombstoned rows: rewrite the banded table
+        minus the deleted-id set behind the atomic two-rename swap
+        (same partition layout), then clear the tombstones LAST —
+        crash-safe exactly like IvfIndex.compact. Returns live banded
+        rows rewritten. (Band contents are data-independent sketches,
+        so a purged table is bit-equivalent to a fresh build over the
+        live corpus — the same no-drift property appends enjoy.)"""
+        import os
+
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        if not os.path.isdir(self._banded_path):
+            return 0
+        tb.recover_swap(self._banded_path)
+        live = self.banded()
+        n = live.count()
+        tb.swap_rewrite(
+            self.spark, self._banded_path, live, ("chunk", "kp")
+        )
+        tb.clear_tombstones(self.spark, self.path)
+        return n
+
+    def deleted_fraction(self) -> float:
+        """Tombstoned share of stored ids (each id stores ``chunks``
+        banded rows, so the id-level fraction equals the row-level
+        one). The compaction trigger — LSH has no other staleness
+        signal (see the class docstring)."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        n_dead = tb.count_tombstones(self.spark, self.path)
+        if not n_dead:
+            return 0.0
+        cfg = self._config()
+        n_live_ids = self.banded().count() / cfg["chunks"]
+        return n_dead / (n_live_ids + n_dead)
+
     def banded(self) -> DataFrame:
-        return self.spark.read.parquet(self._banded_path)
+        """LIVE banded rows (tombstoned ids anti-joined out; zero
+        overhead until the first :meth:`delete`)."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.filter_live(
+            self.spark, self.path, self.spark.read.parquet(self._banded_path)
+        )
 
     def topk(self, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -836,16 +836,59 @@ class Sq8Index:
         return self
 
     def codes(self) -> DataFrame:
-        return self.spark.read.parquet(self._codes_path)
+        """LIVE code rows (tombstoned ids anti-joined out — zero
+        overhead until the first :meth:`delete`)."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.filter_live(
+            self.spark, self.path, self.spark.read.parquet(self._codes_path)
+        )
 
     def raw(self) -> DataFrame:
-        return self.spark.read.parquet(self._raw_path)
+        """LIVE raw rows (same tombstone filter as :meth:`codes`)."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.filter_live(
+            self.spark, self.path, self.spark.read.parquet(self._raw_path)
+        )
 
     def meta(self) -> dict:
         return self.spark.read.parquet(self._meta_path).first().asDict()
 
     # -- maintenance (round 12, VERDICT r11 #4: the ann_index.IvfIndex
     # append/staleness contract for the SQ8 family) ---------------------------
+
+    def delete(self, ids, id_col: str = "vec_id") -> int:
+        """Tombstone deletions (round 14, VERDICT r13 #4): effective
+        immediately — :meth:`codes` and :meth:`raw` both anti-join
+        the tombstone set, so a deleted id leaves the compressed
+        shortlist AND the exact refine at once (no half-deleted state
+        is observable). Bytes reclaimed by :meth:`compact`. Returns
+        newly recorded ids."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.add_tombstones(self.spark, self.path, ids, id_col)
+
+    def compact(self) -> int:
+        """Physically purge tombstoned rows from codes AND raw behind
+        atomic two-rename swaps, clearing the tombstones LAST (a
+        crash between the two rewrites leaves the tombstones in
+        place, so reads stay filtered and consistent; the next
+        compact finishes). Returns live corpus rows."""
+        import os
+
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        if not os.path.isdir(self._raw_path):
+            return 0
+        tb.recover_swap(self._codes_path)
+        tb.recover_swap(self._raw_path)
+        live_raw = self.raw()
+        n = live_raw.count()
+        tb.swap_rewrite(self.spark, self._codes_path, self.codes())
+        tb.swap_rewrite(self.spark, self._raw_path, live_raw)
+        tb.clear_tombstones(self.spark, self.path)
+        return n
 
     def append(
         self,
@@ -929,7 +972,15 @@ class Sq8Index:
         outlier whose compressed ranking is degraded).
         ``rebuild_recommended`` once appended_fraction > 0.25 or
         clamp_fraction > 0.10. One corpus scan — run on the
-        maintenance cadence, not per query."""
+        maintenance cadence, not per query.
+
+        Round 14 (VERDICT r13 #4): plus ``deleted_fraction`` (the
+        tombstoned share of stored rows; ``compact_recommended`` at
+        > 0.10). ``n_now``/``appended_fraction`` count LIVE rows —
+        the raw difference is clamped at 0 when deletes of build-time
+        rows push it negative."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
         info = self.meta()
         bounds = _sq8_bounds_frame(
             self.spark, list(info["_vmin"]), list(info["_scale"])
@@ -956,16 +1007,22 @@ class Sq8Index:
             .collect()[0]
         )
         appended_fraction = (
-            (cur["n_now"] - info["n_at_build"]) / cur["n_now"]
+            max(0.0, (cur["n_now"] - info["n_at_build"]) / cur["n_now"])
             if cur["n_now"]
             else 0.0
         )
         clamp_fraction = float(cur["clamp_fraction"] or 0.0)
+        n_dead = tb.count_tombstones(self.spark, self.path)
+        deleted_fraction = (
+            n_dead / (cur["n_now"] + n_dead) if n_dead else 0.0
+        )
         return {
             "n_at_build": info["n_at_build"],
             "n_now": cur["n_now"],
             "appended_fraction": appended_fraction,
             "clamp_fraction": clamp_fraction,
+            "deleted_fraction": deleted_fraction,
+            "compact_recommended": bool(deleted_fraction > 0.10),
             "rebuild_recommended": bool(
                 appended_fraction > 0.25 or clamp_fraction > 0.10
             ),
@@ -1126,13 +1183,70 @@ class IvfSq8Index:
         return self.spark.read.parquet(self._centroids_path)
 
     def codes(self) -> DataFrame:
-        return self.spark.read.parquet(self._codes_path)
+        """LIVE code rows (tombstoned ids anti-joined out — zero
+        overhead until the first :meth:`delete`). The ``_cell``
+        partition filter still prunes: Catalyst pushes it through the
+        anti-join to the scan."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.filter_live(
+            self.spark, self.path, self.spark.read.parquet(self._codes_path)
+        )
 
     def raw(self) -> DataFrame:
-        return self.spark.read.parquet(self._raw_path)
+        """LIVE raw rows (same tombstone filter as :meth:`codes`)."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.filter_live(
+            self.spark, self.path, self.spark.read.parquet(self._raw_path)
+        )
 
     def meta(self) -> dict:
         return self.spark.read.parquet(self._meta_path).first().asDict()
+
+    def delete(self, ids, id_col: str = "vec_id") -> int:
+        """Tombstone deletions (round 14, VERDICT r13 #4): effective
+        immediately — :meth:`codes` and :meth:`raw` both anti-join
+        the tombstone set, so a deleted id leaves the pruned
+        compressed shortlist AND the exact refine at once. Bytes
+        reclaimed by :meth:`compact`. Returns newly recorded ids."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.add_tombstones(self.spark, self.path, ids, id_col)
+
+    def compact(self) -> int:
+        """Physically purge tombstoned rows from codes AND raw behind
+        atomic two-rename swaps (cell partitioning preserved — probes
+        keep pruning), clearing the tombstones LAST: a crash between
+        the rewrites leaves the tombstones in place, so reads stay
+        filtered and consistent, and the next compact finishes. Also
+        folds each cell's accumulated append-batch files back together
+        (``repartition("_cell")`` before the partitioned write).
+        Returns live corpus rows."""
+        import os
+
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        if not os.path.isdir(self._raw_path):
+            return 0
+        tb.recover_swap(self._codes_path)
+        tb.recover_swap(self._raw_path)
+        live_raw = self.raw()
+        n = live_raw.count()
+        tb.swap_rewrite(
+            self.spark,
+            self._codes_path,
+            self.codes().repartition("_cell"),
+            ("_cell",),
+        )
+        tb.swap_rewrite(
+            self.spark,
+            self._raw_path,
+            live_raw.repartition("_cell"),
+            ("_cell",),
+        )
+        tb.clear_tombstones(self.spark, self.path)
+        return n
 
     @staticmethod
     def _res_l2_sq() -> F.Column:
@@ -1269,7 +1383,17 @@ class IvfSq8Index:
         drift even at low append volume), cell_imbalance (max/mean
         cell size — a hot cell degrades probe cost), and
         rebuild_recommended (appended_fraction > 0.25 or qerr_ratio >
-        1.5). One corpus scan + one agg; maintenance-cadence cheap."""
+        1.5). One corpus scan + one agg; maintenance-cadence cheap.
+
+        Round 14 (VERDICT r13 #4): plus ``deleted_fraction`` — the
+        tombstoned share of stored rows (dead bytes probes still scan
+        past until :meth:`compact`); ``compact_recommended`` flips at
+        > 0.10. ``n_now``/``appended_fraction`` count LIVE rows, so
+        deletes of build-time rows can push the raw difference
+        negative — clamped at 0 (the deleted fraction carries that
+        signal)."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
         info = self.meta()
         cur = (
             self.raw()
@@ -1287,7 +1411,7 @@ class IvfSq8Index:
             .collect()[0]
         )
         appended_fraction = (
-            (cur["n_now"] - info["n_at_build"]) / cur["n_now"]
+            max(0.0, (cur["n_now"] - info["n_at_build"]) / cur["n_now"])
             if cur["n_now"]
             else 0.0
         )
@@ -1296,12 +1420,18 @@ class IvfSq8Index:
             if info.get("qerr_at_build")
             else 1.0
         )
+        n_dead = tb.count_tombstones(self.spark, self.path)
+        deleted_fraction = (
+            n_dead / (cur["n_now"] + n_dead) if n_dead else 0.0
+        )
         return {
             "n_at_build": info["n_at_build"],
             "n_now": cur["n_now"],
             "appended_fraction": appended_fraction,
             "qerr_ratio": qerr_ratio,
             "cell_imbalance": cur["cell_imbalance"],
+            "deleted_fraction": deleted_fraction,
+            "compact_recommended": bool(deleted_fraction > 0.10),
             "rebuild_recommended": bool(
                 appended_fraction > 0.25 or qerr_ratio > 1.5
             ),
