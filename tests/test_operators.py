@@ -1532,10 +1532,12 @@ def test_curate_with_semantic_stage(spark, sf_dir):
 
 
 def test_lttb_asap_registered_row_counts(spark):
-    """Pin the round-9 downsample entry's per-method counts at the
-    driver's SF (rows-only: the count IS the signal — 0 rows in a
-    method means one of its in-plan gates fired; a different count
-    means selection or the ASAP window search changed)."""
+    """Pin the downsample entry's count at the driver's SF. Since
+    round 14 the entry emits the LTTB selection only (hash-checked
+    against the recursive-CTE DuckDB oracle); ASAP runs in-plan as a
+    gated family — 0 rows here means an ASAP gate fired (the count
+    doubles as the ASAP regression signal now that asap rows are no
+    longer emitted)."""
     from timescale_cdc_spark.queries.library import lib_lttb_asap_downsample
 
     out = lib_lttb_asap_downsample(spark, _sibling_sf_dir("sf0.01"))
@@ -1543,8 +1545,8 @@ def test_lttb_asap_registered_row_counts(spark):
         r["method"]: r["n"]
         for r in out.groupBy("method").agg(F.count("*").alias("n")).collect()
     }
-    # lttb: 5 series x n_out=100; asap: Σ per-series (reduced_len - w + 1)
-    assert per == {"lttb": 500, "asap": 979}, per
+    # lttb: 5 series x n_out=100; asap gates passed (else 0 rows)
+    assert per == {"lttb": 500}, per
 
 
 # ---------------------------------------------------------------------------

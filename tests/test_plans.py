@@ -154,16 +154,18 @@ def test_lib_entries_scan_facts_once(spark, sf_dir):
     Round 13 (ADVICE r12): the r12 relaxation n_file <= n_mem could
     mask a union branch re-scanning parquet (+1 FileScan) offset by an
     incidental extra cache-on-cache read (+1 InMemoryTableScan) —
-    the EXPECTED cache-on-cache surplus is pinned per entry instead
-    (lib_m4's ppl family builds its LM token-count cache FROM the
-    cached docs frame: one InMemoryTableScan with no FileScan of its
-    own; the other two entries have none), so an offsetting FileScan
-    regression shifts the pinned pair and trips. When an entry's
-    structure legitimately changes, re-measure and re-pin."""
+    the EXPECTED cache-on-cache surplus is pinned per entry instead,
+    so an offsetting FileScan regression shifts the pinned pair and
+    trips. When an entry's structure legitimately changes, re-measure
+    and re-pin. Round 14 re-pin: lib_m4's ppl family now reads the
+    build-once LM ARTIFACT (a vocabulary-sized parquet, VERDICT r13
+    #3) instead of consuming the token-count cache — its FileScans
+    are artifact scans, not fact re-scans, and the counts-cache
+    InMemoryTableScan blocks left the plan with it."""
     expected = {
         "lib_state_heartbeat_freq": (5, 5),
         "lib_stats_counter_candle": (10, 10),
-        "lib_m4_split_sample": (17, 18),
+        "lib_m4_split_sample": (16, 15),
     }
     for name, (want_file, want_mem) in expected.items():
         plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution() \

@@ -142,6 +142,21 @@ class ContinuousAggregate:
             q += 1
         return q * self.secs
 
+    def align_down(self, epoch_s: int) -> int:
+        """Public complete-bucket alignment (VERDICT r13 #6): the
+        largest bucket start ≤ ``epoch_s``. Callers coordinating a
+        cascade refresh use this to cap a coarser level at the last
+        COMPLETE bucket under a finer level's watermark — e.g.
+        ``day.refresh(..., end_s=day.align_down(hour_watermark_s))``
+        never materializes a day that finer-grained late data could
+        still change."""
+        return self._align(epoch_s)
+
+    def align_up(self, epoch_s: int) -> int:
+        """The smallest bucket start ≥ ``epoch_s`` (exclusive-end
+        counterpart of :meth:`align_down`)."""
+        return self._align(epoch_s, up=True)
+
     # -- refresh ------------------------------------------------------
 
     def refresh(

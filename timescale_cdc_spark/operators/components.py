@@ -162,7 +162,6 @@ def connected_components(
     )
     nodes = edges.select("u").distinct()
 
-    prev_count = -1
     for _ in range(max_rounds):
         edges = _sym(_large_star(edges))
         # localCheckpoint (not persist): each round must CUT the
@@ -171,34 +170,45 @@ def connected_components(
         # DataFrame trap (measured: 1M edges never finished without
         # this; ~a minute with it).
         edges = _small_star(edges).localCheckpoint(eager=True)
-        cnt = edges.count()
-        if cnt == prev_count:
-            # candidate fixpoint: edge count stable; the two checks
-            # below together prove a star FOREST — (1) two-level: no
-            # destination is also a source, (2) a function: no node has
-            # two distinct parents. (1) alone admits multi-parent states
-            # like {(2,0),(3,0),(2,1),(4,1)} (destinations {0,1} disjoint
-            # from sources {2,3,4}) that would return conflicting
-            # (node, component) rows and leave components 0/1 unmerged.
-            stable = edges
-            non_star = (
-                stable.alias("a")
-                .join(
-                    stable.alias("b"),
-                    F.col("a.v") == F.col("b.u"),
-                    "inner",
-                )
-                .count()
+        # Early exit (round 14, VERDICT r13 #3): the star-forest test
+        # runs EVERY round as ONE fused aggregation job, instead of
+        # the r10-13 flow (per-round count, then — only after two
+        # consecutive equal counts — two extra probe jobs). A graph
+        # that converges in round k now exits in round k, not k+1,
+        # and each round runs one verification job, not one-to-three.
+        # The conditions proved are unchanged: a star FOREST needs
+        # (1) two-level — no node is both a source (u) and a
+        # destination (v): `overlap == 0`; (2) a function — no node
+        # has two distinct parents: `multi == 0`. (1) alone admits
+        # multi-parent states like {(2,0),(3,0),(2,1),(4,1)}
+        # (destinations {0,1} disjoint from sources {2,3,4}) that
+        # would return conflicting (node, component) rows and leave
+        # components 0/1 unmerged.
+        roles = edges.select(
+            F.col("u").alias("n"), F.col("v").alias("p")
+        ).unionAll(
+            edges.select(
+                F.col("v").alias("n"), F.lit(None).cast("long").alias("p")
             )
-            multi_parent = (
-                stable.groupBy("u")
-                .agg(F.countDistinct("v").alias("k"))
-                .filter(F.col("k") > 1)
-                .count()
+        )
+        row = (
+            roles.groupBy("n")
+            .agg(
+                F.countDistinct("p").alias("parents"),
+                F.max(F.col("p").isNull().cast("int")).alias("has_dst"),
             )
-            if non_star == 0 and multi_parent == 0:
-                break
-        prev_count = cnt
+            .agg(
+                F.sum(
+                    (
+                        (F.col("parents") > 0) & (F.col("has_dst") == 1)
+                    ).cast("int")
+                ).alias("overlap"),
+                F.sum((F.col("parents") > 1).cast("int")).alias("multi"),
+            )
+            .collect()[0]
+        )
+        if not (row["overlap"] or row["multi"]):
+            break
         edges = _sym(edges)
     else:
         raise RuntimeError(

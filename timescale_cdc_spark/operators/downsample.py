@@ -41,30 +41,59 @@ def lttb_numpy(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
     largest triangle with the PREVIOUSLY KEPT point and the average
     of the NEXT bucket. Pure numpy (one vectorized area computation
     per bucket); deterministic (ties break to the earliest point, via
-    argmax)."""
+    argmax).
+
+    CROSS-ENGINE DETERMINISM (round 14, the DuckDB-oracle contract):
+    the selection is pinned to an exactly reproducible arithmetic so
+    a SQL engine walking the same spec picks the same points:
+
+    * bucket edges are EXACT integers —
+      ``edges[j] = 1 + (j * (n - 2)) // (n_out - 2)`` — not a float
+      linspace (same equal-count grid, no float-truncation ambiguity);
+    * the next-bucket AVERAGE never divides: the triangle area is
+      scaled through by the bucket count ``cn`` (a per-bucket positive
+      constant — argmax-invariant), so the only inputs are the bucket
+      SUMS. When ``x``/``y`` are integer dtypes those sums are exact,
+      and every double op below is a single correctly-rounded IEEE
+      step in a FIXED order:
+      ``|(ax*cn - sum_x)*(cy - ay) - (ax - cx)*(sum_y - cn*ay)|`` —
+      bit-identical in any IEEE-754 engine evaluating the same
+      expression tree (numpy ufuncs and DuckDB both materialize each
+      binary op; neither fuses).
+    Float inputs remain supported (generic use); exactness of the
+    sums — and thus cross-engine bit-parity — is only guaranteed for
+    integer inputs, which is what :func:`lttb` feeds."""
     n = len(x)
     if n_out >= n:
         return np.arange(n)
     if n_out < 3:
         raise ValueError("lttb needs n_out >= 3")
     # interior bucket boundaries: n_out-2 equal-count slices of [1, n-1)
-    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    j = np.arange(n_out - 1, dtype=np.int64)
+    edges = 1 + (j * (n - 2)) // (n_out - 2)
+    xs = x.astype(np.float64)
+    ys = y.astype(np.float64)
     keep = np.empty(n_out, dtype=np.int64)
     keep[0] = 0
     keep[-1] = n - 1
     a = 0  # index of the previously kept point
     for i in range(n_out - 2):
         lo, hi = edges[i], edges[i + 1]
-        # average of the NEXT bucket (or the final point for the last)
+        # the NEXT bucket (or the final point alone for the last)
         nlo, nhi = (edges[i + 1], edges[i + 2]) if i < n_out - 3 else (
             n - 1,
             n,
         )
-        ax, ay = x[a], y[a]
-        bx, by = x[nlo:nhi].mean(), y[nlo:nhi].mean()
-        cx, cy = x[lo:hi], y[lo:hi]
-        area = np.abs((ax - bx) * (cy - ay) - (ax - cx) * (by - ay))
-        a = lo + int(np.argmax(area))
+        cn = float(nhi - nlo)
+        # bucket sums on the INPUT dtype (exact for int64 inputs),
+        # then one conversion to double — mirrors SQL SUM + CAST
+        sxn = float(x[nlo:nhi].sum())
+        syn = float(y[nlo:nhi].sum())
+        ax, ay = xs[a], ys[a]
+        t1 = ax * cn - sxn
+        t3 = syn - cn * ay
+        area = np.abs(t1 * (ys[lo:hi] - ay) - (ax - xs[lo:hi]) * t3)
+        a = int(lo) + int(np.argmax(area))
         keep[i + 1] = a
     return keep
 
@@ -75,6 +104,7 @@ def lttb(
     ts_col: str,
     value_col: str,
     n_out: int,
+    sel_decimals: int = 6,
 ) -> DataFrame:
     """Timescale toolkit ``lttb(ts, value, n_out)`` per series: keep
     ``n_out`` visually representative points (always including the
@@ -82,7 +112,16 @@ def lttb(
 
     Returns ``key_cols + [ts_col, value_col]`` — a strict subset of
     the input's rows per series.
-    """
+
+    The SELECTION runs on an exact integer grid — (µs timestamps,
+    value quantized to ``sel_decimals`` decimal places via
+    ``floor(v * 10^d + 0.5)``) — so the picked point set is
+    bit-reproducible by any IEEE engine walking the same spec (the
+    driver's DuckDB oracle does, round 14). Emitted values are the
+    UNTOUCHED input doubles; quantization only disambiguates the
+    triangle-area argmax, visually sub-pixel at any plausible
+    ``sel_decimals``. Pass ``sel_decimals=None`` to select on raw
+    doubles (single-engine use)."""
     if n_out < 3:
         raise ValueError("lttb needs n_out >= 3")
     fields = [df.schema[c] for c in key_cols] + [
@@ -95,6 +134,12 @@ def lttb(
         pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
         x = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         y = pdf[value_col].to_numpy(dtype=np.float64)
+        if sel_decimals is not None:
+            # floor(v*10^d + 0.5), NOT rint: half-to-even vs
+            # half-away must not differ between engines
+            y = np.floor(y * float(10.0 ** sel_decimals) + 0.5).astype(
+                np.int64
+            )
         idx = lttb_numpy(x, y, n_out)
         return pdf.iloc[idx][[c.name for c in fields]]
 

@@ -334,6 +334,7 @@ def unigram_logprobs(
     ref_docs: DataFrame,
     text_col: str,
     cache_registry: list[DataFrame] | None = None,
+    artifact_path: str | None = None,
 ) -> tuple[DataFrame, float]:
     """C4 reference language model for perplexity-based quality
     filtering (the CCNet recipe — Wenzek et al. 2020, there a 5-gram
@@ -353,8 +354,35 @@ def unigram_logprobs(
     ``_PPL_PERSISTED`` (released via :func:`release_ppl_caches`);
     callers with their own cache lifecycle (curation's stage-boundary
     list) pass their list so releasing THEIR caches never drains a
-    sibling flow's warm LM (ADVICE r12)."""
+    sibling flow's warm LM (ADVICE r12).
+
+    ``artifact_path``: build-once persistence (round 14, VERDICT r13
+    #3 — the same manifest pattern as the ANN indexes). When set and
+    the path holds a committed fit, the explode + groupBy fit is
+    SKIPPED entirely: ``lm`` comes back as a scan of the
+    vocabulary-sized parquet and ``oov_logp`` from the manifest.
+    Otherwise the fit runs once and commits (parquet, then manifest
+    written atomically LAST — a torn write leaves no manifest and the
+    next call refits). The caller owns the path's lifecycle/staleness
+    — key it by the corpus identity (the registered entries key by
+    (sf, pid) via scratch_path)."""
+    import json
     import math
+    import os
+
+    spark = ref_docs.sparkSession
+    manifest = (
+        os.path.join(artifact_path, "_MANIFEST.json")
+        if artifact_path
+        else None
+    )
+    if manifest and os.path.exists(manifest):
+        with open(manifest) as f:
+            meta = json.load(f)
+        return (
+            spark.read.parquet(os.path.join(artifact_path, "lm")),
+            float(meta["oov_logp"]),
+        )
 
     toks = ref_docs.select(
         F.explode(_tokens(text_col)).alias("token")
@@ -382,6 +410,21 @@ def unigram_logprobs(
         ).alias("logp"),
     )
     oov_logp = math.floor(math.log(1.0 / denom) * 1000000.0) / 1000000.0
+    if artifact_path:
+        lm_dir = os.path.join(artifact_path, "lm")
+        lm.write.mode("overwrite").parquet(lm_dir)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"oov_logp": oov_logp, "denom": denom, "v": row["v"]}, f
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, manifest)
+        # hand back the artifact scan: the write above already
+        # consumed the persisted counts, and future consumers should
+        # read the compact parquet, not re-derive the plan
+        return spark.read.parquet(lm_dir), oov_logp
     return lm, oov_logp
 
 

@@ -649,8 +649,8 @@ def b41_b48_streaming_semantics(
     try:
         sc_day.refresh(
             sc_cagg.materialized(),
-            start_s=sc_day._align(1704844800),  # Jan 10 00:00
-            end_s=sc_day._align(sc_wm_late or 0),  # complete-day cap
+            start_s=sc_day.align_down(1704844800),  # Jan 10 00:00
+            end_s=sc_day.align_down(sc_wm_late or 0),  # complete-day cap
         )
     except ValueError:
         pass
@@ -777,7 +777,7 @@ def b41_b48_streaming_semantics(
     try:
         sc_day_gate = (
             sc_gate
-            and day_wm == sc_day._align(sc_wm_late or 0)
+            and day_wm == sc_day.align_down(sc_wm_late or 0)
             and sc_day.materialized()
             .filter(F.col("_eb") >= F.lit(day_wm))
             .count()
