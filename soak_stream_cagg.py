@@ -233,6 +233,19 @@ def main() -> None:
             rq.awaitTermination()
             t_route = time.perf_counter() - t0
 
+            # round 14 (VERDICT r13 #5): once mid-soak — right after
+            # the late round's data lands in the topic but BEFORE it
+            # is consumed — stop the attach and resume a fresh query
+            # from the same checkpoint. The per-round equality checks
+            # below then prove the resume processed the pending late
+            # batch exactly once (a double-apply or a skip breaks the
+            # real-time equality at both levels).
+            if r == late_round:
+                attach_q.stop()
+                attach_q = cagg.attach(
+                    topic_stream, src_dir, f"{ROOT}/cagg_ckpt"
+                )
+
             wm_before = cagg.watermark_s()
             t0 = time.perf_counter()
             attach_q.processAllAvailable()
@@ -250,9 +263,9 @@ def main() -> None:
             # window): a day COMPLETES only once a later batch lands in
             # the next day, and that batch's own span no longer covers
             # it — the lag window picks it up exactly once
-            lo_d = day._align(base_ts) - 86400
+            lo_d = day.align_down(base_ts) - 86400
             hi_d = min(
-                day._align(base_ts + 21600, up=True), day._align(wm_after)
+                day.align_up(base_ts + 21600), day.align_down(wm_after)
             )
             if hi_d > lo_d:
                 day.refresh(

@@ -596,6 +596,15 @@ def b41_b48_streaming_semantics(
         sc_stream, sc_src, os.path.join(root, "scagg_ckpt")
     )
     sc_attach.processAllAvailable()
+    # forced stop/re-attach (round 14, VERDICT r13 #5): the relay
+    # family's two-runs-one-checkpoint pattern applied to the cagg
+    # attach. The base-phase query STOPS here; phase 2's late data is
+    # processed by a FRESH attach resumed from the same checkpoint, so
+    # the entry exercises resume-with-pending-data every run. Any
+    # batch the restart replays re-runs the idempotent per-batch
+    # partition rewrite + refresh — a double-apply would inflate the
+    # n/s aggregates and flip the DuckDB oracle hash.
+    sc_attach.stop()
     sc_wm_base = sc_cagg.watermark_s()
     # phase 2 — LATE: days 10-12 arrive after; the invalidation-driven
     # refresh must widen BACKWARD and leave the watermark where it was
@@ -604,6 +613,9 @@ def b41_b48_streaming_semantics(
         distributed_ids=True,
     )
     run_to_completion(sc_pipe.start(available_now=True))
+    sc_attach = sc_cagg.attach(
+        sc_stream, sc_src, os.path.join(root, "scagg_ckpt")
+    )
     sc_attach.processAllAvailable()
     sc_attach.stop()
     sc_wm_late = sc_cagg.watermark_s()
