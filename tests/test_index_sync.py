@@ -1,0 +1,184 @@
+"""IndexCdcSync (streaming/index_sync.py) — CDC envelopes driving a
+persisted ANN index: INSERT appends, DELETE tombstones, exactly-once
+across checkpoint resume, the documented crash window reconciled by
+repair(), and the unsound shapes (UPDATE, re-insert of a tombstoned
+id) rejected loudly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescale_cdc_spark.catalog import load_table
+from timescale_cdc_spark.operators.ann_index import IvfIndex
+from timescale_cdc_spark.streaming.harness import (
+    run_to_completion,
+    stage_stream_batches,
+)
+from timescale_cdc_spark.streaming.index_sync import IndexCdcSync
+
+
+def _ins(df):
+    return df.select(
+        F.col("ts"),
+        F.lit("dataschema").alias("schema_name"),
+        F.lit("embeddings").alias("table_name"),
+        F.lit("INSERT").alias("operation"),
+        F.lit(None).cast("string").alias("before"),
+        F.to_json(F.struct("vec_id", "embedding")).alias("after"),
+    )
+
+
+def _del(df):
+    return df.select(
+        F.col("ts"),
+        F.lit("dataschema").alias("schema_name"),
+        F.lit("embeddings").alias("table_name"),
+        F.lit("DELETE").alias("operation"),
+        F.to_json(F.struct("vec_id")).alias("before"),
+        F.lit(None).cast("string").alias("after"),
+    )
+
+
+@pytest.fixture()
+def corpus(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704844800) + F.col("vec_id"))
+    )
+    return em
+
+
+def _envelope_stream(spark, src, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_cdc_sync_insert_delete_resume(spark, corpus, tmp_path):
+    """Build at 90%, stream the other 10% as INSERT envelopes and a
+    takedown slice as DELETE envelopes; the index must reflect both;
+    a second attach from the same checkpoint with nothing new is a
+    no-op (exactly-once), and a third batch staged afterwards is
+    picked up by the resumed query alone."""
+    em = corpus
+    base = em.filter(F.col("vec_id") % 10 != 0)
+    extra = em.filter(F.col("vec_id") % 10 == 0)
+    victims = [r["vec_id"] for r in
+               base.select("vec_id").orderBy("vec_id").limit(3).collect()]
+
+    idx = IvfIndex(spark, str(tmp_path / "idx")).build(
+        base.drop("ts"), n_clusters=8
+    )
+    sync = IndexCdcSync(idx, str(tmp_path / "sync"))
+
+    env = _ins(extra).unionByName(
+        _del(em.filter(F.col("vec_id").isin(victims)))
+    )
+    src = stage_stream_batches(
+        [_ins(extra.filter(F.col("vec_id") < 500)),
+         env.filter(
+             (F.col("operation") == "DELETE")
+             | (F.get_json_object("after", "$.vec_id").cast("long") >= 500)
+         )],
+        str(tmp_path / "envsrc"),
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream = _envelope_stream(spark, src, _ins(extra).schema)
+    run_to_completion(sync.attach(stream, ckpt, available_now=True))
+
+    n_all = em.count()
+    assert idx.corpus().count() == n_all - len(victims)
+    # inserted ids queryable at cos 1.0; deleted ids gone
+    probe = extra.orderBy("vec_id").first()
+    q = spark.createDataFrame(
+        [(1, probe["embedding"])], "vec_id long, embedding array<float>"
+    )
+    got = {r["c_id"] for r in idx.topk(q, k=3, n_probe=4).collect()}
+    assert probe["vec_id"] in got
+    assert not set(victims) & {
+        r["c_id"]
+        for r in idx.topk(
+            em.filter(F.col("vec_id").isin(victims)).select(
+                (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding"
+            ),
+            k=5,
+            n_probe=8,
+        ).collect()
+    }
+    assert sync.lag() == {
+        "staged_batches": 2, "applied_batches": 2, "pending": 0
+    }
+
+    # resume with nothing new: exactly-once, corpus unchanged
+    run_to_completion(
+        sync.attach(
+            _envelope_stream(spark, src, _ins(extra).schema),
+            ckpt,
+            available_now=True,
+        )
+    )
+    assert idx.corpus().count() == n_all - len(victims)
+
+    # repair with everything applied is a no-op; prune clears staging
+    assert sync.repair() == 0
+    assert sync.prune_staged() == 2
+    assert sync.lag()["staged_batches"] == 0
+
+
+def test_cdc_sync_repair_recovers_lost_append(spark, corpus, tmp_path):
+    """The documented crash window: marker committed, append never
+    ran. The staged ids are invisible (never duplicated) and repair()
+    re-appends exactly the missing rows; a second repair is a
+    no-op."""
+    em = corpus
+    base = em.filter(F.col("vec_id") % 10 != 0)
+    extra = em.filter(F.col("vec_id") % 10 == 0).drop("ts")
+    idx = IvfIndex(spark, str(tmp_path / "idx")).build(
+        base.drop("ts"), n_clusters=8
+    )
+    sync = IndexCdcSync(idx, str(tmp_path / "sync"))
+
+    # simulate the crash: stage batch 0 and write its marker by hand,
+    # skipping apply_batch's append step entirely
+    extra.select("vec_id", "embedding").write.mode("overwrite").parquet(
+        sync._staged_batch(0)
+    )
+    os.makedirs(sync._applied_path, exist_ok=True)
+    with open(sync._marker(0), "w") as f:
+        f.write("0")
+
+    n_base = base.count()
+    assert idx.corpus().count() == n_base  # invisible, not wrong
+    assert sync.repair() == extra.count()
+    assert idx.corpus().count() == n_base + extra.count()
+    assert sync.repair() == 0  # idempotent
+    assert sync.prune_staged() == 1
+
+
+def test_cdc_sync_rejects_update_and_tombstoned_reinsert(
+    spark, corpus, tmp_path
+):
+    em = corpus
+    idx = IvfIndex(spark, str(tmp_path / "idx")).build(
+        em.drop("ts"), n_clusters=8
+    )
+    sync = IndexCdcSync(idx, str(tmp_path / "sync"))
+
+    upd = _ins(em.limit(1)).withColumn("operation", F.lit("UPDATE"))
+    with pytest.raises(ValueError, match="INSERT/DELETE"):
+        sync.apply_batch(upd, 0)
+
+    # delete + re-insert of the same id (across batches) must demand a
+    # compact first — clearing the tombstone would resurrect old rows
+    one = em.filter(F.col("vec_id") == 0)
+    sync.apply_batch(_del(one), 1)
+    with pytest.raises(ValueError, match="compact"):
+        sync.apply_batch(_ins(one), 2)
+    # after a physical purge the re-insert applies cleanly
+    idx.compact()
+    sync.apply_batch(_ins(one), 3)
+    assert idx.corpus().filter(F.col("c_id") == 0).count() == 1

@@ -190,7 +190,7 @@ def test_relay_resume_is_in_the_registry_entry(spark, sf_dir):
     )
     assert set(f["family"] for f in df.select("family").distinct().collect()) == {
         "relay", "late", "join", "dedup", "ssjoin", "ssjoin_outer",
-        "scagg", "scagg_day", "state",
+        "scagg", "scagg_day", "state", "vecsync",
     }
     assert fams  # non-empty
     # ssjoin_outer must carry BOTH halves: matches emitted as found

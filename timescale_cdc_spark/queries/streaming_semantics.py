@@ -90,6 +90,16 @@ to rows a batch SQL oracle reproduces exactly:
   columns under the complete-bucket rule, read through
   ``query_hierarchy`` so the refresh-lag tail is served live at BOTH
   levels; its oracle is the same one-shot aggregation at day grain.
+* family='vecsync' — round 14: CDC envelopes driving a persisted ANN
+  index (streaming/index_sync.py over an LshIndex): INSERT envelopes
+  append the held-out 10% of the embeddings table, DELETE envelopes
+  tombstone every vec_id % 7 == 0 (including ids the insert batch
+  just streamed), and the oracle recomputes the expected live set
+  from the fixture — banded row count (a double-applied append
+  inflates it), distinct live-id count + exact id-sum digest (a
+  leaked delete shifts it), and a rank-1 self-probe of an inserted
+  id through the served topk (queried under a +10M id: the LSH
+  rerank excludes self-id matches by design).
 
 Determinism notes: all digests are order-insensitive sums of the
 portable 60-bit sha256 prefix (the det_hash recipe, sampling.py:56)
@@ -231,6 +241,18 @@ _ORACLE = f"""
     WHERE ts::DATE BETWEEN DATE '2024-01-10' AND DATE '2024-01-22'
       AND event_type <> 'error'
     GROUP BY 2
+    UNION ALL
+    SELECT 'vecsync' AS family, 'rows' AS k, 16 * COUNT(*) AS n,
+           CAST(NULL AS VARCHAR) AS v
+    FROM embeddings WHERE vec_id % 7 <> 0
+    UNION ALL
+    SELECT 'vecsync' AS family, 'ids' AS k, COUNT(*) AS n,
+           CAST(SUM(vec_id) AS VARCHAR) AS v
+    FROM embeddings WHERE vec_id % 7 <> 0
+    UNION ALL
+    SELECT 'vecsync' AS family, 'probe' AS k, 1 AS n,
+           CAST(MIN(vec_id) AS VARCHAR) AS v
+    FROM embeddings WHERE vec_id % 10 = 0 AND vec_id % 7 <> 0
     UNION ALL
     SELECT 'state' AS family, CAST(user_id AS VARCHAR) AS k,
            event_id AS n,
@@ -667,6 +689,55 @@ def b41_b48_streaming_semantics(
     except ValueError:
         pass
 
+    # -- vecsync (round 14): CDC envelopes driving a persisted ANN
+    # index (streaming/index_sync.py) — the embedding store that
+    # tracks the corpus. Build an LshIndex on 90% of the embeddings
+    # table, then stream batch 0 = INSERT envelopes for the other 10%
+    # and batch 1 = DELETE envelopes for every vec_id % 7 == 0 (which
+    # hits build-resident ids AND ids batch 0 just inserted — the
+    # delete-of-a-streamed-insert shape). The oracle recomputes the
+    # expected live set from the fixture: three hash-checked rows —
+    # banded row count (double-applied appends inflate it), distinct
+    # live-id count + id-sum digest (leaked deletes shift it), and a
+    # probe proving an inserted id is served back at rank 1.
+    from timescale_cdc_spark.operators.ann_index import LshIndex
+    from timescale_cdc_spark.streaming.index_sync import IndexCdcSync
+
+    emb = t(spark, sf_dir, "embeddings")
+    vs_ts = F.timestamp_seconds(F.lit(1704844800) + F.col("vec_id"))
+    vs_ins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        vs_ts.alias("ts"),
+        F.lit("dataschema").alias("schema_name"),
+        F.lit("embeddings").alias("table_name"),
+        F.lit("INSERT").alias("operation"),
+        F.lit(None).cast("string").alias("before"),
+        F.to_json(F.struct("vec_id", "embedding")).alias("after"),
+    )
+    vs_del = emb.filter(F.col("vec_id") % 7 == 0).select(
+        vs_ts.alias("ts"),
+        F.lit("dataschema").alias("schema_name"),
+        F.lit("embeddings").alias("table_name"),
+        F.lit("DELETE").alias("operation"),
+        F.to_json(F.struct("vec_id")).alias("before"),
+        F.lit(None).cast("string").alias("after"),
+    )
+    vs_idx = LshIndex(spark, os.path.join(root, "vecsync_idx")).build(
+        emb.filter(F.col("vec_id") % 10 != 0)
+    )
+    vs_sync = IndexCdcSync(vs_idx, os.path.join(root, "vecsync_state"))
+    vs_src = stage_stream_batches(
+        [vs_ins, vs_del], os.path.join(root, "vecsync_src")
+    )
+    run_to_completion(
+        vs_sync.attach(
+            spark.readStream.schema(vs_ins.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vs_src),
+            os.path.join(root, "vecsync_ckpt"),
+            available_now=True,
+        )
+    )
+
     # barrier: all five finite streams drain before any sink is read
     for q in pending:
         run_to_completion(q)
@@ -821,6 +892,52 @@ def b41_b48_streaming_semantics(
                 F.col("last_operation"),
                 F.coalesce(F.col("current_row"), F.lit("")),
             ),
+        )
+    )
+
+    # vecsync rows: banded row count (16 bands per live id — a
+    # double-applied append batch inflates it), distinct live-id
+    # count + exact id-sum digest, and the inserted-id probe at rank 1
+    vs_banded = vs_idx.banded().localCheckpoint()  # reused by 2 rows
+    fams.append(
+        _fam(
+            vs_banded.agg(F.count("*").alias("n")),
+            "vecsync",
+            F.lit("rows"),
+            F.col("n"),
+        )
+    )
+    fams.append(
+        _fam(
+            vs_banded.select("c_id")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.sum("c_id").alias("s")),
+            "vecsync",
+            F.lit("ids"),
+            F.col("n"),
+            F.col("s").cast("string"),
+        )
+    )
+    # probe under a SHIFTED q_id: the LSH rerank excludes c_id == q_id
+    # (neighbors never include self), so the query id rides +10M and
+    # the gate checks the offset instead
+    vs_probe_q = (
+        emb.filter(
+            (F.col("vec_id") % 10 == 0) & (F.col("vec_id") % 7 != 0)
+        )
+        .orderBy("vec_id")
+        .limit(1)
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    fams.append(
+        _fam(
+            vs_idx.topk(vs_probe_q, k=1),
+            "vecsync",
+            F.lit("probe"),
+            (F.col("q_id") - F.col("c_id") == 10_000_000).cast("long"),
+            F.col("c_id").cast("string"),
         )
     )
 
