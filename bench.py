@@ -113,6 +113,7 @@ FAMILY_TIMED = {
     "lib_m4_split_sample": [
         "m4", "split", "sample", "reservoir", "mixture", "pack",
         "packtext", "components", "ppl", "shard", "srccap", "urldup",
+        "linededup",
     ],
     "lib_stats_counter_candle": [
         "stats", "counter", "candle", "gauge", "percentile", "udd",
@@ -148,33 +149,39 @@ def _time_families(spark) -> dict:
 # per-query comparison knows a slower number means more coverage, not
 # a regression. Rewritten (not appended) each round.
 COVERAGE_NOTES = {
-    "c2_minhash_simhash": (
-        "round 13 (VERDICT r12 #1 re-profile): SAME coverage and "
-        "output rows, faster plan — both sketch fronts became "
-        "zero-shuffle per-doc array folds (bit-identical signatures), "
-        "lane expressions became SQL-side loops (build-time cut), "
-        "and the verify features became 64-bit hashed sets. "
-        "Same-session A/B: 4.44 → 3.63 s min; expect roughly that "
-        "ratio vs r12's 4.45 s after calibration. Full adjudication "
-        "incl. a measured-and-rejected unified-shuffle variant in "
-        "SCALE.md."
+    "lib_m4_split_sample": (
+        "round 14: +family 'linededup' (CCNet line/paragraph-level "
+        "dedup over a planted boilerplate corpus — two extra small "
+        "shuffles per run), while the eager construct got CHEAPER: "
+        "the ppl LM fit commits once to a build-once artifact "
+        "(VERDICT r13 #3; warm _construct 18.5 → ~3.5-4 s) and the "
+        "connected-components iteration early-exits with one fused "
+        "verification job per round. Net expectation: entry and "
+        "_construct both faster than r13 despite the added family."
     ),
     "b41_b48_streaming_semantics": (
-        "round 13 (VERDICT r12 #2), NOT in the headline set (r12 "
-        "policy: micro-batch fixed overhead, not engine work): "
-        "+families 'scagg' and 'scagg_day' — the stream-driven "
-        "continuous aggregate run END-TO-END (EventLog → router with "
-        "noise isolation → ContinuousAggregate.attach → real-time "
-        "query) across a base refresh, a backward-widened late "
-        "refresh, and an unrefreshed real-time tail, plus the daily "
-        "cascade level read through query_hierarchy — hash-checked "
-        "against one-shot hourly/daily SQL aggregations with "
-        "structural gates on watermark movement / backfill "
-        "materialization / tail liveness / the complete-bucket rule. "
-        "Also +family='ssjoin_outer' (left-outer interval join, "
-        "watermark-expiry NULL emission). Expect this entry's "
-        "wall-clock to grow ~10-15 s (three more availableNow router "
-        "runs + refresh drains + one more staged join pair)."
+        "round 14, NOT in the headline set: +family 'vecsync' — CDC "
+        "envelopes driving a persisted LSH index through "
+        "streaming/index_sync.py (insert batch + takedown batch, "
+        "live-set digests + a rank-1 probe hash-checked), and the "
+        "scagg family now forces a stop/re-attach between its base "
+        "and late phases (checkpoint resume with pending data, "
+        "VERDICT r13 #5). Expect this entry's wall-clock to grow a "
+        "few seconds (index build + one more streaming query start)."
+    ),
+    "lib_lttb_asap_downsample": (
+        "round 14 (VERDICT r13 #1), NOT in the headline set: the "
+        "entry moved from rows-only to the hard DuckDB oracle — a "
+        "recursive-CTE re-walk of the exact LTTB selection. ASAP "
+        "still runs in-plan as a gated family but its smoothed rows "
+        "are no longer emitted, so the row count drops from 1479 to "
+        "500 by design."
+    ),
+    "c4_text_analysis": (
+        "round 14 (VERDICT r13 #2): code unchanged; the r13 +24% "
+        "normalized was adjudicated as host drift by an interleaved "
+        "same-session A/B against the r12 tree (profile_c4.py: "
+        "0.863 vs 0.851 s min — identical). Details in SCALE.md."
     ),
 }
 

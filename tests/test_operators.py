@@ -3244,3 +3244,101 @@ def test_sq8_families_delete_compact(spark, sf_dir, tmp_path):
             r["c_id"]
             for r in idx.topk(q, k=3, rerank=20, **topkw).collect()
         } == got
+
+
+# ---------------------------------------------------------------------------
+# round 14: line/paragraph-level dedup (CCNet boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def _linededup_reference(rows, mode):
+    """Pure-python reference: same normalization, same keep rule."""
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    occ = {}
+    for did, text in rows:
+        for pos, line in enumerate(text.split("\n")):
+            n = norm(line)
+            if not n:
+                continue
+            occ.setdefault(n, []).append((did, pos, line))
+    kept = {}
+    for n, sites in occ.items():
+        if mode == "keep_first":
+            sites = [min(sites)]
+        elif len(sites) > 1:
+            sites = []
+        for did, pos, line in sites:
+            kept.setdefault(did, []).append((pos, line))
+    return {
+        did: ("\n".join(l for _, l in sorted(ls)), len(ls))
+        for did, ls in kept.items()
+    }
+
+
+def test_dedupe_lines_modes_match_reference(spark):
+    from timescale_cdc_spark.operators.dedup import dedupe_lines
+
+    boiler = "Subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n{boiler}\ncontent of doc one"),
+        (2, f"beta two\n{boiler}\ncontent of doc two"),
+        # same boilerplate with different case/whitespace — must
+        # collide through the normalization but keep ORIGINAL text
+        (3, f"gamma three\n  subscribe   TO our newsletter \nmore"),
+        # a doc that is ALL boilerplate (drop_all removes everything)
+        (4, boiler),
+        (5, f"{boiler}\ndelta five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for mode in ("keep_first", "drop_all"):
+        ref = _linededup_reference(rows, mode)
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines"])
+            for r in dedupe_lines(df, "text", "doc_id", mode=mode).collect()
+        }
+        assert got == ref, (mode, got, ref)
+    # keep_first: doc 1 keeps the boilerplate (lowest (id, pos)),
+    # docs 2/3/5 lose it, original casing survives in the keeper
+    kf = {
+        r["doc_id"]: r["text"]
+        for r in dedupe_lines(df, "text", "doc_id").collect()
+    }
+    assert boiler in kf[1] and boiler not in kf[2]
+    assert kf[3] == "gamma three\nmore"
+    # drop_all: the boilerplate dies everywhere; doc 4 vanishes...
+    da = dedupe_lines(df, "text", "doc_id", mode="drop_all")
+    ids = {r["doc_id"] for r in da.collect()}
+    assert 4 not in ids
+    # ...unless drop_empty=False returns it with empty text
+    da_keep = {
+        r["doc_id"]: (r["text"], r["n_lines"])
+        for r in dedupe_lines(
+            df, "text", "doc_id", mode="drop_all", drop_empty=False
+        ).collect()
+    }
+    assert da_keep[4] == ("", 0)
+    assert set(da_keep) == {1, 2, 3, 4, 5}
+
+
+def test_dedupe_lines_plan_is_group_limited(spark):
+    """keep_first must plan the rank-1 keep as WindowGroupLimit — the
+    property that a boilerplate line in half the corpus never funnels
+    into one hot task (same pin as the exact-dedup family)."""
+    from timescale_cdc_spark.operators.dedup import dedupe_lines
+
+    df = spark.createDataFrame(
+        [(i, f"line a{i}\nshared line\nline b{i}") for i in range(10)],
+        "doc_id int, text string",
+    )
+    plan = (
+        dedupe_lines(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

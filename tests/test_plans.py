@@ -165,7 +165,10 @@ def test_lib_entries_scan_facts_once(spark, sf_dir):
     expected = {
         "lib_state_heartbeat_freq": (5, 5),
         "lib_stats_counter_candle": (10, 10),
-        "lib_m4_split_sample": (16, 15),
+        # round 14: +1/+1 for family='linededup' — one more read of
+        # the cached docs frame (its printed cached plan carries the
+        # FileScan line, so the pair moves together)
+        "lib_m4_split_sample": (17, 16),
     }
     for name, (want_file, want_mem) in expected.items():
         plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution() \

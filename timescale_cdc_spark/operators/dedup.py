@@ -61,6 +61,107 @@ def dedup_by_key(
     )
 
 
+def normalize_line(col) -> F.Column:
+    """The paragraph normalization line-level dedup hashes on
+    (CCNet's recipe, Wenzek et al. 2020 §3.1, simplified to the
+    portable core): lowercase + collapse runs of whitespace + trim.
+    Shared by :func:`dedupe_lines` and its SQL oracle text so the two
+    can never drift."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+NORMALIZE_LINE_SQL = (
+    "trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+)
+
+
+def dedupe_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    mode: str = "keep_first",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Line/paragraph-level dedup across the corpus — the CCNet
+    boilerplate-removal step (Wenzek et al. 2020 §3.1: duplicated
+    paragraphs are overwhelmingly boilerplate — headers, cookie
+    banners, share buttons — and removing them cleans documents that
+    whole-doc dedup would keep verbatim).
+
+    Each document splits into lines on ``sep``; blank-normalizing
+    lines are dropped; the corpus then deduplicates on the NORMALIZED
+    line (:func:`normalize_line`) while every kept document
+    reassembles its surviving ORIGINAL lines in order.
+
+    ``mode='keep_first'`` (default): one occurrence of each distinct
+    line survives — the lowest ``(id, position)``, the deterministic
+    analog of cc_net's first-seen hash set. ``mode='drop_all'``:
+    every line whose corpus count exceeds 1 is removed from ALL
+    documents — the harsher variant that kills boilerplate even at
+    its first site.
+
+    Returns ``(id_col, text_col, n_lines)`` — documents whose lines
+    were all removed are dropped unless ``drop_empty=False`` (then
+    they return with empty text and ``n_lines = 0``).
+
+    Scale shape: keep_first is one shuffle on the sha2 line hash with
+    rank-1 keep-first (WindowGroupLimit — each upstream partition
+    forwards one candidate per line, so a boilerplate line in half
+    the corpus never funnels into one task), plus the per-document
+    reassembly shuffle (groups are document-sized). drop_all is a
+    partial-agg count + an equi-join back on the hash — the hot
+    boilerplate key relies on AQE's skew-join split, documented
+    tradeoff vs keep_first's group-limit.
+    """
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError("mode must be 'keep_first' or 'drop_all'")
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "_pos", "_line"
+            ),
+        )
+        .withColumn("_h", F.sha2(normalize_line(F.col("_line")), 256))
+        .filter(normalize_line(F.col("_line")) != "")
+    )
+    if mode == "keep_first":
+        w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+        kept = (
+            lines.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        counts = lines.groupBy("_h").agg(F.count("*").alias("_c"))
+        kept = lines.join(counts, "_h").filter(F.col("_c") == 1).drop("_c")
+    out = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda x: x["_line"],
+            ),
+            sep,
+        ).alias(text_col),
+    ).select(id_col, text_col, "n_lines")
+    if drop_empty:
+        return out
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias(
+                "n_lines"
+            ),
+        )
+    )
+
+
 #: The URL normalization chain, shared by the Spark and SQL builders
 #: below so the two can never drift (the cross-engine oracle depends
 #: on them being the SAME chain): (pattern, replacement) pairs in

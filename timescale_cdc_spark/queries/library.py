@@ -1043,11 +1043,13 @@ _LIB_PPL_CACHES: list[DataFrame] = []
 
 
 def _m4_split_oracle() -> str:
+    from timescale_cdc_spark.operators.dedup import NORMALIZE_LINE_SQL
     from timescale_cdc_spark.operators.sampling import (
         HASH_SPACE,
         det_hash_sql,
     )
 
+    _led_norm = NORMALIZE_LINE_SQL.format(expr="ls[t.i]")
     split_hash = det_hash_sql(["doc_id"], _SPLIT_SALT)
     sample_hash = det_hash_sql(["doc_id"], _SAMPLE_SALT)
     res_hash = det_hash_sql(["doc_id"], _RESERVOIR_SALT)
@@ -1299,6 +1301,44 @@ urldup_rows AS (
            row_number() OVER (PARTITION BY nurl ORDER BY doc_id) AS rk
     FROM (SELECT doc_id, {url_norm} AS nurl FROM documents)
   ) WHERE rk = 1
+),
+led_corpus AS (
+  -- COALESCE each slice join: a DuckDB list slice starting past the
+  -- list end is NULL (Spark's is an empty array -> ''), and || would
+  -- NULL the whole ptext for short docs
+  SELECT doc_id,
+         COALESCE(array_to_string(string_split(text, ' ')[1:20], ' '), '')
+         || chr(10) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN 'Subscribe to our newsletter for updates'
+              ELSE COALESCE(
+                array_to_string(string_split(text, ' ')[21:40], ' '), '')
+          END
+         || chr(10) || 'copyright ' || source || ' all rights reserved'
+         || chr(10) ||
+         COALESCE(array_to_string(string_split(text, ' ')[41:60], ' '), '')
+           AS ptext
+  FROM documents
+),
+led_split AS (
+  SELECT doc_id, string_split(ptext, chr(10)) AS ls FROM led_corpus
+),
+led_lines AS (
+  SELECT doc_id, t.i AS pos, ls[t.i] AS line,
+         {_led_norm} AS norm
+  FROM led_split, UNNEST(generate_series(1, len(ls))) AS t(i)
+),
+led_kept AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rk
+  FROM led_lines WHERE norm <> ''
+),
+linededup_rows AS (
+  SELECT 'linededup' AS family, CAST(doc_id AS VARCHAR) AS key,
+         CAST(NULL AS TIMESTAMP) AS bucket, CAST(NULL AS TIMESTAMP) AS ts,
+         CAST(COUNT(*) AS DOUBLE) AS value,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS item
+  FROM led_kept WHERE rk = 1 GROUP BY doc_id
 )
 SELECT * FROM m4_rows
 UNION ALL SELECT * FROM split_rows
@@ -1312,6 +1352,7 @@ UNION ALL SELECT * FROM ppl_rows
 UNION ALL SELECT * FROM shard_rows
 UNION ALL SELECT * FROM srccap_rows
 UNION ALL SELECT * FROM urldup_rows
+UNION ALL SELECT * FROM linededup_rows
 """
 
 
@@ -1664,6 +1705,43 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_nurl").alias("item"),
     )
 
+    # family='linededup' (round 14): CCNet line/paragraph-level dedup
+    # (operators/dedup.py::dedupe_lines, keep_first — Wenzek et al.
+    # 2020 §3.1's boilerplate removal) over a planted paragraph
+    # corpus: each doc becomes four paragraphs — two doc-specific
+    # word-soup slices, a newsletter boilerplate on every third doc,
+    # and a per-source copyright footer — so the normalized-line
+    # collision, the keep-lowest-(id,pos) rule, AND the original-text
+    # in-order reassembly are all value-hash-checked (item = md5 of
+    # the deduped text; value = surviving line count).
+    from timescale_cdc_spark.operators.dedup import dedupe_lines
+
+    words = F.split(F.col("text"), " ")
+    ptext = F.concat_ws(
+        "\n",
+        F.array_join(F.slice(words, 1, 20), " "),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("Subscribe to our newsletter for updates"),
+        ).otherwise(F.array_join(F.slice(words, 21, 20), " ")),
+        F.concat(
+            F.lit("copyright "),
+            F.col("source"),
+            F.lit(" all rights reserved"),
+        ),
+        F.array_join(F.slice(words, 41, 20), " "),
+    )
+    led = dedupe_lines(
+        docs.select("doc_id", ptext.alias("ptext")), "ptext", "doc_id"
+    ).select(
+        F.lit("linededup").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        null_bucket.alias("bucket"),
+        null_ts.alias("ts"),
+        F.col("n_lines").cast("double").alias("value"),
+        F.md5(F.col("ptext")).alias("item"),
+    )
+
     return (
         m4.unionByName(split)
         .unionByName(sample)
@@ -1676,6 +1754,7 @@ def lib_m4_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(shard)
         .unionByName(srccap)
         .unionByName(urldup)
+        .unionByName(led)
     )
 
 
