@@ -182,3 +182,21 @@ def test_cdc_sync_rejects_update_and_tombstoned_reinsert(
     idx.compact()
     sync.apply_batch(_ins(one), 3)
     assert idx.corpus().filter(F.col("c_id") == 0).count() == 1
+
+
+def test_cdc_sync_rejects_malformed_insert_payload(spark, corpus, tmp_path):
+    """A malformed INSERT 'after' payload must fail loudly, never
+    stage a NULL row into the index."""
+    em = corpus
+    idx = IvfIndex(spark, str(tmp_path / "idx")).build(
+        em.limit(50).drop("ts"), n_clusters=2
+    )
+    sync = IndexCdcSync(idx, str(tmp_path / "sync"))
+    bad = _ins(em.limit(1)).withColumn("after", F.lit("not json"))
+    with pytest.raises(ValueError, match="unparseable"):
+        sync.apply_batch(bad, 0)
+    missing_id = _ins(em.limit(1)).withColumn(
+        "after", F.lit('{"embedding": [1.0]}')
+    )
+    with pytest.raises(ValueError, match="unparseable"):
+        sync.apply_batch(missing_id, 1)

@@ -95,6 +95,11 @@ def dedupe_lines(
     line (:func:`normalize_line`) while every kept document
     reassembles its surviving ORIGINAL lines in order.
 
+    ``sep`` is a split REGEX but a literal JOIN separator — the
+    default newline behaves identically in both roles; a regex
+    metacharacter separator (e.g. ``'.'``) needs escaping on the
+    split side and is not round-trippable here.
+
     ``mode='keep_first'`` (default): one occurrence of each distinct
     line survives — the lowest ``(id, position)``, the deterministic
     analog of cc_net's first-seen hash set. ``mode='drop_all'``:

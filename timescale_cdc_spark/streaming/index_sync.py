@@ -111,15 +111,34 @@ class IndexCdcSync:
                 f"got {bad}: an embedding row is content-addressed — "
                 f"send a revision as DELETE(old id) + INSERT(new id)"
             )
-        adds = (
-            envelopes.filter(F.col("operation") == "INSERT")
-            .select(
-                F.from_json("after", self._payload_schema()).alias("_p")
+        parsed = envelopes.filter(F.col("operation") == "INSERT").select(
+            "after",
+            F.from_json("after", self._payload_schema()).alias("_p"),
+        )
+        # malformed payloads must fail LOUDLY, not stage NULL rows
+        # into the index: from_json returns NULL on unparseable JSON
+        # and a NULL id on a missing field — either would otherwise
+        # append an unqueryable row
+        n_bad = parsed.filter(
+            F.col("_p").isNull() | F.col(f"_p.{self.id_col}").isNull()
+        ).count()
+        if n_bad:
+            sample = (
+                parsed.filter(
+                    F.col("_p").isNull()
+                    | F.col(f"_p.{self.id_col}").isNull()
+                )
+                .select("after")
+                .first()
             )
-            .select(
-                F.col(f"_p.{self.id_col}").alias(self.id_col),
-                F.col(f"_p.{self.vec_col}").alias(self.vec_col),
+            raise ValueError(
+                f"{n_bad} INSERT envelope(s) with unparseable 'after' "
+                f"payloads (need JSON {self._payload_schema()!r}); "
+                f"first: {sample['after']!r}"
             )
+        adds = parsed.select(
+            F.col(f"_p.{self.id_col}").alias(self.id_col),
+            F.col(f"_p.{self.vec_col}").alias(self.vec_col),
         )
         dels = (
             envelopes.filter(F.col("operation") == "DELETE")
