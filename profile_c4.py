@@ -8,10 +8,13 @@ methodology for "likely drift" suspicions (r10/r13 precedents): run
 BOTH trees' entries in ONE session, alternating per repetition so
 host drift hits both equally, min-of-N per variant. The r12 tree is
 checked out read-only via ``git worktree add`` at the commit carrying
-BENCH_r12 (pass it as argv[1]; default 1786a94) and imported by
-purging ``timescale_cdc_spark*`` from sys.modules with the tree root
-prepended to sys.path — both variants then run against the same live
-SparkSession/JVM.
+BENCH_r12 (pass it as argv[1]; default 1786a94). Each repetition
+switches trees with the ``tree()`` context manager — purge
+``timescale_cdc_spark*`` from sys.modules and pin that tree's root at
+sys.path[0] FOR THE DURATION of the call, because entries do
+call-time imports that must resolve against the tree being measured
+(review finding, round 14) — with the re-import outside the timer;
+both variants run against the same live SparkSession/JVM.
 
 Each variant is timed two ways: ``build`` (call the registered entry
 — plan construction + analysis only) and ``run`` (build + count), so
@@ -35,21 +38,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def load_entry(root: str):
-    """Import <root>'s registered c4 entry, isolated from whatever
-    tree was imported before (module purge + path priority). The
-    returned callable keeps its own module graph alive by reference,
-    so two trees' entries can coexist in one process."""
-    purged = [k for k in sys.modules if k.startswith("timescale_cdc_spark")]
-    for k in purged:
+import contextlib
+
+
+@contextlib.contextmanager
+def tree(root: str):
+    """Make ``root`` THE resolvable timescale_cdc_spark tree for the
+    duration of the block: purge the package from sys.modules and pin
+    root at sys.path[0]. Crucial detail (round-14 review finding):
+    entries do CALL-TIME imports (`from ...operators.text import ...`
+    inside the function body), so the leg's root must stay on
+    sys.path WHILE the entry executes — a load-then-restore helper
+    would silently resolve those imports against the other tree and
+    the A/B would compare HEAD with HEAD."""
+    for k in [
+        k for k in sys.modules if k.startswith("timescale_cdc_spark")
+    ]:
         del sys.modules[k]
     sys.path.insert(0, root)
     try:
-        from timescale_cdc_spark.queries import QUERIES
-
-        return QUERIES["c4_text_analysis"]
+        yield
     finally:
         sys.path.remove(root)
+
+
+def load_entry():
+    from timescale_cdc_spark.queries import QUERIES
+
+    return QUERIES["c4_text_analysis"]
 
 
 def main() -> None:
@@ -63,24 +79,27 @@ def main() -> None:
         )
 
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
-    entries = {"r12": load_entry(wt), "head": load_entry(REPO)}
+    legs = {"r12": wt, "head": REPO}
 
     # warm-up both (JVM/codegen/catalog startup amortized off both)
-    for fn in entries.values():
-        fn(spark, SF_DIR).count()
+    for root in legs.values():
+        with tree(root):
+            load_entry()(spark, SF_DIR).count()
 
-    build: dict[str, list[float]] = {k: [] for k in entries}
-    run: dict[str, list[float]] = {k: [] for k in entries}
+    build: dict[str, list[float]] = {k: [] for k in legs}
+    run: dict[str, list[float]] = {k: [] for k in legs}
     rows: dict[str, int] = {}
     for _ in range(runs):
-        for name, fn in entries.items():  # interleaved
-            t0 = time.monotonic()
-            df = fn(spark, SF_DIR)
-            build[name].append(time.monotonic() - t0)
-            rows[name] = df.count()
-            run[name].append(time.monotonic() - t0)
+        for name, root in legs.items():  # interleaved
+            with tree(root):  # re-import untimed; call timed inside
+                fn = load_entry()
+                t0 = time.monotonic()
+                df = fn(spark, SF_DIR)
+                build[name].append(time.monotonic() - t0)
+                rows[name] = df.count()
+                run[name].append(time.monotonic() - t0)
 
-    for name in entries:
+    for name in legs:
         b = ", ".join(f"{x:.3f}" for x in build[name])
         r = ", ".join(f"{x:.3f}" for x in run[name])
         print(

@@ -289,3 +289,24 @@ def test_asap_smooth_spark_invariants(spark):
     )
     first = sorted((r["k"], r["ts"], r["v"]) for r in out.collect())
     assert first == again
+
+
+def test_lttb_exact_sums_survive_int64_overflow():
+    """Round-14 review finding: a straight int64 .sum() of µs-epoch
+    timestamps wraps once a bucket holds ~5200 points; the selection
+    must use the exact split-sum instead and keep matching the
+    pure-Python (arbitrary-precision) reference."""
+    from timescale_cdc_spark.operators.downsample import _exact_int_sum
+
+    rng = np.random.RandomState(7)
+    # values near 2^62: ANY bucket of >= 3 elements wraps a naive sum
+    base = np.int64(4_600_000_000_000_000_000)
+    n = 400
+    x = base + np.arange(n, dtype=np.int64) * 1_000_000
+    y = rng.randint(-(10**6), 10**6, size=n).astype(np.int64)
+    assert int(x.sum()) != sum(int(v) for v in x)  # naive DOES wrap
+    assert _exact_int_sum(x) == sum(int(v) for v in x)
+    assert _exact_int_sum(y) == sum(int(v) for v in y)
+    got = list(lttb_numpy(x, y, 25))
+    ref = _reference_lttb([int(v) for v in x], [int(v) for v in y], 25)
+    assert got == ref

@@ -200,3 +200,37 @@ def test_cdc_sync_rejects_malformed_insert_payload(spark, corpus, tmp_path):
     )
     with pytest.raises(ValueError, match="unparseable"):
         sync.apply_batch(missing_id, 1)
+
+
+def test_cdc_sync_repair_skips_tombstoned_staged_ids(
+    spark, corpus, tmp_path
+):
+    """Round-14 review finding: a staged insert whose id a LATER
+    batch tombstoned is deleted, not missing — repair() must not
+    physically re-append it on every maintenance run (unbounded dead
+    rows, resurrected by the next compact), and prune_staged() must
+    treat it as reconciled."""
+    em = corpus
+    base = em.filter(F.col("vec_id") % 10 != 0)
+    extra = em.filter(F.col("vec_id") % 10 == 0)
+    idx = IvfIndex(spark, str(tmp_path / "idx")).build(
+        base.drop("ts"), n_clusters=8
+    )
+    sync = IndexCdcSync(idx, str(tmp_path / "sync"))
+    sync.apply_batch(_ins(extra), 0)          # insert the 10%
+    victim = extra.orderBy("vec_id").first()["vec_id"]
+    sync.apply_batch(
+        _del(em.filter(F.col("vec_id") == victim)), 1
+    )                                          # then take one down
+    n_live = idx.corpus().count()
+    assert sync.repair() == 0                  # deleted != missing
+    assert idx.corpus().count() == n_live
+    # physically absent too: the bare store gained no copy
+    import os as _os
+
+    bare = spark.read.parquet(_os.path.join(str(tmp_path / "idx"), "corpus"))
+    assert bare.filter(F.col("c_id") == victim).count() == 1  # original only
+    assert sync.prune_staged() == 2            # both batches reconciled
+    # after compact purges the victim, repair still has nothing to do
+    idx.compact()
+    assert sync.repair() == 0

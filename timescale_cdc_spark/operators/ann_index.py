@@ -307,21 +307,27 @@ class IvfIndex:
         )
         from timescale_cdc_spark.operators import tombstones as tb
 
-        appended_fraction = max(
-            0.0, (cur["n_now"] - meta["n_at_build"]) / cur["n_now"]
+        # the live corpus can be EMPTY since delete() exists (every id
+        # tombstoned) — the aggregates then come back NULL, and the
+        # Sq8-style guards below keep every ratio defined
+        n_now = cur["n_now"] or 0
+        appended_fraction = (
+            max(0.0, (n_now - meta["n_at_build"]) / n_now)
+            if n_now
+            else 0.0
         )
         qerr_ratio = (
             cur["qerr_now"] / meta["qerr_at_build"]
-            if meta["qerr_at_build"]
+            if meta["qerr_at_build"] and cur["qerr_now"] is not None
             else 1.0
         )
         n_dead = tb.count_tombstones(self.spark, self.path)
         deleted_fraction = (
-            n_dead / (cur["n_now"] + n_dead) if n_dead else 0.0
+            n_dead / (n_now + n_dead) if n_dead else 0.0
         )
         return {
             "n_at_build": meta["n_at_build"],
-            "n_now": cur["n_now"],
+            "n_now": n_now,
             "appended_fraction": appended_fraction,
             "qerr_ratio": qerr_ratio,
             "cell_imbalance": cur["cell_imbalance"],

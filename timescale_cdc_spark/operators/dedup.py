@@ -61,18 +61,26 @@ def dedup_by_key(
     )
 
 
+#: One EXPLICIT whitespace class instead of ``\s``: Java's ``\s`` is
+#: ``[ \t\n\x0B\f\r]`` while RE2's excludes ``\x0B`` (vertical tab),
+#: so the shorthand would let the same line normalize differently in
+#: the operator vs the DuckDB oracle. Both builders below splice this
+#: single definition.
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def normalize_line(col) -> F.Column:
     """The paragraph normalization line-level dedup hashes on
     (CCNet's recipe, Wenzek et al. 2020 §3.1, simplified to the
     portable core): lowercase + collapse runs of whitespace + trim.
-    Shared by :func:`dedupe_lines` and its SQL oracle text so the two
-    can never drift."""
+    Shares ``_WS_CLASS`` with :data:`NORMALIZE_LINE_SQL` so the Spark
+    path and the SQL oracle can never drift."""
     c = col if not isinstance(col, str) else F.col(col)
-    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), _WS_CLASS, " "))
 
 
 NORMALIZE_LINE_SQL = (
-    "trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+    "trim(regexp_replace(lower({expr}), '" + _WS_CLASS + "', ' ', 'g'))"
 )
 
 

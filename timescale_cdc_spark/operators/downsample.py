@@ -32,6 +32,19 @@ from pyspark.sql import types as T
 from timescale_cdc_spark.functions.hyper import epoch_bucket
 
 
+def _exact_int_sum(a: np.ndarray) -> int:
+    """Exact integer sum of an int array without int64 wraparound:
+    each value splits as ``(v >> 32) * 2**32 + (v & 0xFFFFFFFF)``
+    (holds for negatives under arithmetic shift / two's-complement),
+    the halves sum safely inside int64 (high ≈ value/2^32 per
+    element, low < 2^32 per element), and a Python int recombines
+    them — vectorized, overflow-free up to ~2^31 elements."""
+    a = a.astype(np.int64, copy=False)
+    hi = int((a >> 32).sum())
+    lo = int((a & np.int64(0xFFFFFFFF)).sum())
+    return (hi << 32) + lo
+
+
 def lttb_numpy(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
     """Indices LTTB keeps for one series already sorted by ``x``.
 
@@ -85,10 +98,21 @@ def lttb_numpy(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
             n,
         )
         cn = float(nhi - nlo)
-        # bucket sums on the INPUT dtype (exact for int64 inputs),
-        # then one conversion to double — mirrors SQL SUM + CAST
-        sxn = float(x[nlo:nhi].sum())
-        syn = float(y[nlo:nhi].sum())
+        # EXACT bucket sums, then one conversion to double — mirrors
+        # SQL SUM(HUGEINT) + CAST. For integer inputs the sum goes
+        # through _exact_int_sum (split 32-bit halves, recombined as
+        # a Python int): a straight int64 .sum() silently WRAPS once
+        # bucket_size × |values| passes 2^63 — ~5200 µs-epoch
+        # timestamps per bucket, i.e. series beyond ~510k points at
+        # n_out=100 — and the oracle's HUGEINT sums would not.
+        if x.dtype.kind in "iu":
+            sxn = float(_exact_int_sum(x[nlo:nhi]))
+        else:
+            sxn = float(x[nlo:nhi].sum())
+        if y.dtype.kind in "iu":
+            syn = float(_exact_int_sum(y[nlo:nhi]))
+        else:
+            syn = float(y[nlo:nhi].sum())
         ax, ay = xs[a], ys[a]
         t1 = ax * cn - sxn
         t3 = syn - cn * ay

@@ -1006,19 +1006,20 @@ class Sq8Index:
             )
             .collect()[0]
         )
+        n_now = cur["n_now"] or 0
         appended_fraction = (
-            max(0.0, (cur["n_now"] - info["n_at_build"]) / cur["n_now"])
-            if cur["n_now"]
+            max(0.0, (n_now - info["n_at_build"]) / n_now)
+            if n_now
             else 0.0
         )
         clamp_fraction = float(cur["clamp_fraction"] or 0.0)
         n_dead = tb.count_tombstones(self.spark, self.path)
         deleted_fraction = (
-            n_dead / (cur["n_now"] + n_dead) if n_dead else 0.0
+            n_dead / (n_now + n_dead) if n_dead else 0.0
         )
         return {
             "n_at_build": info["n_at_build"],
-            "n_now": cur["n_now"],
+            "n_now": n_now,
             "appended_fraction": appended_fraction,
             "clamp_fraction": clamp_fraction,
             "deleted_fraction": deleted_fraction,
@@ -1410,23 +1411,26 @@ class IvfSq8Index:
             )
             .collect()[0]
         )
+        # empty live corpus (all ids deleted) → NULL aggregates; keep
+        # every ratio defined (same hardening as IvfIndex.staleness)
+        n_now = cur["n_now"] or 0
         appended_fraction = (
-            max(0.0, (cur["n_now"] - info["n_at_build"]) / cur["n_now"])
-            if cur["n_now"]
+            max(0.0, (n_now - info["n_at_build"]) / n_now)
+            if n_now
             else 0.0
         )
         qerr_ratio = (
             cur["qerr_now"] / info["qerr_at_build"]
-            if info.get("qerr_at_build")
+            if info.get("qerr_at_build") and cur["qerr_now"] is not None
             else 1.0
         )
         n_dead = tb.count_tombstones(self.spark, self.path)
         deleted_fraction = (
-            n_dead / (cur["n_now"] + n_dead) if n_dead else 0.0
+            n_dead / (n_now + n_dead) if n_dead else 0.0
         )
         return {
             "n_at_build": info["n_at_build"],
-            "n_now": cur["n_now"],
+            "n_now": n_now,
             "appended_fraction": appended_fraction,
             "qerr_ratio": qerr_ratio,
             "cell_imbalance": cur["cell_imbalance"],

@@ -391,11 +391,16 @@ def unigram_logprobs(
     # and the returned lm (joined later into the scoring plan) reads
     # them back instead of re-running the explode+groupBy — the fit
     # runs ONCE per call, not once per consumer. Vocabulary-sized, so
-    # the cache is small.
+    # the cache is small. The cache is registered only in the
+    # RETURN-the-plan path: the artifact branch's consumers read the
+    # committed parquet, so its persisted counts are released inline
+    # once the write lands instead of squatting in executor memory
+    # until the registry drains.
     counts = toks.groupBy("token").agg(F.count("*").alias("c")).persist()
-    (_PPL_PERSISTED if cache_registry is None else cache_registry).append(
-        counts
-    )
+    if not artifact_path:
+        (
+            _PPL_PERSISTED if cache_registry is None else cache_registry
+        ).append(counts)
     row = counts.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")
     ).collect()[0]
@@ -422,8 +427,10 @@ def unigram_logprobs(
             os.fsync(f.fileno())
         os.replace(tmp, manifest)
         # hand back the artifact scan: the write above already
-        # consumed the persisted counts, and future consumers should
-        # read the compact parquet, not re-derive the plan
+        # consumed the persisted counts (released here — nothing will
+        # read them again), and future consumers read the compact
+        # parquet, not the re-derived plan
+        counts.unpersist()
         return spark.read.parquet(lm_dir), oov_logp
     return lm, oov_logp
 

@@ -99,54 +99,58 @@ class IndexCdcSync:
         """Split an envelope frame into (insert rows, delete ids).
         INSERT vectors ride in ``after`` JSON, DELETE ids in
         ``before`` (the reference's null rules, readme.md:252-267).
-        Raises on any other operation — see the module docstring."""
-        ops = envelopes.select("operation").distinct().collect()
-        bad = sorted(
-            r["operation"] for r in ops
-            if r["operation"] not in ("INSERT", "DELETE")
-        )
-        if bad:
+        Raises on any other operation — see the module docstring.
+
+        All validation runs as ONE aggregation pass over the batch
+        (unknown ops, unparseable INSERT ``after`` payloads, AND
+        unparseable DELETE ``before`` ids — a silently dropped
+        takedown would be worse than the loud insert failure); only
+        the error path takes extra jobs to fetch samples."""
+        ins_id = F.from_json("after", self._payload_schema())[self.id_col]
+        del_id = F.from_json("before", f"{self.id_col} long")[self.id_col]
+        bad_ins = (F.col("operation") == "INSERT") & ins_id.isNull()
+        bad_del = (F.col("operation") == "DELETE") & del_id.isNull()
+        stats = envelopes.agg(
+            F.collect_set(
+                F.when(
+                    ~F.col("operation").isin("INSERT", "DELETE"),
+                    F.col("operation"),
+                )
+            ).alias("bad_ops"),
+            F.sum(bad_ins.cast("int")).alias("n_bad_ins"),
+            F.sum(bad_del.cast("int")).alias("n_bad_del"),
+        ).first()
+        if stats["bad_ops"]:
             raise ValueError(
                 f"IndexCdcSync consumes INSERT/DELETE envelopes only, "
-                f"got {bad}: an embedding row is content-addressed — "
-                f"send a revision as DELETE(old id) + INSERT(new id)"
+                f"got {sorted(stats['bad_ops'])}: an embedding row is "
+                f"content-addressed — send a revision as DELETE(old id) "
+                f"+ INSERT(new id)"
             )
-        parsed = envelopes.filter(F.col("operation") == "INSERT").select(
-            "after",
-            F.from_json("after", self._payload_schema()).alias("_p"),
-        )
-        # malformed payloads must fail LOUDLY, not stage NULL rows
-        # into the index: from_json returns NULL on unparseable JSON
-        # and a NULL id on a missing field — either would otherwise
-        # append an unqueryable row
-        n_bad = parsed.filter(
-            F.col("_p").isNull() | F.col(f"_p.{self.id_col}").isNull()
-        ).count()
-        if n_bad:
-            sample = (
-                parsed.filter(
-                    F.col("_p").isNull()
-                    | F.col(f"_p.{self.id_col}").isNull()
-                )
-                .select("after")
-                .first()
-            )
+        if stats["n_bad_ins"]:
+            sample = envelopes.filter(bad_ins).select("after").first()
             raise ValueError(
-                f"{n_bad} INSERT envelope(s) with unparseable 'after' "
-                f"payloads (need JSON {self._payload_schema()!r}); "
-                f"first: {sample['after']!r}"
+                f"{stats['n_bad_ins']} INSERT envelope(s) with "
+                f"unparseable 'after' payloads (need JSON "
+                f"{self._payload_schema()!r}); first: {sample['after']!r}"
             )
-        adds = parsed.select(
+        if stats["n_bad_del"]:
+            sample = envelopes.filter(bad_del).select("before").first()
+            raise ValueError(
+                f"{stats['n_bad_del']} DELETE envelope(s) with "
+                f"unparseable 'before' ids (need JSON with "
+                f"{self.id_col!r}); first: {sample['before']!r} — a "
+                f"NULL tombstone matches nothing, so the takedown "
+                f"would silently never take effect"
+            )
+        adds = envelopes.filter(F.col("operation") == "INSERT").select(
+            F.from_json("after", self._payload_schema()).alias("_p")
+        ).select(
             F.col(f"_p.{self.id_col}").alias(self.id_col),
             F.col(f"_p.{self.vec_col}").alias(self.vec_col),
         )
-        dels = (
-            envelopes.filter(F.col("operation") == "DELETE")
-            .select(
-                F.from_json(
-                    "before", f"{self.id_col} long"
-                )[self.id_col].alias(self.id_col)
-            )
+        dels = envelopes.filter(F.col("operation") == "DELETE").select(
+            del_id.alias(self.id_col)
         )
         return adds, dels
 
@@ -252,10 +256,21 @@ class IndexCdcSync:
         """Re-append staged ids missing from the live corpus (an
         append interrupted after its batch's marker). Idempotent;
         returns rows re-appended. One pruned id-column anti-join —
-        run on the maintenance cadence, like the index repairs."""
+        run on the maintenance cadence, like the index repairs.
+
+        Staged ids that were TOMBSTONED by a later batch are not
+        "missing" — they are deleted. Without the tombstone
+        anti-join, a staged insert whose id was later taken down
+        would be physically re-appended on EVERY repair call (the
+        read-side filter would hide it, but the dead bytes would
+        grow without bound and a post-compact read would resurrect
+        it)."""
         staged = self._applied_staged()
         if staged is None:
             return 0
+        staged = tb.filter_live(
+            self.spark, self.index.path, staged, col=self.id_col
+        )
         missing = staged.join(
             self._live_ids(), self.id_col, "left_anti"
         ).localCheckpoint()
@@ -269,13 +284,20 @@ class IndexCdcSync:
 
     def prune_staged(self) -> int:
         """Drop staged partitions of applied batches whose ids are
-        ALL live (fully reconciled) — markers stay, so replays of
-        pruned batches still short-circuit. Returns dirs removed."""
+        ALL accounted for — live in the corpus OR tombstoned by a
+        later delete (a deleted staged id is reconciled, not pending;
+        see :meth:`repair`) — markers stay, so replays of pruned
+        batches still short-circuit. Returns dirs removed."""
         import shutil
 
         if not os.path.isdir(self._staged_path):
             return 0
         live = self._live_ids()
+        dead = tb.read_tombstones(self.spark, self.index.path)
+        if dead is not None:
+            live = live.unionByName(
+                dead.withColumnRenamed("c_id", self.id_col)
+            )
         removed = 0
         for d in sorted(os.listdir(self._staged_path)):
             if not d.startswith("_batch_id="):
