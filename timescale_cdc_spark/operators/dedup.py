@@ -117,7 +117,12 @@ def dedupe_lines(
 
     Returns ``(id_col, text_col, n_lines)`` — documents whose lines
     were all removed are dropped unless ``drop_empty=False`` (then
-    they return with empty text and ``n_lines = 0``).
+    they return with empty text and ``n_lines = 0``). ``id_col`` is a
+    KEY: rows sharing an id have their lines pooled into ONE output
+    document (the groupBy), and the ``drop_empty=False`` re-attach
+    deduplicates the id spine so duplicate input ids still yield one
+    output row each (round 15, VERDICT r14) — callers wanting
+    per-row identity must disambiguate ids first.
 
     Scale shape: keep_first is one shuffle on the sha2 line hash with
     rank-1 keep-first (WindowGroupLimit — each upstream partition
@@ -163,7 +168,11 @@ def dedupe_lines(
     if drop_empty:
         return out
     return (
+        # dropDuplicates: the spine must be one row per id — without
+        # it a duplicate input id silently multiplies every output
+        # row it matches (round 15, VERDICT r14)
         df.select(id_col)
+        .dropDuplicates([id_col])
         .join(out, id_col, "left")
         .select(
             id_col,

