@@ -34,6 +34,19 @@ judge re-run to adjudicate as environmental. The bench now records:
   ``pass_wall_s``: wall-clock of each complete pass, so a reader can
   see exactly which passes a load burst hit.
 
+Floor methodology (round 15, VERDICT r14 #2): the normalization
+divisor is the MEDIAN of a run-spanning raw calibration vector (3
+samples at start, one single-shot tick after every measurement pass,
+3 at end — k≥11), emitted whole as ``calib_samples_jvm`` in
+BENCH_DETAIL with ``calib_floor``/``calib_spread`` in the summary.
+r14's floor was min(start-min3, end-min3) and the two bracket points
+disagreed 3.7× within one session, which mechanically shifted every
+normalized number; a median over interleaved samples can't be
+captured by one regime. The streaming rates are normalized by min of
+a (pre, post) pair sampled immediately around the streaming leg
+(``calib_stream_pair`` in BENCH_DETAIL) — that leg runs minutes
+after the query passes, in whatever regime the host is in THEN.
+
 Output (round 10, VERDICT r9 #4; round 12, VERDICT r11 #2): THREE
 self-contained JSON lines — a ``BENCH_DETAIL``-prefixed diagnostics
 line (samples, pass walls, coverage notes, load), a compact
@@ -149,39 +162,24 @@ def _time_families(spark) -> dict:
 # per-query comparison knows a slower number means more coverage, not
 # a regression. Rewritten (not appended) each round.
 COVERAGE_NOTES = {
-    "lib_m4_split_sample": (
-        "round 14: +family 'linededup' (CCNet line/paragraph-level "
-        "dedup over a planted boilerplate corpus — two extra small "
-        "shuffles per run), while the eager construct got CHEAPER: "
-        "the ppl LM fit commits once to a build-once artifact "
-        "(VERDICT r13 #3; warm _construct 18.5 → ~3.5-4 s) and the "
-        "connected-components iteration early-exits with one fused "
-        "verification job per round. Net expectation: entry and "
-        "_construct both faster than r13 despite the added family."
+    "c2_minhash_simhash": (
+        "round 15 (VERDICT r14 #3): the entry now runs the sketches "
+        "in portable=True mode — sha256-based det_hash lanes instead "
+        "of xxhash64 — which flipped it from rows-only to a HARD "
+        "DuckDB oracle (the full pair set re-derived in SQL, incl. "
+        "the star-pairing guard, which the portable hash makes "
+        "genuinely active at sf0.1). Cost of the cryptographic hash, "
+        "interleaved A/B at sf0.1: pairs pipeline 2.39 -> 4.38 s min "
+        "(1.8x) — expect this entry's bench row to grow ~2 s. "
+        "Production callers keep the xxhash64 default (unchanged)."
     ),
     "b41_b48_streaming_semantics": (
-        "round 14, NOT in the headline set: +family 'vecsync' — CDC "
-        "envelopes driving a persisted LSH index through "
-        "streaming/index_sync.py (insert batch + takedown batch, "
-        "live-set digests + a rank-1 probe hash-checked), and the "
-        "scagg family now forces a stop/re-attach between its base "
-        "and late phases (checkpoint resume with pending data, "
-        "VERDICT r13 #5). Expect this entry's wall-clock to grow a "
-        "few seconds (index build + one more streaming query start)."
-    ),
-    "lib_lttb_asap_downsample": (
-        "round 14 (VERDICT r13 #1), NOT in the headline set: the "
-        "entry moved from rows-only to the hard DuckDB oracle — a "
-        "recursive-CTE re-walk of the exact LTTB selection. ASAP "
-        "still runs in-plan as a gated family but its smoothed rows "
-        "are no longer emitted, so the row count drops from 1479 to "
-        "500 by design."
-    ),
-    "c4_text_analysis": (
-        "round 14 (VERDICT r13 #2): code unchanged; the r13 +24% "
-        "normalized was adjudicated as host drift by an interleaved "
-        "same-session A/B against the r12 tree (profile_c4.py: "
-        "0.863 vs 0.851 s min — identical). Details in SCALE.md."
+        "round 15, NOT in the headline set: the vecsync family's "
+        "per-batch apply gained one broadcast guard join (validate-"
+        "before-mutate: the tombstoned-reinsert check now runs "
+        "against pre-batch tombstones UNION the batch's deletes "
+        "BEFORE any index mutation, ADVICE r14) — O(batch) cost, "
+        "expect seconds-level noise at most."
     ),
 }
 
@@ -257,19 +255,20 @@ def _stream_throughput(spark) -> dict:
     }
 
 
-def _calibrate_jvm(spark) -> float:
-    """Min-of-3 of a fixed CPU-bound whole-stage-codegen job — the
-    machine-speed yardstick the round-over-round comparison divides
-    by. Deterministic work: no I/O, no shuffle, no Python in-loop."""
-    best = float("inf")
-    for _ in range(3):
+def _calib_samples_jvm(spark, n: int = 3) -> list[float]:
+    """``n`` raw timings of a fixed CPU-bound whole-stage-codegen job
+    — the machine-speed yardstick the round-over-round comparison
+    divides by. Deterministic work: no I/O, no shuffle, no Python
+    in-loop. Callers min() or median() the raw samples."""
+    out = []
+    for _ in range(n):
         start = time.perf_counter()
         # bit_xor never overflows (sum of hashes would under ANSI mode)
         spark.range(200_000_000).selectExpr(
             "bit_xor(xxhash64(id)) AS s"
         ).collect()
-        best = min(best, time.perf_counter() - start)
-    return round(best, 4)
+        out.append(round(time.perf_counter() - start, 4))
+    return out
 
 
 def _calibrate_py() -> float:
@@ -319,7 +318,8 @@ def main() -> None:
     QUERIES[names[0]](spark, SF_DIR).count()
 
     load_start = os.getloadavg()
-    calib_jvm = _calibrate_jvm(spark)
+    calib_start = _calib_samples_jvm(spark, 3)
+    calib_jvm = min(calib_start)
     calib_py = _calibrate_py()
 
     samples: dict[str, list[float]] = {n: [] for n in names}
@@ -329,6 +329,16 @@ def main() -> None:
     bench_start = time.perf_counter()
     runs_done = 0
     pass_wall_s: list[float] = []
+    # Interleaved calibration ticks (round 15, VERDICT r14 #2): r14's
+    # start/end calibration pair disagreed by 3.7× WITHIN one run, so
+    # a floor built from min(start, end) inherited whichever host
+    # regime those two instants landed in and made every normalized
+    # number arguable. One single-shot calibration tick after each
+    # measurement pass gives k≥5 samples spread across the run; the
+    # normalization floor is the MEDIAN of all raw samples (robust to
+    # a tick landing in a load burst), and the full vector is emitted
+    # in BENCH_DETAIL so the spread is inspectable.
+    calib_ticks: list[float] = []
     for _ in range(runs):
         pass_start = time.perf_counter()
         for name in names:
@@ -336,39 +346,57 @@ def main() -> None:
             QUERIES[name](spark, SF_DIR).count()
             samples[name].append(round(time.perf_counter() - start, 4))
         pass_wall_s.append(round(time.perf_counter() - pass_start, 2))
+        calib_ticks.extend(_calib_samples_jvm(spark, 1))
         runs_done += 1
         if runs_done >= 1 and time.perf_counter() - bench_start > budget_s:
             break
     runs = runs_done
 
-    # Second calibration AFTER the measurement passes: round 9 observed
-    # the host swinging 2-5× WITHIN a single bench run (one pass 65 s,
-    # the next 32 s, same plans). start/end calibration brackets the
-    # run — if the two disagree, the drift happened mid-run and the
-    # min-of-N floor is the only number worth reading; if they agree
-    # but differ from last round's, the whole round ran on a
-    # faster/slower machine and the README's normalized comparison
-    # applies.
-    calib_jvm_end = _calibrate_jvm(spark)
+    # Second min-of-3 calibration AFTER the measurement passes: round
+    # 9 observed the host swinging 2-5× WITHIN a single bench run.
+    # start/end still bracket the run for round-over-round comparison
+    # (calibration_jvm_sec keeps its historical min-of-3 meaning);
+    # the NORMALIZATION floor below is the median of all samples.
+    calib_end = _calib_samples_jvm(spark, 3)
+    calib_jvm_end = min(calib_end)
+    calib_all = calib_start + calib_ticks + calib_end
+    calib_all_sorted = sorted(calib_all)
+    _n = len(calib_all_sorted)
+    calib_floor = round(
+        (
+            calib_all_sorted[_n // 2]
+            if _n % 2
+            else (calib_all_sorted[_n // 2 - 1] + calib_all_sorted[_n // 2])
+            / 2
+        ),
+        4,
+    )
 
     # Per-family diagnostics for the two library mega-entries
     # (VERDICT r10 #3) — after the end calibration so the bracket
     # stays a pure measurement-pass bracket.
     family_timings = _time_families(spark)
+    # Streaming rates are normalized by a floor sampled ADJACENT to
+    # the streaming leg (round 15, VERDICT r14 #2): the leg runs
+    # minutes after the query passes, so the run-wide median can
+    # belong to a different host regime than the one the rates were
+    # measured in. min of the (pre, post) bracket = the leg's own
+    # fast-phase yardstick; both samples join the emitted vector.
+    stream_pre = _calib_samples_jvm(spark, 1)[0]
     streaming = _stream_throughput(spark)
-    # Normalize the streaming rates by the same floor the query
-    # normalization uses (VERDICT r13 #7): raw events/s swing with
-    # the host like everything else; events-per-work-unit (rate ×
-    # calibration floor seconds) is the round-over-round comparable.
-    # short keys: the FAMILIES + summary lines share a 2 KB tail
-    # (r13 measured 1937 bytes together — ~44 spare chars)
-    _floor = min(calib_jvm, calib_jvm_end)
+    stream_post = _calib_samples_jvm(spark, 1)[0]
+    stream_floor = min(stream_pre, stream_post)
+    # events-per-work-unit (rate × calibration floor seconds) is the
+    # round-over-round comparable (VERDICT r13 #7). short keys: the
+    # FAMILIES + summary lines share a 2 KB tail.
     streaming["append_per_wu"] = int(
-        streaming["append_events_per_s"] * _floor
+        streaming["append_events_per_s"] * stream_floor
     )
     streaming["drain_per_wu"] = int(
-        streaming["drain_events_per_s"] * _floor
+        streaming["drain_events_per_s"] * stream_floor
     )
+    # stream_floor itself is re-derivable as min(calib_stream_pair)
+    # in BENCH_DETAIL — not emitted here (2 KB tail budget)
 
     timings = {n: min(s) for n, s in samples.items()}
     total = round(sum(timings.values()), 4)
@@ -392,6 +420,11 @@ def main() -> None:
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "mem_available_kb": _mem_available_kb(),
                 "calibration_py_sec": calib_py,
+                # the full raw calibration vector (round 15, VERDICT
+                # r14 #2): 3 start + 1/pass + 3 end, then the
+                # (pre, post) pair bracketing the streaming leg
+                "calib_samples_jvm": calib_all,
+                "calib_stream_pair": [stream_pre, stream_post],
             }
         ),
         flush=True,
@@ -414,24 +447,24 @@ def main() -> None:
         ),
         flush=True,
     )
-    # Calibration-normalized values (round 13, VERDICT r12 #3): the
-    # host swings 1.5-2.5× between rounds, and until now the judge
-    # divided by calibration by hand. Each query's min is divided by
-    # the FASTER of the two calibrations — floor-vs-floor semantics:
-    # the per-query numbers are min-of-N floors (captured during the
-    # host's fast phase), so dividing by a single bracket point that
-    # happened to land in a slow phase would skew every normalized
-    # value low and credit a phantom speedup. Unit is "work-units"
+    # Calibration-normalized values (round 13, VERDICT r12 #3; floor
+    # methodology reworked round 15, VERDICT r14 #2): the host swings
+    # 1.5-2.5× between rounds, and until now the judge divided by
+    # calibration by hand. Each query's min is divided by the MEDIAN
+    # of the k≥11 raw calibration samples interleaved across the run
+    # — r14's min-of-two-bracket-points swung 3.7× within one session
+    # and uniformly shifted every normalized number; the median of a
+    # run-spanning vector is insensitive to any single regime the
+    # bracket happened to land in. Unit is "work-units"
     # (dimensionless multiples of the fixed codegen job). Compare
-    # THESE round-over-round; raw seconds and both calibration
-    # samples remain alongside for re-derivation.
+    # THESE round-over-round; raw seconds, the historical min-of-3
+    # bracket pair, and the full sample vector (BENCH_DETAIL) remain
+    # alongside for re-derivation.
     # Precision budget (the FAMILIES + summary lines must fit the
     # 2 KB tail together): queries at 3 decimals (ms), normalized at
     # 1 decimal (the host swings 1.5-2.5×; tenths of a work-unit is
     # already below adjudication resolution). calibration_py_sec
-    # lives in BENCH_DETAIL (diagnostic; the JVM pair is what the
-    # round-over-round comparison uses).
-    calib_floor = _floor
+    # lives in BENCH_DETAIL (diagnostic).
     normalized = {
         n: round(t / calib_floor, 1) for n, t in timings.items()
     }
@@ -448,6 +481,10 @@ def main() -> None:
                 "sf": sf_val,
                 "calibration_jvm_sec": calib_jvm,
                 "calibration_jvm_sec_end": calib_jvm_end,
+                # the normalization divisor + its min/median spread
+                # (want <1.3×; full k-sample vector in BENCH_DETAIL)
+                "calib_floor": calib_floor,
+                "calib_spread": round(calib_floor / min(calib_all), 2),
             },
             separators=(",", ":"),
         ),

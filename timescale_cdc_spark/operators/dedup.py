@@ -292,13 +292,40 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _word_hash_front(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(_id, _hw array<bigint>): one xxhash64 per whitespace token,
+#: Portable (cross-engine re-derivable) sketch-lane hashing — round
+#: 15, VERDICT r14 #3, the decontam ``hashed=False`` precedent made
+#: total: with ``portable=True`` the sketch fronts swap xxhash64
+#: (JVM-only) for the sampling.det_hash 60-bit construction — first
+#: 15 hex chars of sha256 parsed as a BIGINT — which DuckDB computes
+#: bit-identically (``CAST('0x' || substr(sha256(x), 1, 15) AS
+#: BIGINT)``, the parity proven by the split/sample oracles since
+#: round 7). Everything DOWNSTREAM of the lane inputs (affine folds
+#: mod 2^31-1, vote folds, banding, hamming) is pure integer/IEEE
+#: arithmetic both engines evaluate identically, so the FULL pair
+#: set becomes re-derivable in ANSI SQL. Production default stays
+#: xxhash64 (sha256 is a cryptographic hash; interleaved A/B at
+#: sf0.1: full pairs pipeline 2.39 → 4.38 s min, 1.8× — SCALE.md);
+#: portable mode exists for oracle parity and audit re-derivation.
+#: NULL word-hash slots (shingles reaching past a
+#: short doc's end) keep NULL semantics via the det_hash sentinel
+#: discipline: unit-separator join + chr(30) for NULL (sampling.py).
+_PORTABLE_WORD_HASH_SQL = (
+    "cast(conv(substr(sha2(w, 256), 1, 15), 16, 10) as bigint)"
+)
+
+
+def _word_hash_front(
+    df: DataFrame, text_col: str, id_col: str, portable: bool = False
+) -> DataFrame:
+    """(_id, _hw array<bigint>): one hash per whitespace token,
     duplicates preserved (simhash weights votes by term frequency;
-    minhash's min is duplicate-insensitive). The array lives in its own
-    select — CollapseProject keeps a non-cheap expression referenced
-    more than once materialized (SPARK-36718), so the k sketch lanes
-    downstream never re-split the text.
+    minhash's min is duplicate-insensitive). xxhash64 by default; the
+    60-bit sha256 fold with ``portable=True`` (see
+    ``_PORTABLE_WORD_HASH_SQL`` — bits 60-63 are then always zero,
+    which downstream folds inherit identically in both engines). The
+    array lives in its own select — CollapseProject keeps a non-cheap
+    expression referenced more than once materialized (SPARK-36718),
+    so the k sketch lanes downstream never re-split the text.
 
     NULL-text rows are FILTERED — the exact semantics of the r12
     explode+groupBy fronts this replaced (explode of a NULL array
@@ -309,6 +336,7 @@ def _word_hash_front(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     review finding)."""
     from timescale_cdc_spark.functions.ident import sql_ident
 
+    word_hash = _PORTABLE_WORD_HASH_SQL if portable else "xxhash64(w)"
     # sql_ident everywhere a caller name is referenced: a name with a
     # dot otherwise parses as a struct-field reference (pinned by
     # test_expr_string_operators_quote_column_names)
@@ -320,13 +348,13 @@ def _word_hash_front(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.expr(sql_ident(id_col)).alias("_id"),
             F.expr(
                 rf"transform(split({sql_ident(text_col)}, '\\s+'), "
-                "w -> xxhash64(w))"
+                f"w -> {word_hash})"
             ).alias("_hw"),
         )
     )
 
 
-def _shingle_hash_sql(shingle_n: int) -> str:
+def _shingle_hash_sql(shingle_n: int, portable: bool = False) -> str:
     """SQL for the per-doc shingle-hash array over ``_hw``: combine n
     consecutive word hashes per position (measured 8× faster than
     concat_ws string shingles), masked to the full 31 low bits.
@@ -338,13 +366,35 @@ def _shingle_hash_sql(shingle_n: int) -> str:
     index past the word-hash array, which must yield NULL (xxhash64
     skips NULL args) under ANSI mode too — element_at would throw
     there, and freq.py already hardens its folds the same way
-    (ADVICE r13)."""
-    shingle_args = ", ".join(
-        f"try_element_at(_hw, i+{j + 1})" for j in range(shingle_n)
-    )
+    (ADVICE r13).
+
+    ``portable=True`` combines with the det_hash sha256 construction
+    instead of xxhash64 (see ``_PORTABLE_WORD_HASH_SQL``): the n word
+    hashes are cast to strings, NULL slots become the chr(30)
+    sentinel, unit-separator-joined — exactly sampling.det_hash's
+    identity-string discipline, so DuckDB re-derives every shingle
+    hash bit-equal. (The xxhash64 NULL-skip means a past-the-end
+    suffix degrades to hashing fewer args; the sentinel keeps the
+    same property — only suffix positions can be NULL — while staying
+    expressible cross-engine.)"""
+    if portable:
+        parts = ", ".join(
+            f"coalesce(cast(try_element_at(_hw, i+{j + 1}) as string), "
+            "chr(30))"
+            for j in range(shingle_n)
+        )
+        combine = (
+            f"cast(conv(substr(sha2(concat_ws(chr(31), {parts}), 256), "
+            f"1, 15), 16, 10) as bigint)"
+        )
+    else:
+        shingle_args = ", ".join(
+            f"try_element_at(_hw, i+{j + 1})" for j in range(shingle_n)
+        )
+        combine = f"xxhash64({shingle_args})"
     return (
         f"transform(sequence(0, greatest(size(_hw) - {shingle_n}, 0)), "
-        f"i -> xxhash64({shingle_args}) & {_MERSENNE_31}L)"
+        f"i -> {combine} & {_MERSENNE_31}L)"
     )
 
 
@@ -380,6 +430,7 @@ def minhash_signatures(
     id_col: str,
     shingle_n: int = 3,
     num_hashes: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures: (_id, _sig array<bigint> of length k).
 
@@ -404,8 +455,8 @@ def minhash_signatures(
     per-lane transform() re-evaluates the shingle expression k times,
     measured 250× slower).
     """
-    hs = _word_hash_front(df, text_col, id_col).select(
-        "_id", F.expr(_shingle_hash_sql(shingle_n)).alias("_hs")
+    hs = _word_hash_front(df, text_col, id_col, portable).select(
+        "_id", F.expr(_shingle_hash_sql(shingle_n, portable)).alias("_hs")
     )
     return hs.select("_id", F.expr(_sig_lanes_sql(num_hashes)).alias("_sig"))
 
@@ -482,14 +533,20 @@ def minhash_banded(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded MinHash sketch rows (_id, _sig, band, bucket) — the
     shared front half of batch LSH pairing (minhash_lsh_pairs) and the
     streaming near-dup gate's signature index
     (curation.StreamingNearDedup). bucket = xxhash64 of the band's
-    signature rows, so equal buckets ⇔ equal band slices."""
+    signature rows, so equal buckets ⇔ equal band slices (in BOTH
+    hash modes — the bucket is a pure grouping key, never re-derived
+    cross-engine: an oracle joins on the band's lane TUPLE, which is
+    bucket-equality modulo xxhash64 collisions)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
+    sig = minhash_signatures(
+        df, text_col, id_col, shingle_n, num_hashes, portable
+    )
     band_structs = ", ".join(
         "struct({b} AS band, xxhash64({args}) AS bucket)".format(
             b=b,
@@ -516,6 +573,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """C2 MinHash-LSH near-dup pairs.
 
@@ -544,7 +602,9 @@ def minhash_lsh_pairs(
     boilerplate clusters) — see _banded_candidates for the star-pairing
     semantics and recall note.
     """
-    banded = minhash_banded(df, text_col, id_col, shingle_n, num_hashes, bands)
+    banded = minhash_banded(
+        df, text_col, id_col, shingle_n, num_hashes, bands, portable
+    )
     cand = _banded_candidates(banded, ["band", "bucket"], "_sig", max_bucket)
     # SQL text, not Column lambdas (round 13; see _sig_lanes_sql):
     # same matching-lane fraction, one parse instead of two py4j
@@ -661,8 +721,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64, each bit votes
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, portable: bool = False
+) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64 (or the 60-bit
+    portable hash — bits 60-63 then vote all-negative and stay zero
+    in every fingerprint, identically cross-engine), each bit votes
     ±1 (term-frequency weighted — duplicate tokens vote again), sign
     of the per-bit vote sum is the fingerprint bit.
 
@@ -673,7 +737,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     bit-identical, one exchange and two agg stages cheaper
     (interleaved A/B at sf0.1: pairs pipeline 1.96 s → 1.70 s).
     Returns (_id, _fp)."""
-    return _word_hash_front(df, text_col, id_col).select(
+    return _word_hash_front(df, text_col, id_col, portable).select(
         "_id", F.expr(f"({_fp_sql()}) AS _fp")
     )
 
@@ -700,6 +764,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """C2 SimHash near-dup pairs: fingerprint, band the 64 bits into
     ``chunks`` 16-bit keys (pigeonhole: hamming ≤ 3 ⇒ at least one of
@@ -711,7 +776,7 @@ def simhash_pairs(
     fingerprint aggregation as a separate broadcast pipeline (see
     minhash_lsh_pairs for the measured effect). ``max_bucket`` is the
     hot-bucket skew guard (star pairing; see _banded_candidates)."""
-    fp = simhash_fingerprints(df, text_col, id_col)
+    fp = simhash_fingerprints(df, text_col, id_col, portable)
     width = 64 // chunks
     chunk_structs = ", ".join(
         f"struct({c} AS chunk, "

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from timescale_cdc_spark.functions.ident import sql_qualified
 from timescale_cdc_spark.operators.dedup import (
+    _affine_params,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
@@ -196,7 +197,197 @@ def c2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c2_minhash_simhash")  # xxhash64 sketches are Spark-specific → rows-only
+# -- c2_minhash_simhash hard oracle (round 15, VERDICT r14 #3) -------------
+#
+# With portable=True the sketch lane inputs are the sampling.det_hash
+# 60-bit sha256 construction (dedup._PORTABLE_WORD_HASH_SQL), and
+# everything downstream — the 31-bit shingle mask, the 64 affine
+# min-folds mod 2^31-1, the SimHash vote folds, banding, hamming —
+# is integer/IEEE arithmetic DuckDB evaluates bit-identically. The
+# oracle below re-walks the ENTIRE pipeline in SQL: word hashes →
+# shingle hashes → per-lane signatures → band-key candidates WITH the
+# hot-bucket star-pairing guard (buckets over SKETCH_MAX_BUCKET pair
+# every member with the bucket minimum only — and the guard is
+# genuinely ACTIVE at sf0.1: the portable hash zeroes fingerprint
+# bits 60-63, shrinking simhash chunk 3's key space 16× and pushing
+# one bucket to ~300 docs, so the oracle verifies the guard's exact
+# semantics rather than pinning it inert) → estimate filter → the
+# exact-similarity verification gate. Two deliberate oracle-side
+# simplifications, both exact for this corpus:
+# (a) band-bucket equality is tested on the band's ordered lane
+#     TUPLE, not on Spark's xxhash64 bucket value — identical tuples
+#     hash equal, so the two differ only on an xxhash64 collision
+#     between distinct tuples (deterministic for the fixture; the
+#     hash match itself would expose one);
+# (b) the verification gate's exact Jaccard runs over STRING
+#     shingle/token sets where the Spark plan uses xxhash64-hashed
+#     sets (a shuffle-width optimization, r13) — equal modulo
+#     in-doc 64-bit hash collisions (~4e-15/pair).
+
+#: the 64 (a, b) affine lane parameters, shared literally with the
+#: Spark plan (same _affine_params(64) call the lane SQL splices)
+_MH_PARAMS_VALUES = ", ".join(
+    f"({i + 1}, {a}, {b})"
+    for i, (a, b) in enumerate(_affine_params(64))
+)
+
+#: DuckDB text of the portable 60-bit word hash (bit-parity with
+#: dedup._PORTABLE_WORD_HASH_SQL is the det_hash contract proven by
+#: the split/sample oracles)
+_DK_WORD_HASH = "CAST(('0x' || substr(sha256(x), 1, 15)) AS BIGINT)"
+
+
+def _dk_shingle_hash(i: str) -> str:
+    """DuckDB text of the portable 3-word shingle hash at 0-based
+    position ``i`` over the word-hash list ``hw`` (1-based list
+    indexing; out-of-range → NULL → chr(30) sentinel, exactly the
+    Spark try_element_at/coalesce chain)."""
+    parts = ", ".join(
+        f"coalesce(CAST(hw[{i} + {j}] AS VARCHAR), chr(30))"
+        for j in (1, 2, 3)
+    )
+    return (
+        f"CAST(('0x' || substr(sha256(concat_ws(chr(31), {parts})), "
+        f"1, 15)) AS BIGINT) & 2147483647"
+    )
+
+
+C2_SKETCH_ORACLE_SQL = f"""
+    WITH corpus AS ({PLANT_DOCS_SQL}),
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM corpus WHERE text IS NOT NULL
+    ),
+    hw AS (
+      SELECT doc_id,
+             list_transform(words, x -> {_DK_WORD_HASH}) AS hw
+      FROM w
+    ),
+    sh3 AS (
+      SELECT doc_id, {_dk_shingle_hash('i')} AS hs
+      FROM hw, UNNEST(generate_series(0, greatest(len(hw) - 3, 0))) AS t(i)
+    ),
+    params(lane, a, b) AS (VALUES {_MH_PARAMS_VALUES}),
+    sig AS (
+      SELECT s.doc_id, p.lane,
+             min((s.hs * p.a + p.b) % 2147483647) AS m
+      FROM sh3 s CROSS JOIN params p
+      GROUP BY 1, 2
+    ),
+    bandkey AS (
+      SELECT doc_id, (lane - 1) // 4 AS band,
+             string_agg(CAST(m AS VARCHAR), ',' ORDER BY lane) AS key
+      FROM sig GROUP BY doc_id, (lane - 1) // 4
+    ),
+    bandstat AS (
+      SELECT doc_id, band, key,
+             COUNT(*) OVER (PARTITION BY band, key) AS bsz,
+             min(doc_id) OVER (PARTITION BY band, key) AS bmin
+      FROM bandkey
+    ),
+    mcand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandstat a JOIN bandstat b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           AND a.bsz <= {SKETCH_MAX_BUCKET}
+      UNION
+      SELECT bmin AS id_a, doc_id AS id_b
+      FROM bandstat
+      WHERE bsz > {SKETCH_MAX_BUCKET} AND doc_id <> bmin
+    ),
+    mpairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(count(*) FILTER (WHERE sa.m = sb.m) AS DOUBLE) / 64.0
+               AS score
+      FROM mcand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.lane = sa.lane
+      GROUP BY 1, 2
+      HAVING CAST(count(*) FILTER (WHERE sa.m = sb.m) AS DOUBLE) / 64.0
+             >= 0.5
+    ),
+    tok AS (SELECT doc_id, unnest(hw) AS h FROM hw),
+    vote AS (
+      SELECT tok.doc_id, t.j,
+             sum(CASE WHEN (tok.h >> t.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM tok, UNNEST(generate_series(0, 59)) AS t(j)
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0
+                  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+               AS fp
+      FROM vote GROUP BY doc_id
+    ),
+    ck AS (
+      SELECT f.doc_id, f.fp, t.c, (f.fp >> (16 * t.c)) & 65535 AS key
+      FROM fp f, UNNEST(generate_series(0, 3)) AS t(c)
+    ),
+    ckstat AS (
+      SELECT doc_id, fp, c, key,
+             COUNT(*) OVER (PARTITION BY c, key) AS bsz,
+             min(doc_id) OVER (PARTITION BY c, key) AS bmin
+      FROM ck
+    ),
+    scand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ckstat a JOIN ckstat b
+        ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+           AND a.bsz <= {SKETCH_MAX_BUCKET}
+      UNION
+      SELECT bmin AS id_a, doc_id AS id_b
+      FROM ckstat
+      WHERE bsz > {SKETCH_MAX_BUCKET} AND doc_id <> bmin
+    ),
+    spairs AS (
+      SELECT DISTINCT c.id_a, c.id_b,
+             CAST(bit_count(xor(fa.fp, fb.fp)) AS DOUBLE) AS score
+      FROM scand c
+      JOIN fp fa ON fa.doc_id = c.id_a
+      JOIN fp fb ON fb.doc_id = c.id_b
+      WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+    ),
+    sh_str AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', words[i], words[i+1], words[i+2]) AS s
+      FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
+    ),
+    szs AS (SELECT doc_id, COUNT(*) AS n FROM sh_str GROUP BY doc_id),
+    tk_str AS (
+      SELECT DISTINCT doc_id, tkn
+      FROM (SELECT doc_id, unnest(words) AS tkn FROM w)
+    ),
+    szt AS (SELECT doc_id, COUNT(*) AS n FROM tk_str GROUP BY doc_id),
+    mcommon AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS common
+      FROM sh_str x JOIN sh_str y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    scommon AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS common
+      FROM tk_str x JOIN tk_str y ON x.tkn = y.tkn AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT 'minhash' AS method, p.id_a, p.id_b, p.score
+    FROM mpairs p
+    JOIN szs sa ON sa.doc_id = p.id_a
+    JOIN szs sb ON sb.doc_id = p.id_b
+    LEFT JOIN mcommon c ON c.id_a = p.id_a AND c.id_b = p.id_b
+    WHERE abs(p.score - CAST(coalesce(c.common, 0) AS DOUBLE)
+              / (sa.n + sb.n - coalesce(c.common, 0))) <= 0.2
+    UNION ALL
+    SELECT 'simhash' AS method, p.id_a, p.id_b, p.score
+    FROM spairs p
+    JOIN szt sa ON sa.doc_id = p.id_a
+    JOIN szt sb ON sb.doc_id = p.id_b
+    LEFT JOIN scommon c ON c.id_a = p.id_a AND c.id_b = p.id_b
+    WHERE CAST(coalesce(c.common, 0) AS DOUBLE)
+          / (sa.n + sb.n - coalesce(c.common, 0)) >= 0.5
+"""
+
+
+@register("c2_minhash_simhash", C2_SKETCH_ORACLE_SQL)
 def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 sketch-based near-dup pairs, both families tagged in one
     result:
@@ -209,16 +400,22 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both are bucketed (never all-pairs) with all signature math in
     JVM codegen — the 100 TB shapes.
 
-    SELF-VALIDATING (round 4, VERDICT r3 #2): the driver can't oracle
-    xxhash64 sketches, so each emitted pair is verified IN-PLAN against
-    the exact similarity it estimates — minhash pairs must have
-    |jaccard_est − exact 3-gram Jaccard| ≤ 0.2 (3σ for 64 hashes at
-    j=0.5 is ~0.19), simhash pairs must have exact unigram-set Jaccard
-    ≥ 0.5. A regression in signature math, banding, or candidate
-    generation produces estimates that diverge from the exact values
-    and the row count DROPS — the driver's rows-only count is a real
-    accuracy signal, not just \"ran without error\". Planted-pair
-    recall is additionally asserted in tests/test_operators.py.
+    HARD-ORACLE (round 15, VERDICT r14 #3 — previously rows-only
+    since round 4): the entry runs the sketches in ``portable=True``
+    mode (sha256-based det_hash lanes, dedup.py), so the DuckDB
+    oracle re-derives the full pipeline — signatures, banding,
+    candidates, estimates, and the verification gate — and the
+    driver hash-checks every emitted pair. The production default
+    stays xxhash64 (dedup.py's portable note has the cost A/B).
+
+    The IN-PLAN verification gate (round 4, VERDICT r3 #2) remains
+    part of the result semantics: each emitted pair is verified
+    against the exact similarity it estimates — minhash pairs must
+    have |jaccard_est − exact 3-gram Jaccard| ≤ 0.2 (3σ for 64 hashes
+    at j=0.5 is ~0.19), simhash pairs must have exact unigram-set
+    Jaccard ≥ 0.5 — and the oracle applies the identical gate.
+    Planted-pair recall is additionally asserted in
+    tests/test_operators.py.
 
     (SemDeDup's driver rows live in ``c2_streaming_near_dedup`` — this
     entry is in the headline bench, and the KMeans fit + gate joins
@@ -257,9 +454,15 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _planted_docs(spark, sf_dir).localCheckpoint()
+    # portable=True (round 15, VERDICT r14 #3): the registered entry
+    # runs the sha256 parity lanes so the driver's hard oracle can
+    # re-derive every pair; production callers keep the xxhash64
+    # default (1.8× cheaper pairs pipeline at sf0.1 — A/B in
+    # SCALE.md; the entry's bench row carries the delta as a
+    # coverage note).
     pairs = (
         minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.5,
-                          max_bucket=SKETCH_MAX_BUCKET)
+                          max_bucket=SKETCH_MAX_BUCKET, portable=True)
         .select(
             F.lit("minhash").alias("method"),
             "id_a",
@@ -268,7 +471,8 @@ def c2_minhash_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             simhash_pairs(corpus, "text", "doc_id", max_hamming=3,
-                          max_bucket=SKETCH_MAX_BUCKET).select(
+                          max_bucket=SKETCH_MAX_BUCKET,
+                          portable=True).select(
                 F.lit("simhash").alias("method"),
                 "id_a",
                 "id_b",
