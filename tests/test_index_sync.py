@@ -343,3 +343,60 @@ def test_cdc_sync_repair_requires_stopped_stream(spark, corpus, tmp_path):
         q.stop()
         q.awaitTermination(60)
     assert sync.repair() == 0  # stopped stream: maintenance unblocked
+
+
+def test_cdc_sync_compact_between_crash_and_repair(spark, corpus, tmp_path):
+    """Round 15 (VERDICT r14 #6) — the poisonous interleave: a
+    crash-window batch stages ids {x, y} (marker committed, append
+    lost), a LATER batch deletes x, and index.compact() clears the
+    tombstones BEFORE repair() runs. Without the sync's own
+    batch-scoped deleted log, repair's only record that x was taken
+    down dies with the tombstone and x is resurrected. And the
+    scoping must not overreach: x RE-INSERTED by a batch NEWER than
+    the delete, with its own crash window, must still be repaired —
+    the delete only outranks earlier-or-equal stagings."""
+    em = corpus
+    base = em.filter(F.col("vec_id") % 10 != 0)
+    idx = IvfIndex(spark, str(tmp_path / "idx")).build(
+        base.drop("ts"), n_clusters=8
+    )
+    sync = IndexCdcSync(idx, str(tmp_path / "sync"))
+    x, y = 0, 10  # both outside the built corpus
+
+    # crash window: batch 0 staged {x, y} + marker, append LOST
+    em.filter(F.col("vec_id").isin([x, y])).select(
+        "vec_id", "embedding"
+    ).write.parquet(sync._staged_batch(0))
+    os.makedirs(sync._applied_path, exist_ok=True)
+    with open(sync._marker(0), "w") as f:
+        f.write("0")
+
+    # batch 1 takes x down (normal apply path: deleted log + tombstone)
+    sync.apply_batch(_del(em.filter(F.col("vec_id") == x)), 1)
+    # compact BEFORE repair — the index's tombstones are now gone
+    idx.compact()
+    from timescale_cdc_spark.operators import tombstones as tb
+
+    assert tb.count_tombstones(spark, idx.path) == 0
+
+    # batch 2 legitimately RE-INSERTS x (post-compact), crash window
+    em.filter(F.col("vec_id") == x).select(
+        "vec_id", "embedding"
+    ).write.parquet(sync._staged_batch(2))
+    with open(sync._marker(2), "w") as f:
+        f.write("2")
+
+    # repair: y from batch 0 and x from batch 2 — x's BATCH-0 copy
+    # stays dead (deleted by batch 1 >= 0), its batch-2 copy lives
+    # (deleted-log batch 1 < staging batch 2)
+    assert sync.repair() == 2
+    live = idx.corpus()
+    assert live.filter(F.col("c_id").isin([x, y])).count() == 2
+    bare = spark.read.parquet(os.path.join(str(tmp_path / "idx"), "corpus"))
+    assert bare.filter(F.col("c_id") == x).count() == 1  # no resurrection
+    assert sync.repair() == 0  # idempotent
+
+    # prune reconciles all three batch dirs and GCs the deleted log
+    assert sync.prune_staged() == 3
+    assert sync._sync_deleted() is None
+    assert sync.lag()["staged_batches"] == 0

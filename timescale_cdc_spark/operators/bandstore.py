@@ -227,15 +227,56 @@ class BandedIndexStore:
         )
 
     def index(self) -> DataFrame:
-        """Every indexed row (batch dirs ∪ compacted base) in the
-        batch-dir schema; compacted rows carry their (negative)
-        generation as ``ingest_batch``."""
-        return self._batches_df().unionByName(self._base_df())
+        """Every LIVE indexed row (batch dirs ∪ compacted base, minus
+        tombstoned ids) in the batch-dir schema; compacted rows carry
+        their (negative) generation as ``ingest_batch``."""
+        return self._live(self._batches_df().unionByName(self._base_df()))
 
     def _lookup_index(self, sigs: DataFrame) -> DataFrame:
         """The per-batch lookup view: full recent batch dirs (small —
-        bounded by compaction cadence) ∪ bucket-pruned base."""
-        return self._batches_df().unionByName(self._base_df(sigs))
+        bounded by compaction cadence) ∪ bucket-pruned base, minus
+        tombstoned ids (a taken-down document must stop suppressing
+        near-dups the moment :meth:`delete` returns)."""
+        return self._live(
+            self._batches_df().unionByName(self._base_df(sigs))
+        )
+
+    # -- takedown (round 15, VERDICT r14 #4) ---------------------------------
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        return tb.filter_live(
+            self.spark, self.index_path, df, col=self.ID_COL
+        )
+
+    def delete(self, ids, id_col: str | None = None) -> int:
+        """Take down admitted documents: their signatures stop
+        matching (suppressing) future batches IMMEDIATELY via the
+        shared tombstone anti-join (operators/tombstones.py — the
+        same O(batch)-append / broadcast-filter / compact-purges
+        pattern as the ANN index family); the next :meth:`compact`
+        rewrites the store without the tombstoned rows and clears the
+        tombstones last. ``ids``: a DataFrame carrying ``id_col``
+        (default: the store's ID_COL) or a plain iterable of id
+        values. Returns newly recorded ids.
+
+        Single-writer with respect to the stream, like compact():
+        run between micro-batches. Re-ingesting a TOMBSTONED id
+        before a compact stays suppressed on the read side (id-level
+        tombstones — the same reason IndexCdcSync rejects re-inserts
+        until a compact purges the old rows)."""
+        from timescale_cdc_spark.operators import tombstones as tb
+
+        if isinstance(ids, DataFrame):
+            # tombstones.py stores the id column as c_id internally
+            return tb.add_tombstones(
+                self.spark,
+                self.index_path,
+                ids.select(F.col(id_col or self.ID_COL).alias("c_id")),
+                id_col="c_id",
+            )
+        return tb.add_tombstones(self.spark, self.index_path, ids)
 
     def stats(self) -> dict:
         """Structural index state for the maintenance report — no data
@@ -272,14 +313,30 @@ class BandedIndexStore:
         duplicate rows from a crash window are harmless (a rerun also
         dedups them). A crash before the gen's _meta.json lands
         degrades that gen to unpruned-but-correct reads until the
-        next compaction rewrites it."""
+        next compaction rewrites it.
+
+        Takedowns (round 15, VERDICT r14 #4): the merge reads
+        :meth:`index`, which is tombstone-filtered, so a compaction
+        physically purges deleted rows; the tombstone dir is cleared
+        LAST (tombstones.py discipline — a crash anywhere mid-purge
+        leaves reads filtered/correct and the next compact finishes
+        the job), and outstanding tombstones force a compaction even
+        when the directory count alone wouldn't."""
         import json
         import os
         import shutil
 
+        from timescale_cdc_spark.operators import tombstones as tb
+
         batch_dirs = self._batch_dirs()
         gen_dirs = self._gen_dirs()
-        if len(batch_dirs) + len(gen_dirs) <= 1:
+        has_tombs = (
+            tb.read_tombstones(self.spark, self.index_path) is not None
+        )
+        if len(batch_dirs) + len(gen_dirs) <= (0 if has_tombs else 1):
+            if has_tombs:
+                # nothing stored: every tombstone is a no-op — clear
+                tb.clear_tombstones(self.spark, self.index_path)
             return 0
         # Generations are NEGATIVE so a legacy flat compacted dir
         # (pre-round-7 layout: ingest_batch=<negative>) can never
@@ -362,4 +419,8 @@ class BandedIndexStore:
         # lookup that reuses the cached FileIndex.
         self.spark.catalog.refreshByPath(self.index_path)
         self.spark.catalog.refreshByPath(self._base_path)
+        # tombstones cleared LAST: the merged gen above was written
+        # from the filtered index, so the rows are already gone —
+        # a crash before this line only keeps reads filtered
+        tb.clear_tombstones(self.spark, self.index_path)
         return len(batch_dirs) + len(gen_dirs)

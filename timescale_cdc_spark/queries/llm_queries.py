@@ -1116,6 +1116,21 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay idempotence admits a duplicate and the row count drops to
     zero, so the driver's rows-only count is a real invariant signal.
 
+    Round 15 (VERDICT r14 #4) — MID-STREAM TAKEDOWN: two synthetic
+    near-dup pairs are planted with texts derived from the fixture
+    (every word prefixed, so they est-match NOTHING organic — the
+    planted-copy discipline, isolated from the fixture's own
+    est-similarity structure): S(900000)/S'(900001) and the control
+    T(900003)/T'(900004). S and T land in batch 0; S', T' in batch
+    1. Between the batches the entry DELETES S
+    (BandedIndexStore.delete → tombstone anti-join on every lookup).
+    The takedown gate then demands BOTH directions: S' ADMITTED
+    (the tombstoned doc stopped suppressing immediately) AND T'
+    DROPPED (suppression still works where no takedown happened) —
+    either failure zeroes the rows. The original no-near-dup
+    invariant keeps holding over the post-takedown corpus (admitted
+    minus S) and would catch a resurrected S pairing with S'.
+
     (The production path is a foreachBatch sink writing survivors out
     — see StreamingNearDedup.attach; this adapter exists so the driver
     exercises the gate's semantics every round.)
@@ -1141,7 +1156,31 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = scratch_path(sf_dir, "near_dedup_idx")
     shutil.rmtree(index_path, ignore_errors=True)
 
-    corpus = _planted_docs(spark, sf_dir)
+    # Synthetic takedown pairs derived from fixture text (doc 1's
+    # words each given a distinct prefix → zero shingle overlap with
+    # anything organic): S/S' is the takedown pair, T/T' the control.
+    # Ids chosen so S, T hit batch 0 (%3==0) and S', T' batch 1.
+    seed = t(spark, sf_dir, "documents").filter(F.col("doc_id") == 1)
+    S_ID, SP_ID, T_ID, TP_ID = 900000, 900001, 900003, 900004
+
+    def _planted_pair(orig_id, copy_id, prefix):
+        mutated = F.regexp_replace("text", r"(^|\s)(\S)", f"$1{prefix}$2")
+        orig = seed.select(
+            F.lit(orig_id).cast("long").alias("doc_id"),
+            mutated.alias("text"),
+        )
+        copy = seed.select(
+            F.lit(copy_id).cast("long").alias("doc_id"),
+            F.concat(mutated, F.lit(" one extra trailing token"))
+            .alias("text"),
+        )
+        return orig.unionByName(copy)
+
+    corpus = (
+        _planted_docs(spark, sf_dir)
+        .unionByName(_planted_pair(S_ID, SP_ID, "zq"))
+        .unionByName(_planted_pair(T_ID, TP_ID, "xv"))
+    )
     gate = StreamingNearDedup(spark, index_path)
     admitted = None
     for b in range(3):
@@ -1152,17 +1191,40 @@ def c2_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ingest_batch", F.lit(b)
         )
         admitted = survivors if admitted is None else admitted.unionByName(survivors)
+        if b == 0:
+            # mid-stream takedown of S, between micro-batches (the
+            # gate's single-writer contract): S's signatures must
+            # stop suppressing from the very next batch
+            gate.delete([S_ID])
+    # the takedown removes S from the corpus downstream — the
+    # admitted set the invariants run over excludes it
+    admitted = admitted.filter(F.col("doc_id") != S_ID)
 
-    # In-plan invariant gate: zero near-dup candidate pairs among the
-    # admitted docs (same detector, same threshold).
+    # In-plan invariant gate 1: zero near-dup candidate pairs among
+    # the admitted docs (same detector, same threshold) — over the
+    # post-takedown corpus this also catches a resurrected S pairing
+    # with its (now admitted) near-copy S'.
     viol = (
         minhash_lsh_pairs(admitted, "text", "doc_id", threshold=gate.threshold)
         .agg(F.count("*").alias("n_viol"))
     )
+    # In-plan invariant gate 2 (round 15, VERDICT r14 #4): the
+    # takedown must have RELEASED S' (admitted in batch 1) while the
+    # untouched control pair keeps suppressing T' — both checked in
+    # one tiny aggregate; either failure zeroes the result.
+    takedown_ok = admitted.agg(
+        (
+            F.sum((F.col("doc_id") == SP_ID).cast("int"))
+            - F.sum((F.col("doc_id") == TP_ID).cast("int"))
+        ).alias("_takedown_sig")
+    )
     gate_rows = (
         admitted.select("ingest_batch", "doc_id", F.length("text").alias("n_chars"))
         .crossJoin(F.broadcast(viol))
-        .filter(F.col("n_viol") == 0)
+        .crossJoin(F.broadcast(takedown_ok))
+        .filter(
+            (F.col("n_viol") == 0) & (F.col("_takedown_sig") == 1)
+        )
         .select(
             F.lit("stream_gate").alias("method"),
             F.col("doc_id").alias("id_a"),

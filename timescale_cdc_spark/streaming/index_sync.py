@@ -114,6 +114,10 @@ class IndexCdcSync:
     def _applied_path(self) -> str:
         return f"{self.path}/applied"
 
+    @property
+    def _deleted_path(self) -> str:
+        return f"{self.path}/deleted"
+
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self._applied_path, f"batch-{batch_id}")
 
@@ -255,7 +259,25 @@ class IndexCdcSync:
                 f"before re-inserting those ids (clearing a tombstone "
                 f"would resurrect the old row next to the new one)"
             )
-        # (3) deletes — tombstone append, idempotent
+        # (3) deletes — log-ahead in the SYNC's own deleted record
+        # (rows (id, _db=batch id)), then the index tombstone append;
+        # both idempotent-on-replay (duplicate log rows are
+        # distinct'd at read). The sync-owned log exists because the
+        # index's tombstones are CLEARED by its compact(): without
+        # it, the interleave (crash-window batch staging id x) →
+        # (later batch deletes x) → compact → repair would resurrect
+        # x — repair's only record that x was ever deleted died with
+        # the tombstone. The log is BATCH-SCOPED because a delete
+        # only outranks inserts staged in earlier-or-equal batches:
+        # an id legitimately re-inserted after a compact must still
+        # be repairable from ITS OWN later batch (round 15, VERDICT
+        # r14 #6; pinned by the lifecycle soak and
+        # tests/test_index_sync.py).
+        if dels.limit(1).count():
+            dels.withColumn("_db", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(self._deleted_path)
+            self.spark.catalog.refreshByPath(self._deleted_path)
         self.index.delete(dels, id_col=self.id_col)
         # (4) marker BEFORE the append: a crash past this point can
         # only lose appends (invisible rows repair() re-adds), never
@@ -325,10 +347,46 @@ class IndexCdcSync:
             f"corpus()/raw()/banded()"
         )
 
+    def _sync_deleted(self) -> DataFrame | None:
+        """The sync's deleted log as distinct ``(id, _db)`` rows —
+        ``_db`` is the batch that issued the delete — or None. The
+        log-ahead record repair/prune consult so an index compact —
+        which clears the index's tombstones — can never erase the
+        fact that a staged id was later taken down."""
+        if not os.path.isdir(self._deleted_path):
+            return None
+        return self.spark.read.parquet(self._deleted_path).select(
+            self.id_col, "_db"
+        ).distinct()
+
+    def _filter_undeleted(self, staged: DataFrame) -> DataFrame:
+        """Drop staged rows whose ids are tombstoned in the index OR
+        recorded in the sync's deleted log by a LATER-OR-EQUAL batch
+        (deleted ≠ missing; an id re-inserted after a compact is
+        killable only by deletes that postdate its own staging —
+        ``staged`` carries ``_sb``, its staging batch). Tombstones
+        need no batch scoping: a tombstone predating a staged batch
+        would have rejected that batch at its guard, so a surviving
+        tombstone on a staged id always postdates the staging."""
+        staged = tb.filter_live(
+            self.spark, self.index.path, staged, col=self.id_col
+        )
+        dead = self._sync_deleted()
+        if dead is not None:
+            d = dead.withColumnRenamed(self.id_col, "_dead_id")
+            staged = staged.join(
+                F.broadcast(d),
+                (F.col(self.id_col) == F.col("_dead_id"))
+                & (F.col("_db") >= F.col("_sb")),
+                "left_anti",
+            )
+        return staged
+
     def _applied_staged(self) -> DataFrame | None:
-        """Staged rows of APPLIED batches only. Un-markered batches
-        are the stream's to replay — repair touching them would race
-        the replay into duplicates."""
+        """Staged rows of APPLIED batches only, each tagged with its
+        staging batch id ``_sb`` (the deleted-log scoping key).
+        Un-markered batches are the stream's to replay — repair
+        touching them would race the replay into duplicates."""
         if not os.path.isdir(self._staged_path):
             return None
         applied = {
@@ -337,14 +395,20 @@ class IndexCdcSync:
             if n.startswith("batch-") and not n.endswith(".tmp")
         } if os.path.isdir(self._applied_path) else set()
         dirs = [
-            os.path.join(self._staged_path, d)
+            (int(d.split("=", 1)[1]), os.path.join(self._staged_path, d))
             for d in os.listdir(self._staged_path)
             if d.startswith("_batch_id=")
             and int(d.split("=", 1)[1]) in applied
         ]
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs)
+        out = None
+        for bid, path in sorted(dirs):
+            part = self.spark.read.parquet(path).withColumn(
+                "_sb", F.lit(bid)
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def repair(self) -> int:
         """Re-append staged ids missing from the live corpus (an
@@ -363,9 +427,7 @@ class IndexCdcSync:
         staged = self._applied_staged()
         if staged is None:
             return 0
-        staged = tb.filter_live(
-            self.spark, self.index.path, staged, col=self.id_col
-        )
+        staged = self._filter_undeleted(staged).drop("_sb")
         missing = staged.join(
             self._live_ids(), self.id_col, "left_anti"
         ).localCheckpoint()
@@ -379,10 +441,13 @@ class IndexCdcSync:
 
     def prune_staged(self) -> int:
         """Drop staged partitions of applied batches whose ids are
-        ALL accounted for — live in the corpus OR tombstoned by a
-        later delete (a deleted staged id is reconciled, not pending;
-        see :meth:`repair`) — markers stay, so replays of pruned
-        batches still short-circuit. Returns dirs removed."""
+        ALL accounted for — live in the corpus, tombstoned, or in
+        the sync's deleted log with a later-or-equal batch id (a
+        deleted staged id is reconciled, not pending; see
+        :meth:`repair`) — markers stay, so replays of pruned batches
+        still short-circuit. The deleted log is then GC'd down to
+        ids still staged somewhere (empty staging clears it).
+        Returns dirs removed."""
         import shutil
 
         self._require_stream_stopped("prune_staged")
@@ -394,21 +459,58 @@ class IndexCdcSync:
             live = live.unionByName(
                 dead.withColumnRenamed("c_id", self.id_col)
             )
+        sync_dead = self._sync_deleted()
         removed = 0
+        remaining: list[str] = []
         for d in sorted(os.listdir(self._staged_path)):
             if not d.startswith("_batch_id="):
                 continue
             bid = int(d.split("=", 1)[1])
-            if not os.path.exists(self._marker(bid)):
-                continue
             leaf = os.path.join(self._staged_path, d)
+            if not os.path.exists(self._marker(bid)):
+                remaining.append(leaf)
+                continue
+            accounted = live
+            if sync_dead is not None:
+                # batch-scoped, like repair: only deletes issued by
+                # batch >= bid reconcile THIS dir's staged ids
+                accounted = accounted.unionByName(
+                    sync_dead.filter(F.col("_db") >= bid).select(
+                        self.id_col
+                    )
+                )
             staged = self.spark.read.parquet(leaf)
-            if staged.join(live, self.id_col, "left_anti").limit(1).count():
+            if staged.join(
+                accounted, self.id_col, "left_anti"
+            ).limit(1).count():
+                remaining.append(leaf)
                 continue  # still has unreconciled ids — keep for repair
             shutil.rmtree(leaf)
             removed += 1
         if removed:
             self.spark.catalog.refreshByPath(self._staged_path)
+        # GC the deleted log down to the ids still staged (the log
+        # only exists to keep repair() honest about staged ids; once
+        # a batch's staging is pruned, its deletions are fully
+        # reconciled history). Rewrite via localCheckpoint — the new
+        # log derives from the files it replaces.
+        if sync_dead is not None:
+            if not remaining:
+                shutil.rmtree(self._deleted_path, ignore_errors=True)
+                self.spark.catalog.refreshByPath(self._deleted_path)
+            elif removed:
+                still = (
+                    sync_dead.join(
+                        self.spark.read.parquet(*remaining).select(
+                            self.id_col
+                        ),
+                        self.id_col,
+                        "left_semi",
+                    ).localCheckpoint()
+                )
+                still.write.mode("overwrite").parquet(self._deleted_path)
+                self.spark.catalog.refreshByPath(self._deleted_path)
+                still.unpersist()
         return removed
 
     def lag(self) -> dict:
