@@ -174,12 +174,14 @@ COVERAGE_NOTES = {
         "Production callers keep the xxhash64 default (unchanged)."
     ),
     "b41_b48_streaming_semantics": (
-        "round 15, NOT in the headline set: the vecsync family's "
-        "per-batch apply gained one broadcast guard join (validate-"
-        "before-mutate: the tombstoned-reinsert check now runs "
-        "against pre-batch tombstones UNION the batch's deletes "
-        "BEFORE any index mutation, ADVICE r14) — O(batch) cost, "
-        "expect seconds-level noise at most."
+        "round 15, NOT in the headline set: the vecsync family "
+        "streams a THIRD batch — id-changing UPDATE envelopes "
+        "through the sync's new updates='split' rewrite (VERDICT "
+        "r14 #5), digest-checked with the moved ids at their new "
+        "values — and the per-batch apply gained one broadcast "
+        "guard join (validate-before-mutate, ADVICE r14) plus the "
+        "log-ahead deleted record. Expect a few seconds of growth "
+        "(one more micro-batch + one more index append)."
     ),
 }
 

@@ -209,6 +209,36 @@ def main() -> None:
         text_gate.process_batch(batch, n_batches).count()
         out["text_post_compact_sec"] = round(time.time() - t0, 2)
 
+        # Takedown leg (round 15, VERDICT r14 #4): delete the batch-0
+        # originals the planted dups copy, then probe with fresh
+        # copies — copies of DELETED docs must be admitted, copies of
+        # still-live docs must keep being rejected; a compact then
+        # purges the tombstoned rows from the compacted base.
+        n_dup = int(batch_docs * 0.01)
+        t0 = time.time()
+        assert text_gate.delete(list(range(n_dup))) == n_dup
+        out["text_delete_sec"] = round(time.time() - t0, 2)
+        probe = (
+            synth_docs(spark, batch_docs, 0)
+            .filter(F.col("doc_id") < 2 * n_dup)
+            .withColumn("doc_id", F.col("doc_id") + 5_000_000)
+        )
+        t0 = time.time()
+        admitted = {
+            r.doc_id - 5_000_000
+            for r in text_gate.process_batch(
+                probe, n_batches + 1
+            ).collect()
+        }
+        out["text_takedown_batch_sec"] = round(time.time() - t0, 2)
+        assert admitted == set(range(n_dup)), sorted(admitted)[:20]
+        t0 = time.time()
+        text_gate.compact()
+        out["text_takedown_compact_sec"] = round(time.time() - t0, 2)
+        import os as _os
+
+        assert not _os.path.isdir(f"{d}/text_idx/tombstones")
+
         vec_gate = StreamingVectorDedup(spark, f"{d}/vec_idx")
         vtimes, vrejected = [], 0
         for b in range(n_batches):
@@ -228,6 +258,30 @@ def main() -> None:
         t0 = time.time()
         vec_gate.process_batch(batch, n_batches).count()
         out["vec_post_compact_sec"] = round(time.time() - t0, 2)
+
+        # Takedown leg — the vector gate inherits the same
+        # BandedIndexStore.delete; identical assertions
+        n_vdup = int(batch_vecs * 0.01)
+        t0 = time.time()
+        assert vec_gate.delete(list(range(n_vdup))) == n_vdup
+        out["vec_delete_sec"] = round(time.time() - t0, 2)
+        vprobe = (
+            synth_vecs(spark, batch_vecs, 0)
+            .filter(F.col("vec_id") < 2 * n_vdup)
+            .withColumn("vec_id", F.col("vec_id") + 5_000_000)
+        )
+        t0 = time.time()
+        vadmitted = {
+            r.vec_id - 5_000_000
+            for r in vec_gate.process_batch(
+                vprobe, n_batches + 1
+            ).collect()
+        }
+        out["vec_takedown_batch_sec"] = round(time.time() - t0, 2)
+        assert vadmitted == set(range(n_vdup)), sorted(vadmitted)[:20]
+        t0 = time.time()
+        vec_gate.compact()
+        out["vec_takedown_compact_sec"] = round(time.time() - t0, 2)
 
     print(json.dumps(out))
 

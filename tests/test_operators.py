@@ -1064,7 +1064,10 @@ def test_c2_streaming_registered_row_count(spark):
     that method's in-plan invariant fired; a different count means the
     batch split, gate semantics, or semdedup clustering changed).
 
-    stream_gate: 476 admitted survivors. semdedup: 500 kept vectors —
+    stream_gate: 478 admitted survivors — the 476 fixture survivors
+    of rounds ≤14 plus the round-15 takedown plants S'(900001) and
+    T(900003) (S deleted mid-stream and excluded, T' suppressed by
+    the control pair — VERDICT r14 #4). semdedup: 500 kept vectors —
     the original embeddings table exactly, because every planted copy
     deduped and both gates held (a gate trip zeroes the method).
     curate: 794 verdict rows — one per corpus doc (round 11: the 666
@@ -1089,7 +1092,7 @@ def test_c2_streaming_registered_row_count(spark):
         for r in out.groupBy("method").agg(F.count("*").alias("n")).collect()
     }
     assert per_method == {
-        "stream_gate": 476, "semdedup": 500, "curate": 794,
+        "stream_gate": 478, "semdedup": 500, "curate": 794,
         # 500 held-out docs (250 clean + 250 planted junk), present
         # only because the accuracy and probability-separation gates
         # held (round 10, quality_model)

@@ -94,12 +94,17 @@ to rows a batch SQL oracle reproduces exactly:
   index (streaming/index_sync.py over an LshIndex): INSERT envelopes
   append the held-out 10% of the embeddings table, DELETE envelopes
   tombstone every vec_id % 7 == 0 (including ids the insert batch
-  just streamed), and the oracle recomputes the expected live set
-  from the fixture — banded row count (a double-applied append
-  inflates it), distinct live-id count + exact id-sum digest (a
-  leaked delete shifts it), and a rank-1 self-probe of an inserted
-  id through the served topk (queried under a +10M id: the LSH
-  rerank excludes self-id matches by design).
+  just streamed), and — round 15, VERDICT r14 #5 — a third batch of
+  UPDATE envelopes moves every live vec_id % 10 == 5 to vec_id +
+  200000 through the sync's ``updates='split'`` rewrite
+  (DELETE(before.id) + INSERT(after)). The oracle recomputes the
+  expected live set from the fixture — banded row count (a
+  double-applied append inflates it; unchanged by the 1:1 moves),
+  distinct live-id count + exact id-sum digest with the moved ids
+  at their NEW values (a leaked delete OR a half-applied update
+  shifts it), and a rank-1 self-probe of an inserted id through the
+  served topk (queried under a +10M id: the LSH rerank excludes
+  self-id matches by design).
 
 Determinism notes: all digests are order-insensitive sums of the
 portable 60-bit sha256 prefix (the det_hash recipe, sampling.py:56)
@@ -247,7 +252,8 @@ _ORACLE = f"""
     FROM embeddings WHERE vec_id % 7 <> 0
     UNION ALL
     SELECT 'vecsync' AS family, 'ids' AS k, COUNT(*) AS n,
-           CAST(SUM(vec_id) AS VARCHAR) AS v
+           CAST(SUM(CASE WHEN vec_id % 10 = 5 THEN vec_id + 200000
+                    ELSE vec_id END) AS VARCHAR) AS v
     FROM embeddings WHERE vec_id % 7 <> 0
     UNION ALL
     SELECT 'vecsync' AS family, 'probe' AS k, 1 AS n,
@@ -721,12 +727,32 @@ def b41_b48_streaming_semantics(
         F.to_json(F.struct("vec_id")).alias("before"),
         F.lit(None).cast("string").alias("after"),
     )
+    # batch 2 (round 15, VERDICT r14 #5): id-changing UPDATEs through
+    # the updates='split' rewrite — every LIVE vec_id % 10 == 5 moves
+    # to vec_id + 200000 (reference UPDATE shape: before AND after
+    # populated, init.sql:16 TG_OP)
+    vs_upd = emb.filter(
+        (F.col("vec_id") % 10 == 5) & (F.col("vec_id") % 7 != 0)
+    ).select(
+        vs_ts.alias("ts"),
+        F.lit("dataschema").alias("schema_name"),
+        F.lit("embeddings").alias("table_name"),
+        F.lit("UPDATE").alias("operation"),
+        F.to_json(F.struct("vec_id")).alias("before"),
+        F.to_json(
+            F.struct(
+                (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+            )
+        ).alias("after"),
+    )
     vs_idx = LshIndex(spark, os.path.join(root, "vecsync_idx")).build(
         emb.filter(F.col("vec_id") % 10 != 0)
     )
-    vs_sync = IndexCdcSync(vs_idx, os.path.join(root, "vecsync_state"))
+    vs_sync = IndexCdcSync(
+        vs_idx, os.path.join(root, "vecsync_state"), updates="split"
+    )
     vs_src = stage_stream_batches(
-        [vs_ins, vs_del], os.path.join(root, "vecsync_src")
+        [vs_ins, vs_del, vs_upd], os.path.join(root, "vecsync_src")
     )
     run_to_completion(
         vs_sync.attach(

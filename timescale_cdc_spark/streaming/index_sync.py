@@ -353,6 +353,10 @@ class IndexCdcSync:
         log-ahead record repair/prune consult so an index compact —
         which clears the index's tombstones — can never erase the
         fact that a staged id was later taken down."""
+        # heal a GC rewrite interrupted mid-swap (tombstones.py's
+        # two-rename discipline; losing this log reopens the
+        # resurrection window the log exists to close)
+        tb.recover_swap(self._deleted_path)
         if not os.path.isdir(self._deleted_path):
             return None
         return self.spark.read.parquet(self._deleted_path).select(
@@ -492,25 +496,23 @@ class IndexCdcSync:
         # GC the deleted log down to the ids still staged (the log
         # only exists to keep repair() honest about staged ids; once
         # a batch's staging is pruned, its deletions are fully
-        # reconciled history). Rewrite via localCheckpoint — the new
-        # log derives from the files it replaces.
+        # reconciled history). The rewrite goes through the atomic
+        # two-rename swap (tombstones.swap_rewrite) — a plain
+        # overwrite deletes-then-writes, and a crash in that window
+        # would lose the log and reopen the resurrection window.
         if sync_dead is not None:
             if not remaining:
                 shutil.rmtree(self._deleted_path, ignore_errors=True)
                 self.spark.catalog.refreshByPath(self._deleted_path)
             elif removed:
-                still = (
-                    sync_dead.join(
-                        self.spark.read.parquet(*remaining).select(
-                            self.id_col
-                        ),
-                        self.id_col,
-                        "left_semi",
-                    ).localCheckpoint()
+                still = sync_dead.join(
+                    self.spark.read.parquet(*remaining).select(
+                        self.id_col
+                    ),
+                    self.id_col,
+                    "left_semi",
                 )
-                still.write.mode("overwrite").parquet(self._deleted_path)
-                self.spark.catalog.refreshByPath(self._deleted_path)
-                still.unpersist()
+                tb.swap_rewrite(self.spark, self._deleted_path, still)
         return removed
 
     def lag(self) -> dict:
