@@ -68,6 +68,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -362,17 +363,7 @@ def main() -> None:
     calib_end = _calib_samples_jvm(spark, 3)
     calib_jvm_end = min(calib_end)
     calib_all = calib_start + calib_ticks + calib_end
-    calib_all_sorted = sorted(calib_all)
-    _n = len(calib_all_sorted)
-    calib_floor = round(
-        (
-            calib_all_sorted[_n // 2]
-            if _n % 2
-            else (calib_all_sorted[_n // 2 - 1] + calib_all_sorted[_n // 2])
-            / 2
-        ),
-        4,
-    )
+    calib_floor = round(statistics.median(calib_all), 4)
 
     # Per-family diagnostics for the two library mega-entries
     # (VERDICT r10 #3) — after the end calibration so the bracket

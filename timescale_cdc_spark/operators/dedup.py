@@ -146,7 +146,15 @@ def dedupe_lines(
         .filter(normalize_line(F.col("_line")) != "")
     )
     if mode == "keep_first":
-        w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+        # _line as the final key: duplicate input ids (supported,
+        # pooled — see above) can place two RAW-different but
+        # normalize-equal lines at the same (id, pos); without the
+        # tiebreaker row_number falls back to partition arrival
+        # order and the surviving original text is nondeterministic
+        # (round-15 review)
+        w = Window.partitionBy("_h").orderBy(
+            F.col(id_col), F.col("_pos"), F.col("_line")
+        )
         kept = (
             lines.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -96,7 +96,11 @@ to rows a batch SQL oracle reproduces exactly:
   tombstone every vec_id % 7 == 0 (including ids the insert batch
   just streamed), and — round 15, VERDICT r14 #5 — a third batch of
   UPDATE envelopes moves every live vec_id % 10 == 5 to vec_id +
-  200000 through the sync's ``updates='split'`` rewrite
+  1_000_000_000 through the sync's ``updates='split'`` rewrite
+  (an offset above any fixture id at ANY scale factor — a small
+  offset would eventually collide a moved id with a real id in
+  the same batch's delete set and wedge the stream on the guard;
+  the +10M probe convention, one class up)
   (DELETE(before.id) + INSERT(after)). The oracle recomputes the
   expected live set from the fixture — banded row count (a
   double-applied append inflates it; unchanged by the 1:1 moves),
@@ -252,7 +256,7 @@ _ORACLE = f"""
     FROM embeddings WHERE vec_id % 7 <> 0
     UNION ALL
     SELECT 'vecsync' AS family, 'ids' AS k, COUNT(*) AS n,
-           CAST(SUM(CASE WHEN vec_id % 10 = 5 THEN vec_id + 200000
+           CAST(SUM(CASE WHEN vec_id % 10 = 5 THEN vec_id + 1000000000
                     ELSE vec_id END) AS VARCHAR) AS v
     FROM embeddings WHERE vec_id % 7 <> 0
     UNION ALL
@@ -729,7 +733,10 @@ def b41_b48_streaming_semantics(
     )
     # batch 2 (round 15, VERDICT r14 #5): id-changing UPDATEs through
     # the updates='split' rewrite — every LIVE vec_id % 10 == 5 moves
-    # to vec_id + 200000 (reference UPDATE shape: before AND after
+    # to vec_id + 1e9 — above any fixture id at any SF, so a moved
+    # id can never collide with a real id in the same batch's
+    # delete set (round-15 review) — (reference UPDATE shape:
+    # before AND after
     # populated, init.sql:16 TG_OP)
     vs_upd = emb.filter(
         (F.col("vec_id") % 10 == 5) & (F.col("vec_id") % 7 != 0)
@@ -741,7 +748,8 @@ def b41_b48_streaming_semantics(
         F.to_json(F.struct("vec_id")).alias("before"),
         F.to_json(
             F.struct(
-                (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+                (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+                "embedding"
             )
         ).alias("after"),
     )

@@ -243,22 +243,29 @@ class IndexCdcSync:
         # batch's delete ids), so delete+insert of one id in one batch
         # is caught too, and a rejected batch leaves the index
         # untouched — no half-applied deletes visible while the stream
-        # wedges on the replaying error.
+        # wedges on the replaying error. A pure-insert batch against
+        # a tombstone-free index skips the join entirely (the
+        # tombstones.py zero-overhead contract for the common case).
         dead = tb.read_tombstones(self.spark, self.index.path)
-        dels_ids = dels.select(F.col(self.id_col).alias("c_id"))
-        dead = dels_ids if dead is None else dead.unionByName(dels_ids)
-        n_dead_adds = staged.join(
-            F.broadcast(dead.withColumnRenamed("c_id", self.id_col)),
-            self.id_col,
-        ).count()
-        if n_dead_adds:
-            raise ValueError(
-                f"batch {batch_id}: {n_dead_adds} insert id(s) are "
-                f"tombstoned in the index (or deleted by this very "
-                f"batch); run index.compact() to purge the old rows "
-                f"before re-inserting those ids (clearing a tombstone "
-                f"would resurrect the old row next to the new one)"
+        has_dels = bool(dels.limit(1).count())
+        if dead is not None or has_dels:
+            dels_ids = dels.select(F.col(self.id_col).alias("c_id"))
+            dead = (
+                dels_ids if dead is None else dead.unionByName(dels_ids)
             )
+            n_dead_adds = staged.join(
+                F.broadcast(dead.withColumnRenamed("c_id", self.id_col)),
+                self.id_col,
+            ).count()
+            if n_dead_adds:
+                raise ValueError(
+                    f"batch {batch_id}: {n_dead_adds} insert id(s) are "
+                    f"tombstoned in the index (or deleted by this very "
+                    f"batch); run index.compact() to purge the old rows "
+                    f"before re-inserting those ids (clearing a "
+                    f"tombstone would resurrect the old row next to "
+                    f"the new one)"
+                )
         # (3) deletes — log-ahead in the SYNC's own deleted record
         # (rows (id, _db=batch id)), then the index tombstone append;
         # both idempotent-on-replay (duplicate log rows are
@@ -273,12 +280,12 @@ class IndexCdcSync:
         # be repairable from ITS OWN later batch (round 15, VERDICT
         # r14 #6; pinned by the lifecycle soak and
         # tests/test_index_sync.py).
-        if dels.limit(1).count():
+        if has_dels:
             dels.withColumn("_db", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(self._deleted_path)
             self.spark.catalog.refreshByPath(self._deleted_path)
-        self.index.delete(dels, id_col=self.id_col)
+            self.index.delete(dels, id_col=self.id_col)
         # (4) marker BEFORE the append: a crash past this point can
         # only lose appends (invisible rows repair() re-adds), never
         # double-apply them on replay
@@ -399,20 +406,23 @@ class IndexCdcSync:
             if n.startswith("batch-") and not n.endswith(".tmp")
         } if os.path.isdir(self._applied_path) else set()
         dirs = [
-            (int(d.split("=", 1)[1]), os.path.join(self._staged_path, d))
+            os.path.join(self._staged_path, d)
             for d in os.listdir(self._staged_path)
             if d.startswith("_batch_id=")
             and int(d.split("=", 1)[1]) in applied
         ]
         if not dirs:
             return None
-        out = None
-        for bid, path in sorted(dirs):
-            part = self.spark.read.parquet(path).withColumn(
-                "_sb", F.lit(bid)
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+        # basePath partition discovery parses the `_batch_id=N` dir
+        # names into one column of ONE scan relation (bandstore.py's
+        # pattern) — a per-dir union would grow the plan linearly
+        # with the batch count between prunes (round-15 review)
+        return (
+            self.spark.read.option("basePath", self._staged_path)
+            .parquet(*dirs)
+            .withColumn("_sb", F.col("_batch_id").cast("long"))
+            .drop("_batch_id")
+        )
 
     def repair(self) -> int:
         """Re-append staged ids missing from the live corpus (an
