@@ -405,3 +405,51 @@ def test_cdc_sync_compact_between_crash_and_repair(spark, corpus, tmp_path):
     assert sync.prune_staged() == 3
     assert sync._sync_deleted() is None
     assert sync.lag()["staged_batches"] == 0
+
+
+def test_cdc_sync_prune_partial_gc_keeps_log_swap_safe(
+    spark, corpus, tmp_path
+):
+    """The deleted-log GC's PARTIAL path (round 15): some staged dirs
+    prune while others stay — the log must survive the two-rename
+    swap rewrite, keep serving repair for the kept dirs, and clear
+    only when staging fully empties."""
+    em = corpus
+    base = em.filter(F.col("vec_id") % 10 != 0)
+    idx = IvfIndex(spark, str(tmp_path / "idx")).build(
+        base.drop("ts"), n_clusters=8
+    )
+    sync = IndexCdcSync(idx, str(tmp_path / "sync"))
+    x, w = 0, 20  # both outside the built corpus
+
+    # crash-window batch 0 stages {x}; batch 1 deletes x; crash-window
+    # batch 2 stages {w} (never appended, never deleted)
+    em.filter(F.col("vec_id") == x).select(
+        "vec_id", "embedding"
+    ).write.parquet(sync._staged_batch(0))
+    os.makedirs(sync._applied_path, exist_ok=True)
+    with open(sync._marker(0), "w") as f:
+        f.write("0")
+    sync.apply_batch(_del(em.filter(F.col("vec_id") == x)), 1)
+    em.filter(F.col("vec_id") == w).select(
+        "vec_id", "embedding"
+    ).write.parquet(sync._staged_batch(2))
+    with open(sync._marker(2), "w") as f:
+        f.write("2")
+
+    # partial prune: dir0 (x fully reconciled by the batch-1 delete)
+    # and dir1 (empty) go; dir2 (w pending repair) stays
+    assert sync.prune_staged() == 2
+    assert sync.lag()["staged_batches"] == 1
+    # the GC rewrite went through the atomic swap — no debris, and
+    # reads still work (w is not deleted, so the log content no
+    # longer needs the x row; either shape is correct as long as
+    # repair stays honest)
+    assert not os.path.isdir(sync._deleted_path + "._purge_tmp")
+    assert sync.repair() == 1  # w re-appended
+    assert idx.corpus().filter(F.col("c_id") == w).count() == 1
+    assert idx.corpus().filter(F.col("c_id") == x).count() == 0
+    # staging now fully reconciled: final prune clears it and the log
+    assert sync.prune_staged() == 1
+    assert sync._sync_deleted() is None
+    assert sync.lag()["staged_batches"] == 0
