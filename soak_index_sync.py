@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
 """IndexCdcSync full-lifecycle soak (round 15, VERDICT r14 #6):
-drive ingest → takedown → crash-window → ANOTHER takedown hitting the
-crash-window's staged ids → index.compact() BETWEEN the marker and
-the repair → repair() → prune_staged(), asserting CONTENT-HASH
-equality between the served corpus and a batch-computed expected
-ledger after every phase.
+drive ingest → takedown → id-changing UPDATEs through the
+``updates='split'`` rewrite (VERDICT r14 #5 at soak scale) →
+crash-window → ANOTHER takedown hitting the crash-window's staged
+ids → index.compact() BETWEEN the marker and the repair → repair()
+→ prune_staged(), asserting CONTENT-HASH equality between the
+served corpus and a batch-computed expected ledger after every
+phase.
 
 The phase order is the adversarial one: compact() clears the index's
 tombstones, so a repair that relied on tombstones alone would
@@ -41,16 +43,29 @@ from timescale_cdc_spark.session import get_spark
 from timescale_cdc_spark.streaming.index_sync import IndexCdcSync
 
 
+#: UPDATE-move offset: above any soak id (house convention — an
+#: offset below max id would collide a moved id with a real id)
+MOVE_OFF = 1_000_000_000
+
+
 def _envelopes(df, op: str):
-    """Wrap (vec_id, embedding) rows as CDC envelopes of one op."""
+    """Wrap (vec_id, embedding) rows as CDC envelopes of one op.
+    UPDATE moves the id by MOVE_OFF (before = old id, after = new id
+    + vector — the id-changing shape updates='split' rewrites)."""
     before = (
-        F.to_json(F.struct("vec_id")) if op == "DELETE"
+        F.to_json(F.struct("vec_id")) if op in ("DELETE", "UPDATE")
         else F.lit(None).cast("string")
     )
-    after = (
-        F.to_json(F.struct("vec_id", "embedding")) if op == "INSERT"
-        else F.lit(None).cast("string")
-    )
+    if op == "INSERT":
+        after = F.to_json(F.struct("vec_id", "embedding"))
+    elif op == "UPDATE":
+        after = F.to_json(
+            F.struct(
+                (F.col("vec_id") + MOVE_OFF).alias("vec_id"), "embedding"
+            )
+        )
+    else:
+        after = F.lit(None).cast("string")
     return df.select(
         F.current_timestamp().alias("ts"),
         F.lit("dataschema").alias("schema_name"),
@@ -91,7 +106,7 @@ def main() -> None:
     idx = IvfIndex(spark, os.path.join(root, "idx")).build(
         build, n_clusters=256
     )
-    sync = IndexCdcSync(idx, os.path.join(root, "sync"))
+    sync = IndexCdcSync(idx, os.path.join(root, "sync"), updates="split")
 
     expected = build.select(F.col("vec_id").alias("c_id"))
     report: list[dict] = []
@@ -134,15 +149,28 @@ def main() -> None:
     ).localCheckpoint()
     check("takedown_5pct", t0)
 
+    # phase 2b (round 15, VERDICT r14 #5 at soak scale): id-changing
+    # UPDATE envelopes through updates='split' — every b2 id % 5 == 1
+    # moves to id + MOVE_OFF; the ledger swaps old for new 1:1
+    t0 = time.monotonic()
+    moved = b2.filter(F.col("vec_id") % 5 == 1)
+    sync.apply_batch(_envelopes(moved, "UPDATE"), 3)
+    expected = expected.join(
+        moved.select(F.col("vec_id").alias("c_id")), "c_id", "left_anti"
+    ).unionByName(
+        moved.select((F.col("vec_id") + MOVE_OFF).alias("c_id"))
+    ).localCheckpoint()
+    check("update_split", t0)
+
     # phase 3: crash window — staged + marker, append LOST. Invisible:
     # the served corpus must be unchanged.
     t0 = time.monotonic()
     crash.select("vec_id", "embedding").write.mode("overwrite").parquet(
-        sync._staged_batch(3)
+        sync._staged_batch(4)
     )
     os.makedirs(sync._applied_path, exist_ok=True)
-    with open(sync._marker(3), "w") as f:
-        f.write("3")
+    with open(sync._marker(4), "w") as f:
+        f.write("4")
     check("crash_window", t0)
 
     # phase 4: a SECOND takedown deleting half the crash-window's
@@ -152,7 +180,7 @@ def main() -> None:
     dead_staged = crash.filter(F.col("vec_id") % 2 == 0)
     dead_live = b1.filter(F.col("vec_id") % 10 == 3)
     sync.apply_batch(
-        _envelopes(dead_staged.unionByName(dead_live), "DELETE"), 4
+        _envelopes(dead_staged.unionByName(dead_live), "DELETE"), 5
     )
     expected = expected.join(
         dead_live.select(F.col("vec_id").alias("c_id")), "c_id", "left_anti"
