@@ -278,12 +278,47 @@ def test_maintenance_runner(spark, log, tmp_path):
     vgate.process_batch(em.filter("vec_id < 5"), 0)
     vgate.process_batch(em.filter("vec_id >= 5 AND vec_id < 10"), 1)
 
+    # round 15: the CDC→index sync's reconciliation rides the runner
+    # — plant the documented crash window (staged {1000, 1001} +
+    # marker, append lost) and a takedown of 1000; the runner's
+    # repair leg must re-append exactly 1001 and prune both batches
+    import os as _os
+
+    from timescale_cdc_spark.streaming.index_sync import IndexCdcSync
+
+    ivf = IvfIndex(spark, str(tmp_path / "ivf"))
+    sync = IndexCdcSync(ivf, str(tmp_path / "sync"))
+    em.orderBy("vec_id").limit(2).selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding"
+    ).write.parquet(sync._staged_batch(0))
+    _os.makedirs(sync._applied_path, exist_ok=True)
+    with open(sync._marker(0), "w") as f:
+        f.write("0")
+    del_env = em.orderBy("vec_id").limit(1).select(
+        F.current_timestamp().alias("ts"),
+        F.lit("dataschema").alias("schema_name"),
+        F.lit("embeddings").alias("table_name"),
+        F.lit("DELETE").alias("operation"),
+        F.to_json(
+            F.struct((F.col("vec_id") + 1000).alias("vec_id"))
+        ).alias("before"),
+        F.lit(None).cast("string").alias("after"),
+    )
+    sync.apply_batch(del_env, 1)
+
     report = run_maintenance(
         log.path, retention_days=7, compact=True, keep_hot_days=1, now=T0.date(),
         ann_index_path=str(tmp_path / "ivf"),
+        index_sync_path=str(tmp_path / "sync"),
         near_dedup_index_path=str(tmp_path / "sig_idx"),
         vec_dedup_index_path=str(tmp_path / "vec_idx"),
     )
+    assert report["index_sync_rows_repaired"] == 1
+    assert report["index_sync_staged_pruned"] == 2
+    assert report["index_sync"]["staged_batches"] == 0
+    live = ivf.corpus().select("c_id")
+    assert live.filter(F.col("c_id") == 1001).count() == 1
+    assert live.filter(F.col("c_id") == 1000).count() == 0
     assert report["dropped_partitions"] == [old_ts.date().isoformat()]
     assert list(report["compacted_partitions"].values()) == [3]
     assert log.read().count() == 3

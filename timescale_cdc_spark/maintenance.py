@@ -38,6 +38,7 @@ def run_maintenance(
     keep_hot_days: int = 1,
     now: dt.date | None = None,
     ann_index_path: str | None = None,
+    index_sync_path: str | None = None,
     near_dedup_index_path: str | None = None,
     vec_dedup_index_path: str | None = None,
     compress_after_days: int | None = None,
@@ -57,6 +58,15 @@ def run_maintenance(
       imbalance) with its rebuild flag — the rebuild itself stays an
       operator decision (a KMeans refit is not something to trigger
       blindly from cron).
+    - ``index_sync_path`` (round 15; requires ``ann_index_path``):
+      run the CDC→index sync's reconciliation on the same cadence —
+      ``repair()`` re-appends crash-window rows, ``prune_staged()``
+      drops fully reconciled staging and GCs the deleted log; both
+      run BEFORE the index compact so repaired rows join the merge.
+      Single-writer contract: schedule this while the sync stream is
+      detached (the in-process guard covers the same object; a
+      stream owned by another process is the operator's contract to
+      stop first — streaming/index_sync.py).
     - ``near_dedup_index_path``: compact the StreamingNearDedup
       signature index's accumulated per-batch partitions into the
       bucket-pruned base layout (round 7 — compaction is where the
@@ -117,10 +127,27 @@ def run_maintenance(
         "compacted_partitions": compacted,
         "compressed_partitions": compressed,
     }
+    if index_sync_path and not ann_index_path:
+        raise ValueError(
+            "index_sync_path requires ann_index_path (the index the "
+            "sync feeds)"
+        )
     if ann_index_path:
         from timescale_cdc_spark.operators.ann_index import IvfIndex
 
         idx = IvfIndex(spark, ann_index_path)
+        if index_sync_path:
+            from timescale_cdc_spark.streaming.index_sync import (
+                IndexCdcSync,
+            )
+
+            sync = IndexCdcSync(idx, index_sync_path)
+            # repair before the compact below: re-appended rows join
+            # the merge instead of waiting a cadence, and the
+            # deleted-log scoping makes the order safe either way
+            report["index_sync_rows_repaired"] = sync.repair()
+            report["index_sync_staged_pruned"] = sync.prune_staged()
+            report["index_sync"] = sync.lag()
         report["ann_index_rows_compacted"] = idx.compact()
         # Guard the staleness read (ADVICE r6): pointing the runner at
         # an unbuilt index (or one predating the meta sidecar) must
@@ -157,6 +184,13 @@ def main() -> None:
     p.add_argument("--compact", action="store_true")
     p.add_argument("--keep-hot-days", type=int, default=1)
     p.add_argument("--ann-index", default=None)
+    p.add_argument(
+        "--index-sync",
+        default=None,
+        help="IndexCdcSync state path (with --ann-index): run "
+        "repair() + prune_staged() on the maintenance cadence; the "
+        "sync stream must be detached (single-writer)",
+    )
     p.add_argument("--near-dedup-index", default=None)
     p.add_argument("--vec-dedup-index", default=None)
     p.add_argument("--compress-after-days", type=int, default=None)
@@ -185,6 +219,7 @@ def main() -> None:
     report = run_maintenance(
         args.log_path, args.retention_days, args.compact, args.keep_hot_days,
         ann_index_path=args.ann_index,
+        index_sync_path=args.index_sync,
         near_dedup_index_path=args.near_dedup_index,
         vec_dedup_index_path=args.vec_dedup_index,
         compress_after_days=args.compress_after_days,
