@@ -48,7 +48,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     collect_set would build that whole neighbor set in ONE task (the
     straggler that stalls a 200k-diameter soak), while min() is a
     partial-aggregating scalar and the join-back is an equi-join AQE
-    can skew-split."""
+    can skew-split.
+
+    No trailing distinct (round 15): the only consumer is
+    ``_sym(_large_star(...))``, whose own union+distinct dedups the
+    SAME (u, v) key one operator later — the back-to-back distinct
+    was a full extra exchange of the edge list per round for zero
+    semantic effect (duplicate (v, m) rows here come from multiple
+    u-groups emitting the same link; _sym's distinct removes them
+    identically)."""
     mins = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
         "u", F.least("mv", "u").alias("m")
     )
@@ -57,7 +65,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -169,7 +176,16 @@ def connected_components(
         # planning time grows superlinearly — the classic iterative-
         # DataFrame trap (measured: 1M edges never finished without
         # this; ~a minute with it).
-        edges = _small_star(edges).localCheckpoint(eager=True)
+        #
+        # eager=False (round 15): the verification aggregation below
+        # is ALWAYS the next action over these edges, and Spark
+        # materializes a lazily-marked local checkpoint as part of the
+        # first job that touches it (runJob → doCheckpoint walks the
+        # lineage). Eager materialization ran TWO sequential jobs per
+        # round — one to checkpoint, one to verify over the
+        # checkpointed partitions; lazy runs ONE job that does both.
+        # Same plan, same checkpointed state entering the next round.
+        edges = _small_star(edges).localCheckpoint(eager=False)
         # Early exit (round 14, VERDICT r13 #3): the star-forest test
         # runs EVERY round as ONE fused aggregation job, instead of
         # the r10-13 flow (per-round count, then — only after two

@@ -420,15 +420,31 @@ def _sig_lanes_sql(num_hashes: int) -> str:
     64-lane text is ~10 KB and its parse + analysis is pure
     per-invocation driver overhead (the r13 profile measured ~0.45 s
     of build time per sketch call, a fifth of the whole query); the
-    loop form is ~1 KB, parses once, and evaluates the same folds."""
+    loop form is ~1 KB, parses once, and evaluates the same folds.
+
+    The whole loop is wrapped in ``CASE WHEN size(_hs) >= 0`` — a
+    tautology (_hs is never NULL here: NULL texts are filtered and
+    transform() of a non-null array is non-null) whose ONLY purpose is
+    to reference ``_hs`` a second time. With a single textual
+    reference CollapseProject inlines the producing Project into this
+    one (non-cheap expressions referenced once are fair game), and the
+    inlined shingle-hash pipeline then re-evaluates INSIDE the k-lane
+    lambda — the full sha256/xxhash shingle array recomputed PER LANE,
+    a 64× blowup measured at ~70 s of executor CPU on the sf0.1
+    portable corpus (round 15; the r13 "own select" note assumed
+    multi-reference semantics that only hold for the 3-way shingle
+    consumer, not this single-reference fold). Two references keep the
+    producer materialized: plan shows 3 Projects (hw → hs → sig), the
+    fold reads the attribute."""
     params = _affine_params(num_hashes)
     a_lit = "array(" + ", ".join(f"{a}L" for a, _ in params) + ")"
     b_lit = "array(" + ", ".join(f"{b}L" for _, b in params) + ")"
     return (
+        f"CASE WHEN size(_hs) >= 0 THEN "
         f"transform(sequence(1, {num_hashes}), i -> "
         f"aggregate(_hs, {_MERSENNE_31}L, (acc, h) -> least(acc, "
         f"(h * element_at({a_lit}, i) + element_at({b_lit}, i)) "
-        f"% {_MERSENNE_31}L)))"
+        f"% {_MERSENNE_31}L))) END"
     )
 
 
@@ -756,12 +772,19 @@ def _fp_sql() -> str:
     _sig_lanes_sql on why the unrolled 64-term form was replaced), each
     position's vote itself a fold over the token hashes. Bit 63 is the
     sign bit: shiftleft(1L, 63) wraps to Long.MIN_VALUE, exactly the
-    -(1<<63) literal the unrolled form used."""
+    -(1<<63) literal the unrolled form used.
+
+    Wrapped in the same tautological ``CASE WHEN size(_hw) >= 0``
+    double-reference guard as _sig_lanes_sql: referenced once, the
+    word-hash Project collapses into this fold and the full per-token
+    hash array is recomputed for EVERY one of the 64 bit positions (a
+    64× map-CPU blowup; see _sig_lanes_sql for the measurement)."""
     return (
+        "CASE WHEN size(_hw) >= 0 THEN "
         "aggregate(sequence(0, 63), 0L, (fp, j) -> fp | "
         "(CASE WHEN aggregate(_hw, 0L, (acc, h) -> acc + "
         "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
-        "THEN shiftleft(1L, j) ELSE 0L END))"
+        "THEN shiftleft(1L, j) ELSE 0L END)) END"
     )
 
 
