@@ -827,6 +827,46 @@ def test_uddsketch_rollup_bit_identical_and_error_bounded(spark, sf_dir):
             assert abs(got - want) <= 2 * alpha * want, (k, p, got, want)
 
 
+def test_uddsketch_sparse_chain_bit_identical(spark, sf_dir):
+    """Round 15: ``uddsketch_partials(dense=False)`` →
+    ``uddsketch_rollup`` (the sparse merge path the lib_stats udd
+    family uses) must produce the SAME rolled rows, bit for bit —
+    counts array, n, n_nonpos, lo, gamma, bucket — as the dense chain
+    it replaced, at daily width AND at width=None (one sketch per
+    key), and the sparse path must keep the mixed-config guard."""
+    import pytest
+
+    from timescale_cdc_spark.catalog import load_table
+    from timescale_cdc_spark.functions.hyper import (
+        uddsketch_partials,
+        uddsketch_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    kw = dict(lo=0.01, hi=1e6, alpha=0.05)
+    dense_h = uddsketch_partials(ev, "ts", ["event_type"], "value",
+                                 "1 hour", **kw)
+    sparse_h = uddsketch_partials(ev, "ts", ["event_type"], "value",
+                                  "1 hour", dense=False, **kw)
+    for width in ("1 day", None):
+        a = uddsketch_rollup(dense_h, ["event_type"], width=width)
+        b = uddsketch_rollup(sparse_h, ["event_type"], width=width)
+        assert a.columns == b.columns
+        cols = a.columns
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+        assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+        assert a.count() > 0
+
+    # mixed configs must still raise on the sparse path
+    other = uddsketch_partials(ev, "ts", ["event_type"], "value",
+                               "1 hour", dense=False,
+                               lo=0.01, hi=1e6, alpha=0.10)
+    with pytest.raises(Exception, match="mixed"):
+        uddsketch_rollup(
+            sparse_h.unionByName(other), ["event_type"]
+        ).collect()
+
+
 def test_uddsketch_whole_range_and_plan(spark, sf_dir):
     from timescale_cdc_spark.catalog import load_table
     from timescale_cdc_spark.functions.hyper import (

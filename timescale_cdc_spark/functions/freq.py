@@ -49,21 +49,37 @@ def _entries_desc_sql(mg: str) -> str:
     )
 
 
-def _compress_sql(mg: str, max_size: int) -> tuple[str, str]:
+def _compress_struct_sql(mg: str, max_size: int) -> str:
     """SQL text of the Misra-Gries compression to ``max_size``
-    counters: subtract the (max_size+1)-th largest count from every
-    counter and drop the non-positive. Returns
-    (compressed-map SQL, decrement SQL). ``get`` (0-based) yields
-    NULL — not an ANSI error — when the summary is already small
-    enough."""
+    counters — subtract the (max_size+1)-th largest count from every
+    counter and drop the non-positive — returned as ONE
+    ``struct(mg, err)`` expression. ``get`` (0-based) yields NULL —
+    not an ANSI error — when the summary is already small enough.
+
+    Round 15 (optimization guide §1.2 step 2): the previous form
+    returned separate (map, decrement) SQL strings whose textual
+    expansion evaluated the sorted-entries array FOUR times per row /
+    per fold step (once in the decrement, once in the filter, twice
+    via the decrement embedded in the filter body and subtraction) —
+    and in :func:`freq_rollup` each of those re-evaluated the
+    ``map_zip_with`` counter sum feeding it. Higher-order functions
+    are CodegenFallback expressions: codegen subexpression
+    elimination never sees them, so textual duplication IS repeated
+    runtime work. The sorted entries (``_se``) and the decrement
+    (``_t``) are now let-bound via single-element ``transform``
+    arrays — each evaluated exactly once; the arithmetic is
+    unchanged expression for expression."""
     entries = _entries_desc_sql(mg)
-    t = f"coalesce(get({entries}, {max_size}).value, cast(0 as long))"
-    kept = f"filter({entries}, e -> e.value > {t})"
+    t = f"coalesce(get(_se, {max_size}).value, cast(0 as long))"
     new_mg = (
-        f"map_from_entries(transform({kept}, "
-        f"e -> named_struct('key', e.key, 'value', e.value - {t})))"
+        "map_from_entries(transform(filter(_se, e -> e.value > _t), "
+        "e -> named_struct('key', e.key, 'value', e.value - _t)))"
     )
-    return new_mg, t
+    inner = (
+        f"get(transform(array({t}), _t -> "
+        f"named_struct('mg', {new_mg}, 'err', _t)), 0)"
+    )
+    return f"get(transform(array({entries}), _se -> {inner}), 0)"
 
 
 def freq_partials(
@@ -97,12 +113,20 @@ def freq_partials(
         ).alias("_exact"),
         F.sum("_c").alias("n"),
     )
-    mg, t = _compress_sql("_exact", max_size)
+    # compression as ONE struct column in its OWN select (two field
+    # references below keep the producer materialized — the
+    # CollapseProject rule inlines single-reference producers, which
+    # would re-duplicate the work the struct form exists to share)
     return collected.select(
         *key_cols,
+        "_eb",
+        F.expr(_compress_struct_sql("_exact", max_size)).alias("_cs"),
+        "n",
+    ).select(
+        *key_cols,
         F.timestamp_seconds("_eb").alias("bucket"),
-        F.expr(mg).alias("mg"),
-        F.expr(t).cast("long").alias("err"),
+        F.col("_cs.mg").alias("mg"),
+        F.col("_cs.err").cast("long").alias("err"),
         "n",
     )
 
@@ -160,13 +184,16 @@ def freq_rollup(
         "WHEN a.b_us > b.b_us THEN 1 ELSE 0 END"
     )
     summed = _map_sum_sql("acc.mg", "p.mg")
-    mg, t = _compress_sql(summed, max_size)
+    # let-bind the compressed struct per merge step: the counter sum
+    # and its sort run ONCE per step (the old two-string form
+    # re-evaluated both 4x — see _compress_struct_sql)
     merge = (
-        "(acc, p) -> named_struct("
+        f"(acc, p) -> get(transform(array({_compress_struct_sql(summed, max_size)}), "
+        "_cs -> named_struct("
         "'b_us', p.b_us, "
-        f"'mg', {mg}, "
-        f"'err', acc.err + p.err + {t}, "
-        "'n', acc.n + p.n)"
+        "'mg', _cs.mg, "
+        "'err', acc.err + p.err + _cs.err, "
+        "'n', acc.n + p.n)), 0)"
     )
     merged = df.groupBy(*key_cols, "_ceb").agg(
         F.expr(

@@ -885,10 +885,16 @@ def lib_stats_counter_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: UDDSketch — hourly partials rolled to daily (loss-free
     # vector addition), every non-zero bin emitted, plus the quantile
     # / error / percentile-rank accessors off the STORED sketch
+    # dense=False (round 15): the hourly partials stay SPARSE and the
+    # rollup merges map entries with codegen'd aggregation, densifying
+    # once per daily group — the hourly dense-array assembly plus the
+    # interpreted per-partial zip_with merge were the family's
+    # dominant cost (measured 3.8 → 1.3 s; bit-identical rollup
+    # pinned by test_uddsketch_sparse_chain_bit_identical)
     sk = uddsketch_rollup(
         uddsketch_partials(
             ev, "ts", key, "value", "1 hour",
-            lo=UDD_LO, hi=UDD_HI, alpha=UDD_ALPHA,
+            lo=UDD_LO, hi=UDD_HI, alpha=UDD_ALPHA, dense=False,
         ),
         key,
         width="1 day",
