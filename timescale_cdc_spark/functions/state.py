@@ -83,33 +83,32 @@ def state_partials(
     )
     wb = Window.partitionBy(*key_cols, "_eb").orderBy("_us", "_id")
     end_us = (F.col("_eb") + F.lit(secs)) * F.lit(1_000_000)
+    # first/last state via min_by/max_by (round 15 — the candlestick
+    # shape): the former descending row_number was a SECOND sort of
+    # the fact-sized frame inside the same exchange. Each per-state
+    # group carries its earliest/latest (_us, _id) struct; the outer
+    # aggregate picks the state owning the bucket-global extreme —
+    # the identical row the row_number selected ((_us, _id) unique).
     annotated = base.select(
         *key_cols,
         "_eb",
         "_st",
         "_us",
+        "_id",
         (F.coalesce(F.lead("_us").over(wb), end_us) - F.col("_us")).alias(
             "_held_us"
         ),
         (F.lag("_st").over(wb) != F.col("_st"))
         .cast("long")
         .alias("_is_transition"),
-        F.row_number().over(wb).alias("_rn"),
-        F.row_number()
-        .over(
-            Window.partitionBy(*key_cols, "_eb").orderBy(
-                F.desc("_us"), F.desc("_id")
-            )
-        )
-        .alias("_rn_desc"),
     )
     per_state = annotated.groupBy(*key_cols, "_eb", "_st").agg(
         F.sum("_held_us").alias("_dur_us"),
         F.count("*").alias("_n"),
         F.sum(F.coalesce("_is_transition", F.lit(0))).alias("_trans"),
         F.min("_us").alias("_first_us"),
-        F.min(F.when(F.col("_rn") == 1, F.col("_st"))).alias("_fs"),
-        F.min(F.when(F.col("_rn_desc") == 1, F.col("_st"))).alias("_ls"),
+        F.min(F.struct("_us", "_id")).alias("_mn"),
+        F.max(F.struct("_us", "_id")).alias("_mx"),
     )
     out = per_state.groupBy(*key_cols, "_eb").agg(
         F.map_from_entries(
@@ -120,8 +119,8 @@ def state_partials(
         F.sum("_n").alias("n"),
         F.sum("_trans").alias("n_transitions"),
         F.min("_first_us").alias("first_us"),
-        F.min("_fs").alias("first_state"),
-        F.min("_ls").alias("last_state"),
+        F.min_by("_st", "_mn").alias("first_state"),
+        F.max_by("_st", "_mx").alias("last_state"),
     )
     return (
         out.withColumn(

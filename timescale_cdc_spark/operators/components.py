@@ -161,12 +161,19 @@ def connected_components(
                 "monotonically_increasing_id joined back) before "
                 "resolving components."
             )
+    # Checkpoint the INITIAL symmetrized edges too (round 15): `nodes`
+    # below is consumed only by the final roots anti-join, and without
+    # the cut its lineage re-derives the caller's whole pairs pipeline
+    # (candidate joins, sketches, …) a second time when the result is
+    # evaluated. The lazy mark costs nothing extra — round 1's job
+    # materializes these partitions exactly as it would have computed
+    # them — and the roots read checkpointed partitions instead.
     edges = _sym(
         pairs.select(
             F.col(id_a).cast("long").alias("u"),
             F.col(id_b).cast("long").alias("v"),
         )
-    )
+    ).localCheckpoint(eager=False)
     nodes = edges.select("u").distinct()
 
     for _ in range(max_rounds):
