@@ -68,8 +68,22 @@ def _compress_struct_sql(mg: str, max_size: int) -> str:
     runtime work. The sorted entries (``_se``) and the decrement
     (``_t``) are now let-bound via single-element ``transform``
     arrays — each evaluated exactly once; the arithmetic is
-    unchanged expression for expression."""
-    entries = _entries_desc_sql(mg)
+    unchanged expression for expression.
+
+    Small-regime short-circuit (round 15): with ≤ ``max_size``
+    counters the (max_size+1)-th largest does not exist, so the
+    decrement is 0 and the compression is the identity — but the old
+    expression still SORTED the entries, filtered, subtracted 0 and
+    rebuilt the map at every fold step. Misra-Gries summaries hold
+    at most max_size counters by invariant, so in the common
+    low-cardinality regime EVERY merge step took the no-op path at
+    full price. The guard returns ``struct(mg, 0)`` directly; entry
+    content is identical (every counter is positive by the MG
+    invariant, and the decrement-by-0 rebuild changed nothing but
+    map-entry ORDER, which no consumer observes — rows are exploded
+    sets, ``topn`` re-sorts, and the merge's map_zip_with is
+    key-keyed)."""
+    entries = _entries_desc_sql("_mg")
     t = f"coalesce(get(_se, {max_size}).value, cast(0 as long))"
     new_mg = (
         "map_from_entries(transform(filter(_se, e -> e.value > _t), "
@@ -79,7 +93,15 @@ def _compress_struct_sql(mg: str, max_size: int) -> str:
         f"get(transform(array({t}), _t -> "
         f"named_struct('mg', {new_mg}, 'err', _t)), 0)"
     )
-    return f"get(transform(array({entries}), _se -> {inner}), 0)"
+    compress = f"get(transform(array({entries}), _se -> {inner}), 0)"
+    small = (
+        f"named_struct('mg', _mg, 'err', cast(0 as long))"
+    )
+    return (
+        f"get(transform(array({mg}), _mg -> "
+        f"CASE WHEN size(_mg) <= {max_size} THEN {small} "
+        f"ELSE {compress} END), 0)"
+    )
 
 
 def freq_partials(
