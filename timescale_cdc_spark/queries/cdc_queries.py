@@ -457,9 +457,11 @@ def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything before 2024-01-20; the remaining days stay
     unmaterialized on both levels. The result unions the two REAL-TIME
     views, level-tagged: level='hour' is the hourly view (materialized
-    ∪ post-watermark tail), level='day' is ``query_hierarchy`` — the
-    daily view whose tail aggregates the hourly VIEW, so it is exact
-    even where neither level is materialized.
+    ∪ post-watermark tail), level='day' is the hierarchy view
+    (``day.query`` over the hourly view — ``query_hierarchy``
+    unrolled, the hourly view materialized once for both branches) —
+    the daily tail aggregates the hourly VIEW, so it is exact even
+    where neither level is materialized.
 
     The daily sum rolls up the hourly DECIMAL partial (``sum_dec``),
     so rollup == direct is exact, not an IEEE reorder (the double cast
@@ -473,7 +475,6 @@ def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timescale_cdc_spark.cdc.caggs import (
         ContinuousAggregate,
         cascade_refresh,
-        query_hierarchy,
     )
 
     path_h = scratch_path(sf_dir, "cagg_hier_hour")
@@ -506,9 +507,13 @@ def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path_d, "1 day", "bucket", ["event_type"], day_aggs
     )
     # materialize both levels through 2024-01-19 inclusive; the tail
-    # stays real-time on both
+    # stays real-time on both. start_s=0 ("refresh everything before
+    # the split" — the refresh_continuous_aggregate(NULL, end) idiom)
+    # makes the window fully explicit, so cascade_refresh skips its
+    # min/max bounds aggregation — one full facts scan per refresh
+    # (round 15 opt; interleaved A/B in OPTIMIZATION_r15.md).
     split_s = 1705708800  # 2024-01-20T00:00:00Z
-    cascade_refresh([hour, day], ev, end_s=split_s)
+    cascade_refresh([hour, day], ev, start_s=0, end_s=split_s)
 
     def project(df: DataFrame, level: str) -> DataFrame:
         return df.select(
@@ -521,6 +526,14 @@ def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
 
-    return project(hour.query(ev), "hour").unionByName(
-        project(query_hierarchy([hour, day], ev), "day")
-    )
+    # The hourly real-time view feeds BOTH union branches (the hour
+    # level, and the daily view's source — query_hierarchy([hour,
+    # day], ev) == day.query(hour.query(ev))). Left as two plan
+    # copies, the post-watermark fact-tail aggregation executed once
+    # per branch; materializing the view once (instance-scoped
+    # localCheckpoint, rebuilt from parquet every pass — the same
+    # shape as the lib entries' rolled frames) runs it once. Lazy:
+    # the union's single action materializes it in place (round 15
+    # opt; bit-identity + A/B in OPTIMIZATION_r15.md).
+    hv = hour.query(ev).localCheckpoint(eager=False)
+    return project(hv, "hour").unionByName(project(day.query(hv), "day"))
