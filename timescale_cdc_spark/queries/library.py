@@ -241,16 +241,19 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-scanning facts. localCheckpoint (round 15): exchange reuse
     # alone still re-ran the post-shuffle partials window and the
     # rollup FOLD once per consuming branch (state + state_interp);
-    # eagerly materializing the rolled frame — |keys| × days rows of
-    # small maps, cagg-partial sized — runs them once per pass. Not a
+    # materializing the rolled frame — |keys| × days rows of small
+    # maps, cagg-partial sized — runs them once per pass. Not a
     # cross-run cache: every bench pass rebuilds and re-materializes
-    # from the parquet scan.
+    # from the parquet scan. Lazy: the union's own count job
+    # materializes it in place (both branches read the SAME RDD, so
+    # stage dedup computes it once) instead of a separate blocking
+    # job at construct time (entry-level A/B in OPTIMIZATION_r15.md).
     sr = state_rollup(
         state_partials(ev, "ts", key, "event_type", "event_id", "1 hour"),
         key,
         "1 day",
         keep_seams=True,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # one explode over map entries + the meta pair, so the whole
     # state melt is a SINGLE branch (a separate stack() branch would
     # re-execute the fact scan + partials + fold a second time —
@@ -900,7 +903,11 @@ def lib_stats_counter_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint (round 15): sk feeds TWO union branches (the bin
     # explode and the accessor stack) — exchange reuse still re-ran
     # the sparse merge + densify per branch; the rolled sketch is
-    # |keys| × days rows, materialize it once per pass
+    # |keys| × days rows, materialize it once per pass. Lazy: the
+    # union's own count job materializes it in place (both branches
+    # read the SAME RDD, so stage dedup computes it once) instead of
+    # a separate blocking job at construct time (entry-level A/B in
+    # OPTIMIZATION_r15.md).
     sk = uddsketch_rollup(
         uddsketch_partials(
             ev, "ts", key, "value", "1 hour",
@@ -908,7 +915,7 @@ def lib_stats_counter_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         key,
         width="1 day",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # bin rows read the PLAIN rollup (accessor expressions attach only
     # to the small accessor branch — they'd otherwise ride through the
     # explode's analysis for nothing)
