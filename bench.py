@@ -47,6 +47,23 @@ a (pre, post) pair sampled immediately around the streaming leg
 (``calib_stream_pair`` in BENCH_DETAIL) — that leg runs minutes
 after the query passes, in whatever regime the host is in THEN.
 
+Per-query-GROUP floors (round 16, VERDICT r15 #2): one run-global
+median still let a host-regime shift that lands mid-pass inflate the
+queries it hit while the divisor stayed put (r15's same-code legs
+spanned ±15% normalized for exactly this reason). The headline list
+is split into contiguous GROUPS (``GROUPS`` below); a single-shot
+calibration tick now runs BETWEEN groups inside every pass, each
+query's ``normalized`` value divides by the median of the ticks
+ADJACENT to its own group (the tick immediately before the group and
+the one immediately after, across all passes — ≥ 2·runs samples),
+and the per-group floor vector is emitted as ``calib_group_floors``
+in the summary (raw per-group tick vectors: ``calib_group_ticks`` in
+BENCH_DETAIL). The run-global ``calib_floor``/``calib_spread`` keep
+their exact prior meaning (median/spread of the full vector, which
+now has more samples), so the r15-style global normalization stays
+re-derivable as queries[q]/calib_floor. ``pass_wall_s`` now includes
+the intra-pass ticks (~0.3-1.5 s each, visible in the vectors).
+
 Output (round 10, VERDICT r9 #4; round 12, VERDICT r11 #2): THREE
 self-contained JSON lines — a ``BENCH_DETAIL``-prefixed diagnostics
 line (samples, pass walls, coverage notes, load), a compact
@@ -110,6 +127,41 @@ HEADLINE = [
     "c4_decontamination",  # train/eval n-gram overlap flagging
 ]
 
+# Contiguous slices of HEADLINE (execution order preserved) for the
+# per-group calibration floors (round 16, VERDICT r15 #2). A group
+# boundary is where a calibration tick runs inside each pass; each
+# query normalizes by the median of its own group's adjacent ticks.
+# Slicing rationale: the 9 sub-second relational queries finish in
+# ~3 s together (one tick brackets them tightly); the LLM block, the
+# cagg refresh entry, the three lib mega-entries, and the decontam
+# tail each get their own bracket because they are the multi-second
+# rows where a mid-pass regime shift hurts most.
+GROUPS: list[tuple[str, list[str]]] = [
+    ("rel", HEADLINE[0:9]),      # flagship .. b36_json_fns
+    ("llm", HEADLINE[9:16]),     # c1 .. cdc_scd2_history
+    ("cagg", HEADLINE[16:17]),   # cdc_continuous_aggregate
+    ("lib", HEADLINE[17:20]),    # the three lib mega-entries
+    ("tail", HEADLINE[20:21]),   # c4_decontamination
+]
+GROUP_OF = {q: g for g, qs in GROUPS for q in qs}
+assert [q for _, qs in GROUPS for q in qs] == HEADLINE
+
+# Round 16 (VERDICT r15 #5b): ADDED bench row (never removes or
+# renames an existing one) timing the PRODUCTION xxhash64 sketch
+# lanes of the c2 pipeline. The registered c2_minhash_simhash entry
+# is contract-bound to the sha256 portable lanes (the r14 #3 hard
+# oracle; DuckDB cannot compute xxhash64), which carry a ~2 s
+# cryptographic-hash tax at sf0.1 — this row benches the path
+# production callers actually run, without reducing oracle coverage.
+# Resolved from this bench-local table, NOT the registry: it is a
+# measurement row, not a declared query.
+def _extra_queries():
+    from timescale_cdc_spark.queries.llm_queries import (
+        c2_minhash_production,
+    )
+
+    return {"c2_minhash_production": c2_minhash_production}
+
 # The two library mega-entries report one number each; a regression
 # in one family is invisible until it doubles the entry (VERDICT r10
 # #3). After the measurement passes the bench times each family
@@ -163,6 +215,15 @@ def _time_families(spark) -> dict:
 # per-query comparison knows a slower number means more coverage, not
 # a regression. Rewritten (not appended) each round.
 COVERAGE_NOTES = {
+    "c2_minhash_production": (
+        "round 16 (VERDICT r15 #5b): ADDED row — the identical c2 "
+        "sketch-pairs pipeline with the production xxhash64 lanes "
+        "(portable=False). Not a declared query (DuckDB cannot "
+        "compute xxhash64, so it has no oracle); the registered "
+        "c2_minhash_simhash keeps the sha256 lanes and full hash "
+        "coverage. The headline total grows by this row's cost by "
+        "construction — compare per-query."
+    ),
     "c2_minhash_simhash": (
         "round 15 (VERDICT r14 #3): the entry now runs the sketches "
         "in portable=True mode — sha256-based det_hash lanes instead "
@@ -314,7 +375,9 @@ def _mem_available_kb() -> int | None:
 def main() -> None:
     spark = get_spark(app_name="timescale_cdc_spark_bench")
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    names = [n for n in HEADLINE if n in QUERIES]
+    qmap = dict(QUERIES)
+    qmap.update(_extra_queries())
+    names = [n for n in HEADLINE if n in qmap]
     # Default raised 3→5 in round 7: same-code bench totals measured
     # 15.9/16.6/18.1 s across one session on an idle box (sandbox
     # noise only); two more min-passes cost ~40 s and tighten the
@@ -330,14 +393,13 @@ def main() -> None:
     # 360→420 in round 8: four new headline queries need ~15 s/pass.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
     # Warm-up: JVM + codegen + parquet footer caches.
-    QUERIES[names[0]](spark, SF_DIR).count()
+    qmap[names[0]](spark, SF_DIR).count()
 
     load_start = os.getloadavg()
     calib_start = _calib_samples_jvm(spark, 3)
     calib_jvm = min(calib_start)
     calib_py = _calibrate_py()
 
-    samples: dict[str, list[float]] = {n: [] for n in names}
     # Round-robin the repeats (1..N of q1..qk, not N×q1 then N×q2) so
     # a transient load spike degrades one SAMPLE per query, not every
     # sample of one query.
@@ -354,18 +416,50 @@ def main() -> None:
     # a tick landing in a load burst), and the full vector is emitted
     # in BENCH_DETAIL so the spread is inspectable.
     calib_ticks: list[float] = []
+    # Per-group adjacent ticks (round 16, VERDICT r15 #2): a
+    # single-shot calibration sample between consecutive GROUPS in
+    # every pass. Each group's floor is the median of the ticks
+    # immediately before and after it across all passes, so a regime
+    # shift that lands on one part of a pass moves that part's
+    # divisor WITH its queries instead of being averaged away.
+    groups = []
+    for g, qs in GROUPS:
+        qs2 = [q for q in qs if q in qmap]
+        if g == "llm" and "c2_minhash_simhash" in qs2:
+            # the added production-lane row (see _extra_queries) runs
+            # directly after its oracle-contract sibling
+            qs2.insert(
+                qs2.index("c2_minhash_simhash") + 1,
+                "c2_minhash_production",
+            )
+        groups.append((g, qs2))
+    names = [q for _, qs in groups for q in qs]
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    group_of = {q: g for g, qs in groups for q in qs}
+    group_ticks: dict[str, list[float]] = {g: [] for g, _ in groups}
     for _ in range(runs):
         pass_start = time.perf_counter()
-        for name in names:
-            start = time.perf_counter()
-            QUERIES[name](spark, SF_DIR).count()
-            samples[name].append(round(time.perf_counter() - start, 4))
+        prev_tick = _calib_samples_jvm(spark, 1)[0]
+        calib_ticks.append(prev_tick)
+        for gname, gqueries in groups:
+            for name in gqueries:
+                start = time.perf_counter()
+                qmap[name](spark, SF_DIR).count()
+                samples[name].append(round(time.perf_counter() - start, 4))
+            tick = _calib_samples_jvm(spark, 1)[0]
+            calib_ticks.append(tick)
+            group_ticks[gname].extend([prev_tick, tick])
+            prev_tick = tick
         pass_wall_s.append(round(time.perf_counter() - pass_start, 2))
-        calib_ticks.extend(_calib_samples_jvm(spark, 1))
         runs_done += 1
         if runs_done >= 1 and time.perf_counter() - bench_start > budget_s:
             break
     runs = runs_done
+    group_floors = {
+        g: round(statistics.median(ts), 4)
+        for g, ts in group_ticks.items()
+        if ts
+    }
 
     # Second min-of-3 calibration AFTER the measurement passes: round
     # 9 observed the host swinging 2-5× WITHIN a single bench run.
@@ -429,6 +523,7 @@ def main() -> None:
                 # r14 #2): 3 start + 1/pass + 3 end, then the
                 # (pre, post) pair bracketing the streaming leg
                 "calib_samples_jvm": calib_all,
+                "calib_group_ticks": group_ticks,
                 "calib_stream_pair": [stream_pre, stream_post],
             }
         ),
@@ -470,8 +565,14 @@ def main() -> None:
     # 1 decimal (the host swings 1.5-2.5×; tenths of a work-unit is
     # already below adjudication resolution). calibration_py_sec
     # lives in BENCH_DETAIL (diagnostic).
+    # Round 16 (VERDICT r15 #2): normalized divides by the query's
+    # own GROUP floor (adjacent-tick median) instead of the run-global
+    # median, so PERF's round-over-round comparison no longer needs a
+    # drift essay when one host regime hits part of a pass. The old
+    # global normalization stays re-derivable: queries[q]/calib_floor.
     normalized = {
-        n: round(t / calib_floor, 1) for n, t in timings.items()
+        n: round(t / group_floors.get(group_of.get(n, ""), calib_floor), 1)
+        for n, t in timings.items()
     }
     print(
         json.dumps(
@@ -490,6 +591,9 @@ def main() -> None:
                 # (want <1.3×; full k-sample vector in BENCH_DETAIL)
                 "calib_floor": calib_floor,
                 "calib_spread": round(calib_floor / min(calib_all), 2),
+                # per-group adjacent-tick floors (round 16, VERDICT
+                # r15 #2) — the divisors behind "normalized" above
+                "calib_group_floors": group_floors,
             },
             separators=(",", ":"),
         ),
