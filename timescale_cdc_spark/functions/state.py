@@ -72,62 +72,71 @@ def state_partials(
     exchange the two-level groupBy needs (the inner groupBy adds
     ``state`` — a superset of the clustering, so no new exchange).
     """
+    from timescale_cdc_spark.functions.ident import sql_ident
+
     secs = bucket_seconds(width)
-    eb = epoch_bucket(ts_col, width)
-    base = df.select(
-        *key_cols,
-        eb,
-        F.col(state_col).alias("_st"),
-        F.col(id_col).alias("_id"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    # selectExpr/F.expr SQL text throughout (round 16, VERDICT r15
+    # #3): the Column-tree form cost ~0.19 s of py4j chatter per
+    # construction — a real per-pass cost for the lib entries, which
+    # rebuild every bench pass. Expression for expression identical
+    # to the Column form it replaces (plan-diffed byte-identical
+    # modulo expr ids; see OPTIMIZATION_r16.md).
+    ks = [sql_ident(c) for c in key_cols]
+    kcsv = ", ".join(ks)
+    base = df.selectExpr(
+        *ks,
+        f"cast(floor(unix_timestamp({sql_ident(ts_col)}) / {secs}) "
+        f"as bigint) * {secs} as _eb",
+        f"{sql_ident(state_col)} as _st",
+        f"{sql_ident(id_col)} as _id",
+        f"unix_micros(cast({sql_ident(ts_col)} as timestamp)) as _us",
     )
-    wb = Window.partitionBy(*key_cols, "_eb").orderBy("_us", "_id")
-    end_us = (F.col("_eb") + F.lit(secs)) * F.lit(1_000_000)
+    wb = f"(partition by {kcsv}, _eb order by _us, _id)"
     # first/last state via min_by/max_by (round 15 — the candlestick
     # shape): the former descending row_number was a SECOND sort of
     # the fact-sized frame inside the same exchange. Each per-state
     # group carries its earliest/latest (_us, _id) struct; the outer
     # aggregate picks the state owning the bucket-global extreme —
     # the identical row the row_number selected ((_us, _id) unique).
-    annotated = base.select(
-        *key_cols,
+    annotated = base.selectExpr(
+        *ks,
         "_eb",
         "_st",
         "_us",
         "_id",
-        (F.coalesce(F.lead("_us").over(wb), end_us) - F.col("_us")).alias(
-            "_held_us"
-        ),
-        (F.lag("_st").over(wb) != F.col("_st"))
-        .cast("long")
-        .alias("_is_transition"),
+        f"coalesce(lead(_us) over {wb}, (_eb + {secs}) * 1000000) - _us "
+        "as _held_us",
+        f"cast((lag(_st) over {wb}) != _st as long) as _is_transition",
     )
     per_state = annotated.groupBy(*key_cols, "_eb", "_st").agg(
-        F.sum("_held_us").alias("_dur_us"),
-        F.count("*").alias("_n"),
-        F.sum(F.coalesce("_is_transition", F.lit(0))).alias("_trans"),
-        F.min("_us").alias("_first_us"),
-        F.min(F.struct("_us", "_id")).alias("_mn"),
-        F.max(F.struct("_us", "_id")).alias("_mx"),
+        F.expr("sum(_held_us) as _dur_us"),
+        F.expr("count(*) as _n"),
+        F.expr("sum(coalesce(_is_transition, 0)) as _trans"),
+        F.expr("min(_us) as _first_us"),
+        F.expr("min(struct(_us, _id)) as _mn"),
+        F.expr("max(struct(_us, _id)) as _mx"),
     )
     out = per_state.groupBy(*key_cols, "_eb").agg(
-        F.map_from_entries(
-            F.array_sort(
-                F.collect_list(F.struct("_st", "_dur_us"))
-            )
-        ).alias("durs"),
-        F.sum("_n").alias("n"),
-        F.sum("_trans").alias("n_transitions"),
-        F.min("_first_us").alias("first_us"),
-        F.min_by("_st", "_mn").alias("first_state"),
-        F.max_by("_st", "_mx").alias("last_state"),
+        F.expr(
+            "map_from_entries(array_sort(collect_list("
+            "struct(_st, _dur_us)))) as durs"
+        ),
+        F.expr("sum(_n) as n"),
+        F.expr("sum(_trans) as n_transitions"),
+        F.expr("min(_first_us) as first_us"),
+        F.expr("min_by(_st, _mn) as first_state"),
+        F.expr("max_by(_st, _mx) as last_state"),
     )
-    return (
-        out.withColumn(
-            "end_us", (F.col("_eb") + F.lit(secs)) * F.lit(1_000_000)
-        )
-        .withColumn("bucket", F.timestamp_seconds("_eb"))
-        .drop("_eb")
+    return out.selectExpr(
+        *ks,
+        "durs",
+        "n",
+        "n_transitions",
+        "first_us",
+        "first_state",
+        "last_state",
+        f"(_eb + {secs}) * 1000000 as end_us",
+        "timestamp_seconds(_eb) as bucket",
     )
 
 
@@ -356,36 +365,33 @@ def heartbeat_islands(
     island id is a running count of starts. One (key) exchange; both
     windows and the groupBy ride it.
     """
+    from timescale_cdc_spark.functions.ident import sql_ident
+
     lease_us = bucket_seconds(lease) * 1_000_000
-    base = df.select(
-        *key_cols,
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_s_us"),
-    ).withColumn("_e_us", F.col("_s_us") + F.lit(lease_us))
-    w_prev = (
-        Window.partitionBy(*key_cols)
-        .orderBy("_s_us")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    annotated = base.withColumn(
-        "_new_island",
-        F.when(
-            F.col("_s_us") > F.coalesce(
-                F.max("_e_us").over(w_prev), F.lit(-1).cast("long")
-            ),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "_island",
-        F.sum("_new_island").over(
-            Window.partitionBy(*key_cols)
-            .orderBy("_s_us")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    # SQL text throughout (round 16, VERDICT r15 #3 — construct py4j
+    # chatter): identical expressions to the Column form it replaces,
+    # plan-diffed byte-identical modulo expr ids.
+    ks = [sql_ident(c) for c in key_cols]
+    kcsv = ", ".join(ks)
+    base = df.selectExpr(
+        *ks,
+        f"unix_micros(cast({sql_ident(ts_col)} as timestamp)) as _s_us",
+    ).selectExpr("*", f"_s_us + {lease_us} as _e_us")
+    annotated = base.selectExpr(
+        "*",
+        "CASE WHEN _s_us > coalesce(max(_e_us) over "
+        f"(partition by {kcsv} order by _s_us "
+        "rows between unbounded preceding and 1 preceding), "
+        "cast(-1 as long)) THEN 1 ELSE 0 END as _new_island",
+    ).selectExpr(
+        "*",
+        f"sum(_new_island) over (partition by {kcsv} order by _s_us "
+        "rows between unbounded preceding and current row) as _island",
     )
     return annotated.groupBy(*key_cols, "_island").agg(
-        F.min("_s_us").alias("start_us"),
-        F.max("_e_us").alias("end_us"),
-        F.count("*").alias("n_heartbeats"),
+        F.expr("min(_s_us) as start_us"),
+        F.expr("max(_e_us) as end_us"),
+        F.expr("count(*) as n_heartbeats"),
     ).drop("_island")
 
 
@@ -396,35 +402,29 @@ def _clip_islands_to_buckets(
     to each bucket — one row per (key, bucket, clipped range). The
     explode side is |islands| × buckets-spanned rows; no fact-table
     shuffle."""
+    from timescale_cdc_spark.functions.ident import sql_ident
+
     secs = bucket_seconds(width)
     w_us = secs * 1_000_000
-    first_b = F.floor(F.col("start_us") / w_us) * w_us
-    last_b = F.floor((F.col("end_us") - 1) / w_us) * w_us
-    exploded = islands.select(
-        *key_cols,
+    ks = [sql_ident(c) for c in key_cols]
+    exploded = islands.selectExpr(
+        *ks,
         "start_us",
         "end_us",
         "n_heartbeats",
-        F.explode(
-            F.sequence(
-                first_b.cast("long"), last_b.cast("long"), F.lit(w_us)
-            )
-        ).alias("_b_us"),
+        f"explode(sequence(cast(floor(start_us / {w_us}) * {w_us} as "
+        f"long), cast(floor((end_us - 1) / {w_us}) * {w_us} as long), "
+        f"{w_us})) as _b_us",
     )
-    clip_s = F.greatest(F.col("start_us"), F.col("_b_us"))
-    clip_e = F.least(F.col("end_us"), F.col("_b_us") + F.lit(w_us))
-    return exploded.select(
-        *key_cols,
+    return exploded.selectExpr(
+        *ks,
         "_b_us",
-        clip_s.alias("_cs"),
-        clip_e.alias("_ce"),
+        "greatest(start_us, _b_us) as _cs",
+        f"least(end_us, _b_us + {w_us}) as _ce",
         # attribute the island's heartbeat count to the bucket the
         # island STARTS in (so per-bucket n sums to the key total)
-        F.when(
-            F.col("start_us") >= F.col("_b_us"), F.col("n_heartbeats")
-        )
-        .otherwise(F.lit(0))
-        .alias("_n_hb"),
+        "CASE WHEN start_us >= _b_us THEN n_heartbeats ELSE 0 END "
+        "as _n_hb",
     )
 
 
@@ -442,25 +442,22 @@ def heartbeat_partials(
     ``n_heartbeats``. Clipping at fine-bucket seams splits islands
     exactly at the boundary (prev.end == next.start), which is what
     lets the rollup re-merge them losslessly."""
+    from timescale_cdc_spark.functions.ident import sql_ident
+
     islands = heartbeat_islands(df, ts_col, key_cols, lease)
     clipped = _clip_islands_to_buckets(islands, key_cols, width)
     out = clipped.groupBy(*key_cols, "_b_us").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("_cs").alias("s"), F.col("_ce").alias("e")
-                )
-            )
-        ).alias("ranges"),
-        F.sum(F.col("_ce") - F.col("_cs")).alias("live_us"),
-        F.count("*").alias("n_ranges"),
-        F.sum("_n_hb").alias("n_heartbeats"),
+        F.expr(
+            "array_sort(collect_list(named_struct('s', _cs, 'e', _ce)))"
+            " as ranges"
+        ),
+        F.expr("sum(_ce - _cs) as live_us"),
+        F.expr("count(*) as n_ranges"),
+        F.expr("sum(_n_hb) as n_heartbeats"),
     )
-    return out.select(
-        *key_cols,
-        F.timestamp_seconds(
-            (F.col("_b_us") / 1_000_000).cast("long")
-        ).alias("bucket"),
+    return out.selectExpr(
+        *[sql_ident(c) for c in key_cols],
+        "timestamp_seconds(cast(_b_us / 1000000 as long)) as bucket",
         "ranges",
         "live_us",
         "n_ranges",
@@ -509,32 +506,41 @@ def heartbeat_rollup(
 
     One exchange: groupBy (key, coarse bucket) over the partials;
     flatten + sort + fold are all post-aggregation expressions."""
+    from timescale_cdc_spark.functions.ident import sql_ident
+
     secs = bucket_seconds(width)
-    df = partials.withColumn("_ceb", epoch_bucket(bucket_col, width))
-    merged = df.groupBy(*key_cols, "_ceb").agg(
-        F.flatten(F.collect_list("ranges")).alias("_all"),
-        F.sum("n_heartbeats").alias("n_heartbeats"),
+    w_us = secs * 1_000_000
+    ks = [sql_ident(c) for c in key_cols]
+    df = partials.selectExpr(
+        "*",
+        f"cast(floor(unix_timestamp({sql_ident(bucket_col)}) / {secs}) "
+        f"as bigint) * {secs} as _ceb",
     )
-    union = F.expr(_merge_sorted_ranges_sql("array_sort(_all)"))
-    width_us = F.lit(secs * 1_000_000).cast("long")
-    out = merged.select(
-        *key_cols,
-        F.timestamp_seconds("_ceb").alias("bucket"),
-        union.alias("ranges"),
+    merged = df.groupBy(*key_cols, "_ceb").agg(
+        F.expr("flatten(collect_list(ranges)) as _all"),
+        F.expr("sum(n_heartbeats) as n_heartbeats"),
+    )
+    out = merged.selectExpr(
+        *ks,
+        "timestamp_seconds(_ceb) as bucket",
+        _merge_sorted_ranges_sql("array_sort(_all)") + " as ranges",
         "n_heartbeats",
     )
-    return out.select(
-        *key_cols,
+    return out.selectExpr(
+        *ks,
         "bucket",
         "ranges",
-        F.expr(
-            "aggregate(ranges, cast(0 as long), "
-            "(acc, x) -> acc + (x.e - x.s))"
-        ).alias("live_us"),
-        F.size("ranges").alias("n_ranges"),
+        "aggregate(ranges, cast(0 as long), "
+        "(acc, x) -> acc + (x.e - x.s)) as live_us",
+        "size(ranges) as n_ranges",
         "n_heartbeats",
-    ).withColumn("dead_us", width_us - F.col("live_us")).withColumn(
-        "uptime", F.round(F.col("live_us") / width_us.cast("double"), 6)
+    ).selectExpr(
+        "*",
+        f"cast({w_us} as long) - live_us as dead_us",
+    ).selectExpr(
+        "*",
+        f"round(live_us / cast(cast({w_us} as long) as double), 6) "
+        "as uptime",
     )
 
 
@@ -684,45 +690,37 @@ def state_interpolated(
     adjustment is bounded higher-order expressions over the ≤|states|
     entry array.
     """
+    from timescale_cdc_spark.functions.ident import sql_ident
+
     secs = bucket_seconds(width)
     w_us = secs * 1_000_000
-    p = partials.withColumn(
-        "_eb",
-        (F.unix_micros(F.col(bucket_col)) / F.lit(1_000_000)).cast("long"),
+    ks = [sql_ident(c) for c in key_cols]
+    kcsv = ", ".join(ks)
+    p = partials.selectExpr(
+        "*",
+        f"cast(unix_micros({sql_ident(bucket_col)}) / 1000000 as long) "
+        "as _eb",
     )
     grid = (
         p.groupBy(*key_cols)
-        .agg(F.min("_eb").alias("_mn"), F.max("_eb").alias("_mx"))
-        .select(
-            *key_cols,
-            F.explode(
-                F.sequence(F.col("_mn"), F.col("_mx"), F.lit(secs))
-            ).alias("_eb"),
+        .agg(F.expr("min(_eb) as _mn"), F.expr("max(_eb) as _mx"))
+        .selectExpr(
+            *ks,
+            f"explode(sequence(_mn, _mx, {secs})) as _eb",
         )
     )
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy("_eb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = F.last("last_state", ignorenulls=True).over(w)
-    start_us = F.col("_eb") * F.lit(1_000_000)
-    head_us = (F.col("first_us") - start_us).cast("long")
     # carry / head_us / entries materialize as NAMED columns so the
     # map adjustment can be one parsed SQL string (round 13 — Column
     # lambdas cost ~0.1 s each at build time; same expressions, same
     # F.when CASE semantics)
-    dense = (
-        grid.join(p, [*key_cols, "_eb"], "left")
-        .withColumn("_carry", carry)
-        .withColumn("_head_us", head_us)
-        .withColumn(
-            "_entries",
-            F.expr(
-                "map_entries(coalesce(durs, "
-                "cast(map() as map<string,long>)))"
-            ),
-        )
+    dense = grid.join(p, [*key_cols, "_eb"], "left").selectExpr(
+        "*",
+        f"last(last_state, true) over (partition by {kcsv} "
+        "order by _eb rows between unbounded preceding and "
+        "1 preceding) as _carry",
+        "cast(first_us - _eb * 1000000 as long) as _head_us",
+        "map_entries(coalesce(durs, cast(map() as map<string,long>)))"
+        " as _entries",
     )
     bumped = (
         "transform(_entries, e -> named_struct('key', e.key, "
@@ -740,11 +738,9 @@ def state_interpolated(
         f"exists(_entries, e -> e.key = _carry) THEN {bumped} "
         f"ELSE concat(_entries, {head_entry}) END"
     )
-    return dense.select(
-        *key_cols,
-        F.timestamp_seconds("_eb").alias("bucket"),
-        F.expr(
-            f"map_from_entries(array_sort({interp_entries}))"
-        ).alias("durs"),
-        F.coalesce("n", F.lit(0)).alias("n"),
+    return dense.selectExpr(
+        *ks,
+        "timestamp_seconds(_eb) as bucket",
+        f"map_from_entries(array_sort({interp_entries})) as durs",
+        "coalesce(n, 0) as n",
     )
