@@ -245,6 +245,7 @@ def test_fetch_empty_batch_is_eagerly_empty(spark, log, tmp_path):
     poller.ack(off3)
 
 
+@pytest.mark.slow
 def test_maintenance_runner(spark, log, tmp_path):
     import datetime as dt2
 
@@ -345,6 +346,7 @@ def test_maintenance_runner(spark, log, tmp_path):
     assert report2["ann_index_rows_compacted"] == 0
 
 
+@pytest.mark.slow
 def test_materialized_table_equals_full_replay(spark, log, tmp_path):
     """Incremental materialization (apply each batch) must equal the
     full-log replay at every step — the O(batch) vs O(log) equivalence
@@ -419,6 +421,7 @@ def test_materialized_table_adopts_stored_bucket_count(spark, log, tmp_path):
     assert rows == {(1, "Water Pump XL"), (2, "Steam Trap"), (3, "Compressor")}
 
 
+@pytest.mark.slow
 def test_materialized_table_snapshot_survives_concurrent_writer(spark, log, tmp_path):
     """Round-4 VERDICT #3: a reader that resolved its paths from
     manifest generation G must still be able to scan after a writer
@@ -470,6 +473,7 @@ def test_materialized_table_snapshot_survives_concurrent_writer(spark, log, tmp_
     assert live == {(r[0], r[1]) for r in states[4]}
 
 
+@pytest.mark.slow
 def test_materialized_table_cold_bucket_supersession_expiry(spark, log, tmp_path):
     """ADVICE r6 (high): expiry must count from when a version dir was
     SUPERSEDED, not when it was created. A bucket untouched for >= N
@@ -735,6 +739,7 @@ def test_distributed_id_assignment_dense(spark, log):
     assert sorted(ids2) == list(range(1, 10101))
 
 
+@pytest.mark.slow
 def test_compress_partition_ratio_and_content(spark, log):
     """compress_chunk analog: cold-chunk rewrite (segment/order sort +
     zstd) must preserve content EXACTLY, report a real size reduction
@@ -790,6 +795,7 @@ def test_compress_partition_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(part + "._compact_old")
 
 
+@pytest.mark.slow
 def test_compress_partition_zorder_layout(spark, log):
     """Round 10 (VERDICT r9 #1): compress_partition(zorder_by=...)
     rewrites the cold chunk Morton-ordered, persists the normalization

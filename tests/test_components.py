@@ -5,6 +5,8 @@ approximation gets conservative about) and high-degree stars."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -53,6 +55,7 @@ def _check(spark, pairs):
     assert got == want
 
 
+@pytest.mark.slow
 def test_chains_stars_and_random_graphs(spark):
     # chain: a<b<c<d linked pairwise-adjacent only (transitive closure
     # must still group them all)

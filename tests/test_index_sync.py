@@ -58,6 +58,7 @@ def _envelope_stream(spark, src, schema):
     )
 
 
+@pytest.mark.slow
 def test_cdc_sync_insert_delete_resume(spark, corpus, tmp_path):
     """Build at 90%, stream the other 10% as INSERT envelopes and a
     takedown slice as DELETE envelopes; the index must reflect both;
@@ -129,6 +130,7 @@ def test_cdc_sync_insert_delete_resume(spark, corpus, tmp_path):
     assert sync.lag()["staged_batches"] == 0
 
 
+@pytest.mark.slow
 def test_cdc_sync_repair_recovers_lost_append(spark, corpus, tmp_path):
     """The documented crash window: marker committed, append never
     ran. The staged ids are invisible (never duplicated) and repair()
@@ -159,6 +161,7 @@ def test_cdc_sync_repair_recovers_lost_append(spark, corpus, tmp_path):
     assert sync.prune_staged() == 1
 
 
+@pytest.mark.slow
 def test_cdc_sync_rejects_update_and_tombstoned_reinsert(
     spark, corpus, tmp_path
 ):
@@ -202,6 +205,7 @@ def test_cdc_sync_rejects_malformed_insert_payload(spark, corpus, tmp_path):
         sync.apply_batch(missing_id, 1)
 
 
+@pytest.mark.slow
 def test_cdc_sync_repair_skips_tombstoned_staged_ids(
     spark, corpus, tmp_path
 ):
@@ -255,6 +259,7 @@ def _upd(df, new_id_offset=0):
     )
 
 
+@pytest.mark.slow
 def test_cdc_sync_split_updates_rewrites_id_changing_update(
     spark, corpus, tmp_path
 ):
@@ -291,6 +296,7 @@ def test_cdc_sync_split_updates_rewrites_id_changing_update(
         strict.apply_batch(_upd(moved, new_id_offset=7_000_000), 0)
 
 
+@pytest.mark.slow
 def test_cdc_sync_rejection_has_zero_side_effects(spark, corpus, tmp_path):
     """Validate-before-mutate (round 15, ADVICE r14): a batch that
     deletes AND re-inserts one id is rejected BEFORE its deletes
@@ -350,6 +356,7 @@ def test_cdc_sync_repair_requires_stopped_stream(spark, corpus, tmp_path):
     assert sync.repair() == 0
 
 
+@pytest.mark.slow
 def test_cdc_sync_compact_between_crash_and_repair(spark, corpus, tmp_path):
     """Round 15 (VERDICT r14 #6) — the poisonous interleave: a
     crash-window batch stages ids {x, y} (marker committed, append
@@ -407,6 +414,7 @@ def test_cdc_sync_compact_between_crash_and_repair(spark, corpus, tmp_path):
     assert sync.lag()["staged_batches"] == 0
 
 
+@pytest.mark.slow
 def test_cdc_sync_prune_partial_gc_keeps_log_swap_safe(
     spark, corpus, tmp_path
 ):

@@ -80,6 +80,7 @@ def test_minhash_finds_planted_pairs(docs, planted):
     assert found_near >= 0.8 * len(near_ids)
 
 
+@pytest.mark.slow
 def test_c2_registered_row_count_with_guard(spark, sf_dir):
     """VERDICT r4 #8: the registered c2_minhash_simhash query runs
     with the hot-bucket star-pairing cap (SKETCH_MAX_BUCKET) on the
@@ -444,6 +445,7 @@ def test_lsh_arrow_sketch_engine_matches_jvm(spark, sf_dir):
 
 
 @pytest.mark.parametrize("ann_sf", ["sf0.001", "sf0.01"])
+@pytest.mark.slow
 def test_c3_ann_registered_query_has_all_families(spark, ann_sf):
     """The registered c3_ann_lsh_ivf query self-gates each index
     family on recall@5 ≥ 0.5 (and the folded-in vec_gate rows on the
@@ -557,6 +559,7 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert all(v == 5 for v in per_q.values())
 
 
+@pytest.mark.slow
 def test_curation_pipeline_stages_and_provenance(spark, sf_dir):
     """curate() composes quality→exact-dedup→near-dedup with full
     provenance: every input doc is tagged kept/drop_reason, survivors
@@ -648,6 +651,7 @@ def test_matmul_topk_matches_jvm(spark, sf_dir):
         assert abs(mat[key] - cos) <= 1e-4
 
 
+@pytest.mark.slow
 def test_ivf_index_persisted_build_query(spark, sf_dir, tmp_path):
     """Persisted IVF index: build-once equals the in-line ivf_topk
     (same quantizer seed), the corpus read is partition-pruned to the
@@ -690,6 +694,7 @@ def test_ivf_index_sampled_build_recall(spark, sf_dir, tmp_path):
     assert recall >= 0.5, f"sampled-build IVF recall too low: {recall}"
 
 
+@pytest.mark.slow
 def test_ivf_index_append_and_staleness(spark, sf_dir, tmp_path):
     """Round-4 VERDICT #5: a CDC-fed index must absorb inserts. Build
     at 90% of the corpus, append the other 10% (frozen centroids,
@@ -746,6 +751,7 @@ def test_ivf_index_append_and_staleness(spark, sf_dir, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_ivf_index_compact_recovers_crash_debris(spark, sf_dir, tmp_path):
     """ADVICE r6 (medium): a crash between compact()'s two renames
     leaves '_cell=N._compact_old' holding the only copy of cell N.
@@ -783,6 +789,7 @@ def test_ivf_index_compact_recovers_crash_debris(spark, sf_dir, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_lsh_index_build_append_query(spark, sf_dir, tmp_path):
     """Persisted LSH index: because the sketch is data-independent,
     build(90%) + append(10%) must equal the inline operator over the
@@ -895,6 +902,7 @@ def test_winnow_fingerprints_overlap_guarantee(spark):
     assert overlap_13 < 0.2, f"disjoint docs overlap too much: {overlap_13}"
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_gate(spark, tmp_path):
     """C2 ⊕ B45: the streaming near-dup gate must drop near-copies of
     docs admitted in EARLIER batches (persisted signature index),
@@ -971,6 +979,7 @@ def test_streaming_near_dedup_gate(spark, tmp_path):
     assert s5 == {4}
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_takedown_mid_stream(spark, tmp_path):
     """Round 15 (VERDICT r14 #4): BandedIndexStore.delete() between
     micro-batches — the deleted doc's signatures stop suppressing
@@ -1058,6 +1067,7 @@ def test_streaming_near_dedup_attach_end_to_end(spark, tmp_path):
     assert {r.doc_id for r in out.collect()} == {1}
 
 
+@pytest.mark.slow
 def test_c2_streaming_registered_row_count(spark):
     """Pin the registered streaming-gate query's shape at the driver's
     SF (the rows-only count IS the signal — 0 rows in a method means
@@ -1115,6 +1125,7 @@ def test_c2_streaming_registered_row_count(spark):
     assert stages[8] == 26, f"url dedup stage: {stages}"
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_transitive_option(spark, tmp_path):
     """transitive=True resolves within-batch groups by exact connected
     components: with pairs (3,9) and (5,9) in one batch, the greedy
@@ -1149,6 +1160,7 @@ def test_streaming_near_dedup_transitive_option(spark, tmp_path):
         assert got == expect, (transitive, got)
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_bucket_pruned_lookup(spark, tmp_path):
     """Round-7 scale fix (VERDICT r6 #2): after compact(), the
     per-batch index lookup must open ONLY the (band, bp) leaf dirs the
@@ -1210,6 +1222,7 @@ def test_streaming_near_dedup_bucket_pruned_lookup(spark, tmp_path):
     assert set(gate2._base_df(bulk_sigs).inputFiles()) == set(full_files)
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_mod_rescales_across_compactions(
     spark, tmp_path
 ):
@@ -1332,6 +1345,7 @@ def test_gate_layout_estimator_sees_incoming_not_admitted(spark, tmp_path):
     assert gate._batch_sizes() == [30.0, 32.0]  # incoming, not admitted
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_duplicate_gen_crash_window(spark, tmp_path):
     """Crash window the compact() docstring claims is harmless: the
     new generation landed but the old dirs were not removed. The
@@ -1373,6 +1387,7 @@ def test_streaming_near_dedup_duplicate_gen_crash_window(spark, tmp_path):
     assert gate.index().count() == 2 * gate.bands  # rows deduped too
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_metaless_gen_falls_back_unpruned(
     spark, tmp_path
 ):
@@ -1407,6 +1422,7 @@ def test_streaming_near_dedup_metaless_gen_falls_back_unpruned(
     assert {r._id for r in gate.index().select("_id").collect()} == {1, 2}
 
 
+@pytest.mark.slow
 def test_streaming_vector_dedup_bucket_pruned_lookup(spark, sf_dir, tmp_path):
     """Vector-gate counterpart: pruned base read opens ≤ chunks ×
     batch leaf dirs and exact-copy rejection still works through it."""
@@ -1443,6 +1459,7 @@ def test_streaming_vector_dedup_bucket_pruned_lookup(spark, sf_dir, tmp_path):
     assert gate.process_batch(probe, 2).count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_vector_dedup_gate(spark, sf_dir, tmp_path):
     """Embedding-space ingest gate: exact copies of previously
     admitted vectors are rejected across batches (index lookup + exact
@@ -1518,6 +1535,7 @@ def test_c3_vector_gate_rows_pinned_count(spark):
     assert out.count() == 500
 
 
+@pytest.mark.slow
 def test_semantic_dedup_planted_groups_and_reference(spark):
     """SemDeDup (operators/semdedup.py): plant 10 semantic groups of
     4 near-identical vectors (small perturbations, cos ≈ 0.999)
@@ -1642,6 +1660,7 @@ def test_semantic_dedup_plan_no_cartesian(spark):
     assert "BatchEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_curate_with_semantic_stage(spark, sf_dir):
     """curate(embeddings=...) appends the SemDeDup stage after the
     lexical stages: planted semantic twins (identical embeddings,
@@ -1836,6 +1855,7 @@ def test_decontaminate_spans_hashed_matches_exact(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+@pytest.mark.slow
 def test_curate_with_decontamination_stage(spark):
     """curate(eval_docs=...) drops eval-overlapping docs as
     'contaminated' BEFORE the dedup stages, and the stage is inert
@@ -2021,6 +2041,7 @@ def test_perplexity_buckets_hand_computed(spark):
     assert out[3]["ppl_bucket"] == "tail"
 
 
+@pytest.mark.slow
 def test_curate_redact_pii_before_dedup(spark):
     """curate(redact=True) masks PII before hashing (the Dolma
     ordering), so two docs differing ONLY in the PII they leak
@@ -2204,6 +2225,7 @@ def test_curate_language_stage(spark):
     assert not out[2]["kept"] and out[2]["drop_reason"] == "language"
 
 
+@pytest.mark.slow
 def test_curate_all_stages_composed(spark):
     """Every curate() stage active at once, one planted drop each, in
     the documented stage order: PII redaction collapses a pii-twin
@@ -2322,6 +2344,7 @@ def test_curate_all_stages_composed(spark):
     assert reasons[11] == "near_dup"
 
 
+@pytest.mark.slow
 def test_curate_learned_quality_stage(spark):
     """curate(quality_clf=...) drops classifier-rejected docs as
     'model_quality' (the GPT-3 filter as a pipeline stage); the
@@ -2645,6 +2668,7 @@ def test_dedup_substrings_hashed_matches_exact(spark):
     assert flagged.filter(F.col("duplicated")).count() > 0
 
 
+@pytest.mark.slow
 def test_sq8_index_matches_one_shot(spark, sf_dir, tmp_path):
     """Round 11 (VERDICT r10 #4): the persisted Sq8Index must return
     EXACTLY what one-shot sq8_topk returns on the same corpus (same
@@ -2674,6 +2698,7 @@ def test_sq8_index_matches_one_shot(spark, sf_dir, tmp_path):
     assert got3 == want
 
 
+@pytest.mark.slow
 def test_curate_substring_duplication_stage(spark):
     """curate(substr_n=...) — the Gopher duplicated-content filter
     (round 11): exact-dedup survivors whose cross-doc duplicated-span
@@ -2762,6 +2787,7 @@ def test_dedup_substrings_keep_first_policy(spark):
     assert all_rows[1]["clean_text"] == "alpha beta gamma delta"
 
 
+@pytest.mark.slow
 def test_ivf_sq8_index_recall_and_pruning(spark, sf_dir, tmp_path):
     """IVF-SQ8 (round 11 — FAISS IVF<n>,SQ8): residual int8 codes in
     cell partitions, probe-pruned scan + exact refine. Recall@5 vs
@@ -2970,6 +2996,7 @@ def test_curate_source_cap_stage(spark):
     assert set(big_kept) == want
 
 
+@pytest.mark.slow
 def test_curate_guards_and_null_policies(spark):
     """Round-12 review findings: (1) half-specified optional stages
     raise instead of silently skipping; (2) NULL-source rows bypass
@@ -3045,6 +3072,7 @@ def test_curate_guards_and_null_policies(spark):
         connected_components(dbl)
 
 
+@pytest.mark.slow
 def test_sq8_index_append_and_staleness(spark, sf_dir, tmp_path):
     """Round 12 (VERDICT r11 #4): Sq8Index.append absorbs inserts
     with the FROZEN bounds (out-of-range clamps), appended vectors
@@ -3099,6 +3127,7 @@ def test_sq8_index_append_and_staleness(spark, sf_dir, tmp_path):
     assert s2["rebuild_recommended"]
 
 
+@pytest.mark.slow
 def test_ivf_sq8_index_append_and_staleness(spark, sf_dir, tmp_path):
     """Round 12 (VERDICT r11 #4): IvfSq8Index.append assigns new
     vectors to FROZEN centroids + encodes residuals with FROZEN
@@ -3141,6 +3170,7 @@ def test_ivf_sq8_index_append_and_staleness(spark, sf_dir, tmp_path):
     assert top[0]["c_id"] == probe_id and top[0]["cos"] == 1.0
 
 
+@pytest.mark.slow
 def test_sq8_index_repair_recovers_interrupted_append(spark, sf_dir, tmp_path):
     """Round 12 review finding: append's two sink writes are not
     atomic. Raw commits FIRST, so a crash between them leaves
@@ -3239,6 +3269,7 @@ def _tomb_dir(path):
     return os.path.join(str(path), "tombstones")
 
 
+@pytest.mark.slow
 def test_ivf_index_delete_compact_purges(spark, sf_dir, tmp_path):
     """IvfIndex takedown path: delete() hides ids from topk/corpus
     immediately (anti-join, no rewrite), staleness() reports the
@@ -3292,6 +3323,7 @@ def test_ivf_index_delete_compact_purges(spark, sf_dir, tmp_path):
     assert idx.staleness()["compact_recommended"]
 
 
+@pytest.mark.slow
 def test_lsh_index_delete_compact(spark, sf_dir, tmp_path):
     """LshIndex: delete() drops an id out of every band at once
     (DataFrame-shaped ids), deleted_fraction() is the id-level share,
@@ -3337,6 +3369,7 @@ def test_lsh_index_delete_compact(spark, sf_dir, tmp_path):
     assert after == during
 
 
+@pytest.mark.slow
 def test_sq8_families_delete_compact(spark, sf_dir, tmp_path):
     """Sq8Index + IvfSq8Index: a deleted id leaves the compressed
     shortlist AND the exact refine at once (no half-deleted state),

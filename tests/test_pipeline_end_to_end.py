@@ -11,6 +11,8 @@ byte-deterministic across a re-run.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from timescale_cdc_spark.catalog import load_table
@@ -49,6 +51,7 @@ def _run_chain(spark, sf_dir, out_dir):
     return docs, verdicts, kept, packed, sequences, manifest
 
 
+@pytest.mark.slow
 def test_curate_pack_shard_chain(spark, sf_dir, tmp_path):
     out = str(tmp_path / "export")
     docs, verdicts, kept, packed, sequences, manifest = _run_chain(

@@ -9,6 +9,8 @@ docker-compose.yml:74, readme.md:266)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import random
 
@@ -25,6 +27,7 @@ def _assets(spark, rows):
     return spark.createDataFrame(rows, schema=ASSETS_SCHEMA)
 
 
+@pytest.mark.slow
 def test_poller_interleaving_delivers_exactly_once(spark, tmp_path):
     rng = random.Random(7)
     log = EventLog(spark, str(tmp_path / "log"))

@@ -73,6 +73,7 @@ def test_adc_matches_numpy_recomputation(pq_idx):
         assert spark_dist == pytest.approx(adc, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_identical_vector_reranks_to_top(spark, pq_idx):
     """A planted exact duplicate quantizes to the identical code
     (ADC 0 against its twin's LUT entries... up to ties) and the exact
@@ -95,6 +96,7 @@ def test_identical_vector_reranks_to_top(spark, pq_idx):
 @pytest.mark.parametrize(
     "ann_sf_dir", [_sibling_sf_dir("sf0.001"), _sibling_sf_dir("sf0.01")]
 )
+@pytest.mark.slow
 def test_pq_recall_vs_brute_force(spark, tmp_path, ann_sf_dir):
     """PQ ADC + exact re-rank clears the 0.6 recall floor at both
     driver SFs with the CHEAP config (m=8, k_sub=16, rerank=50) —
@@ -168,6 +170,7 @@ def test_ivfpq_codes_partitioned_and_scan_pruned(ivfpq_idx):
     assert len(cells) == 16
 
 
+@pytest.mark.slow
 def test_ivfpq_residuals_beat_plain_pq_shortlist(spark, sf_dir, tmp_path):
     """At the SAME code budget and shortlist, residual ADC ordering
     must be at least as good as plain PQ's on the fixture (measured
@@ -207,6 +210,7 @@ def test_ivfpq_query_path_jvm_only(ivfpq_idx):
     assert "MapInPandas" not in plan
 
 
+@pytest.mark.slow
 def test_pq_families_delete_compact(spark, sf_dir, tmp_path):
     """Round 14 (VERDICT r13 #4): the takedown contract on the two PQ
     classes — delete() hides an id from the ADC shortlist AND the

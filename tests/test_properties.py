@@ -5,6 +5,8 @@ example batches its data into a single DataFrame."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -48,6 +50,7 @@ def op_walks(draw):
 
 @slow_settings
 @given(op_walks())
+@pytest.mark.slow
 def test_replay_equals_final_state(spark, snapshots):
     def to_df(snap, ts):
         rows = [(k, name, f"SN{k:04d}", ts, ts) for k, name in sorted(snap.items())]

@@ -4,6 +4,8 @@ reconstructs exactly the final table state, at every prefix."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import random
 
@@ -46,6 +48,7 @@ def _to_df(spark, snap, ts):
     return spark.createDataFrame(rows, schema=ASSETS_SCHEMA)
 
 
+@pytest.mark.slow
 def test_replay_reconstructs_every_prefix(spark, tmp_path):
     snapshots = _random_walk(seed=42, steps=12)
     log = EventLog(spark, str(tmp_path / "log"))

@@ -14,6 +14,8 @@ planted exact-duplicate groups and a random 3-way batch split,
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -45,6 +47,7 @@ def _corpus(seed: int):
     return rows, groups
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_invariants(spark, tmp_path):
     for seed in (11, 29, 47):
         rows, groups = _corpus(seed)

@@ -17,6 +17,8 @@ Verified-by-execution facts (Spark 4.1):
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 
@@ -58,6 +60,7 @@ def test_staged_batches_replay_in_list_order(spark, tmp_path):
     assert seen == [[0], [1], [2], [3]]
 
 
+@pytest.mark.slow
 def test_late_filter_lags_one_batch_and_flusher_emits(spark, tmp_path):
     """One scenario pinning facts 2 and 3: a day-2 row arriving ONE
     batch after the day-10..12 spine survives; a day-3 row arriving
@@ -175,6 +178,7 @@ def test_streaming_physical_operators(spark, tmp_path):
         assert op in plan, f"{op} missing from executed plan:\n{plan}"
 
 
+@pytest.mark.slow
 def test_relay_resume_is_in_the_registry_entry(spark, sf_dir):
     """The registry entry's relay family re-runs the pipeline from one
     checkpoint with an append in between — spot-check the topic dirs it
