@@ -512,6 +512,12 @@ def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # makes the window fully explicit, so cascade_refresh skips its
     # min/max bounds aggregation — one full facts scan per refresh
     # (round 15 opt; interleaved A/B in OPTIMIZATION_r15.md).
+    # NOTE (round-15 advisor): start_s=0 is an EPOCH-0 floor, not the
+    # NULL idiom's open start — a source row with ts < 1970 would fall
+    # outside both the materialized window [0, split) and the
+    # real-time tail (ts >= watermark). Unreachable with this dataset
+    # (2024 timestamps, oracle-guarded); a dataset with pre-epoch rows
+    # must clamp start_s to min(0, observed min) instead.
     split_s = 1705708800  # 2024-01-20T00:00:00Z
     cascade_refresh([hour, day], ev, start_s=0, end_s=split_s)
 
@@ -534,6 +540,12 @@ def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, rebuilt from parquet every pass — the same
     # shape as the lib entries' rolled frames) runs it once. Lazy:
     # the union's single action materializes it in place (round 15
-    # opt; bit-identity + A/B in OPTIMIZATION_r15.md).
+    # opt; bit-identity + A/B in OPTIMIZATION_r15.md). Cluster note
+    # (round-15 advisor): localCheckpoint truncates lineage and pins
+    # partitions to executor block storage — fine in the local-mode
+    # bench, but under executor loss / dynamic allocation the union
+    # fails instead of recomputing; gate the checkpoint (or unpersist
+    # the prior pass's RDD explicitly) before running this entry on a
+    # cluster with dynamic allocation.
     hv = hour.query(ev).localCheckpoint(eager=False)
     return project(hv, "hour").unionByName(project(day.query(hv), "day"))

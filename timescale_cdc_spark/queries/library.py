@@ -245,9 +245,13 @@ def lib_state_heartbeat_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maps, cagg-partial sized — runs them once per pass. Not a
     # cross-run cache: every bench pass rebuilds and re-materializes
     # from the parquet scan. Lazy: the union's own count job
-    # materializes it in place (both branches read the SAME RDD, so
-    # stage dedup computes it once) instead of a separate blocking
-    # job at construct time (entry-level A/B in OPTIMIZATION_r15.md).
+    # materializes it in place — both branches read the SAME RDD, so
+    # it is computed at most once per branch on the first job (lazily
+    # persisted non-shuffle RDDs are best-effort until the post-job
+    # fill: concurrent first-job stages can each compute a partition
+    # before the block-manager cache populates) and cached thereafter
+    # — instead of a separate blocking job at construct time
+    # (entry-level A/B in OPTIMIZATION_r15.md).
     sr = state_rollup(
         state_partials(ev, "ts", key, "event_type", "event_id", "1 hour"),
         key,
